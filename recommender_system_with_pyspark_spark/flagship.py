@@ -1,0 +1,85 @@
+"""Flagship end-to-end recommendation query (SURVEY §3 E2, §7 M2).
+
+The reference's ALS path (`PySpark Scripts/als.py`) re-expressed on the
+synthetic star schema: implicit user→item ratings derived from order
+history, sparse-entity pruning (`bgrfunctions.py:43-53`), seeded ALS
+(`bgrfunctions.py:179-201` — reference seeds the model but not the split;
+the engine seeds both), per-user top-k (`als.py:44-49`), explode + name
+join.
+
+Scale notes: ALS shuffles user/item factor blocks every iteration — rank
+and checkpoint interval are the knobs; the final name join broadcasts the
+item dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import load_table
+from .operators.relational import prune_sparse_entities
+
+
+def implicit_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a (user, item, rating) fact table: customer×part affinity =
+    log-scaled purchased quantity. Mirrors the reference's ratings table
+    shape (`als.py:21`, user_ratings.csv)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .agg(F.round(F.log1p(F.sum("l_quantity")), 4).alias("rating"))
+    )
+
+
+def recommend_top_items(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    rank: int = 8,
+    max_iter: int = 5,
+    reg_param: float = 0.1,
+    min_item_count: int = 2,
+    min_user_count: int = 2,
+    seed: int = 1,
+) -> DataFrame:
+    """ratings → prune → ALS → recommendForAllUsers(k) → explode → names.
+
+    Returns (user_id, item_id, score, rank, p_name)."""
+    from pyspark.ml.recommendation import ALS
+
+    ratings = implicit_ratings(spark, sf_dir)
+    pruned = prune_sparse_entities(
+        ratings, "item_id", "user_id", min_item_count, min_user_count
+    )
+    als = ALS(
+        rank=rank,
+        maxIter=max_iter,
+        regParam=reg_param,
+        userCol="user_id",
+        itemCol="item_id",
+        ratingCol="rating",
+        coldStartStrategy="drop",  # `bgrfunctions.py:182`
+        seed=seed,
+    )
+    model = als.fit(pruned)
+    recs = model.recommendForAllUsers(k)
+    exploded = recs.select(
+        "user_id", F.posexplode("recommendations").alias("pos", "rec")
+    ).select(
+        "user_id",
+        F.col("rec.item_id").alias("item_id"),
+        F.round(F.col("rec.rating"), 4).alias("score"),
+        (F.col("pos") + 1).alias("rank"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("item_id"), "p_name"
+    )
+    return exploded.join(F.broadcast(part), "item_id", "left").select(
+        "user_id", "item_id", "score", "rank", "p_name"
+    )

@@ -1,0 +1,121 @@
+"""Sources and sinks (SURVEY §2.1, S1-S6).
+
+Reference behavior re-expressed:
+
+- S1/S2 CSV scan with ``inferSchema`` (`als.py:21-22`, `datacleaning.py:26`)
+  → explicit-schema reads by default; ``infer_schema=True`` compat mode.
+- S3/S5 pandas read/write round-trips → eliminated; one lazy DAG. Parquet is
+  the default materialization format (columnar, predicate pushdown, column
+  pruning — a CSV scan can push neither).
+- S4 ``coalesce(1)`` single-file CSV sink (`datacleaning.py:30,98`) →
+  parallel write by default; ``single_file=True`` compat flag (documented
+  anti-pattern: serializes the write through one task).
+- S6 model persistence → ``save_model``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schemas import TESTDATA_TABLES
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    infer_schema: bool = False,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan (S1/S2). Explicit schema by default — no inference pass."""
+    reader = spark.read.option("header", header).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan — the engine default (vectorized, pushdown, pruning)."""
+    return spark.read.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **options: str) -> DataFrame:
+    """JDBC source. Driver jars are environment-provided; errors surface lazily."""
+    return spark.read.format("jdbc").options(url=url, dbtable=table, **options).load()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one TESTDATA.md parquet table by name.
+
+    Parquet carries its own schema; we validate the column set against the
+    declared StructType so drift fails fast instead of mid-query.
+    """
+    # events.parquet stores TIMESTAMP(NANOS) — unsupported by Spark's reader
+    # natively; read nanos as long and convert (integer division: a double
+    # round-trip would lose sub-microsecond precision at 2^60 magnitudes).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    expected = TESTDATA_TABLES.get(name)
+    if expected is not None:
+        missing = {f.name for f in expected.fields} - set(df.columns)
+        if missing:
+            raise ValueError(f"table {name!r} at {sf_dir} missing columns {sorted(missing)}")
+        actual = {f.name: f.dataType for f in df.schema.fields}
+        for field in expected.fields:
+            if (
+                field.dataType.typeName() == "timestamp"
+                and actual.get(field.name) is not None
+                and actual[field.name].typeName() == "long"
+            ):
+                df = df.withColumn(
+                    field.name,
+                    F.timestamp_micros(F.expr(f"{field.name} div 1000")),
+                )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    single_file: bool = False,
+) -> None:
+    """CSV sink (S4). ``single_file`` reproduces the reference's
+    ``coalesce(1)`` (`datacleaning.py:30,98`) — correct but serial; never use
+    it at scale."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", header).csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def save_model(model, path: str) -> None:
+    """ML model sink (S6 — `bgrfunctions.py:228,262,298,328,360`)."""
+    model.write().overwrite().save(path)

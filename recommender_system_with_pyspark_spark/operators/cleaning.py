@@ -1,0 +1,205 @@
+"""Cleaning operators (SURVEY §2.2 P5-P13, §2.4 A3-A7).
+
+The reference performs all of these with driver-local pandas
+(`bgrfunctions.py:79-140,369-393`, `datacleaning.py:15-88`) — a hard scale
+ceiling (the whole table must fit on the driver). Every operator here is a
+pure DataFrame→DataFrame transform: distributed, lazy, Catalyst-optimizable,
+and shuffle-free unless noted.
+
+Scale notes (100 TB):
+- Imputation fills (mean/mode) compute one small aggregate and attach it as
+  a literal — one extra job over the column, no shuffle of the fact table.
+- ``iqr_outlier_filter`` uses ``approxQuantile`` (single pass,
+  Greenwald-Khanna sketch) by default; ``exact=True`` switches to the exact
+  ``percentile`` aggregate for oracle-testable semantics.
+- All row filters compose into a single scan → one WholeStageCodegen span;
+  predicates push down to parquet.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def drop_null_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """P7 — drop rows with any null (`datacleaning.py:17` ``dropna()``)."""
+    return df.na.drop(subset=list(subset) if subset else None)
+
+
+def null_audit(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """A6 — per-column null counts (`datacleaning.py:33-47` isna().sum()).
+
+    Returns one row, one column per input column, named ``<col>_nulls``.
+    Single partial+final aggregate — one pass, no shuffle of rows.
+    """
+    cols = list(columns) if columns else df.columns
+    return df.select(
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls")
+            for c in cols
+        ]
+    )
+
+
+def sentinel_to_null(df: DataFrame, sentinels: Mapping[str, object]) -> DataFrame:
+    """P8 — replace sentinel values with null.
+
+    Reference: `datacleaning.py:77-78` (``GoodPlayers=='[]'`` and
+    ``BestPlayers==0`` → NaN) done with pandas ``.loc`` on the driver.
+    """
+    out = df
+    for c, sentinel in sentinels.items():
+        out = out.withColumn(
+            c, F.when(F.col(c) == F.lit(sentinel), F.lit(None)).otherwise(F.col(c))
+        )
+    return out
+
+
+def fill_const(df: DataFrame, values: Mapping[str, object]) -> DataFrame:
+    """P9 — constant null fill (`bgrfunctions.py:107` Family→'No family')."""
+    return df.na.fill(dict(values))
+
+
+def fill_mean(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """P10 — mean-impute nulls (`bgrfunctions.py:110-111`).
+
+    One aggregate job computes all means at once (not one job per column —
+    the v1 reference bug of filling LanguageEase with ComAgeRec's mean,
+    `functions.py:97`, is structurally impossible here).
+    """
+    means = df.agg(*[F.avg(c).alias(c) for c in columns]).first()
+    return df.na.fill({c: means[c] for c in columns if means[c] is not None})
+
+
+def fill_mode(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """P11 — most-frequent-value imputation (`bgrfunctions.py:27-32,114-124`).
+
+    Mode per column = groupBy count + deterministic tie-break (count desc,
+    value asc). Each mode is one hash-aggregate job over a single column;
+    null rows are excluded from the vote.
+    """
+    fills: dict[str, object] = {}
+    for c in columns:
+        row = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(c)
+            .count()
+            .orderBy(F.desc("count"), F.asc(c))
+            .first()
+        )
+        if row is not None:
+            fills[c] = row[0]
+    return df.na.fill(fills) if fills else df
+
+
+def positive_filter(df: DataFrame, columns: Sequence[str], threshold: float = 0) -> DataFrame:
+    """P5 — keep rows where every listed column > threshold
+    (`bgrfunctions.py:98-104`; the YearPublished>1970 variant `:389`).
+
+    All predicates fold into one conjunctive filter → a single scan with
+    full parquet pushdown.
+    """
+    pred = None
+    for c in columns:
+        p = F.col(c) > F.lit(threshold)
+        pred = p if pred is None else (pred & p)
+    return df.filter(pred) if pred is not None else df
+
+
+def iqr_outlier_filter(
+    df: DataFrame,
+    columns: Sequence[str],
+    k: float = 1.0,
+    exact: bool = False,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """P6 — per-column IQR band filter (`bgrfunctions.py:369-393`).
+
+    Keeps rows with ``Q1 - k*IQR < col < Q3 + k*IQR``. NB the reference uses
+    **k=1**, not the textbook 1.5 (PDF p.10) — reproduced as the default,
+    exposed as a parameter.
+
+    Like the reference, bounds are computed per column *sequentially* on the
+    progressively-filtered frame (order-sensitive, non-fixpoint — see
+    `bgrfunctions.py:380-391` where each iteration filters ``dataframe``
+    in place). ``exact=True`` uses the exact ``percentile`` aggregate
+    (matches DuckDB ``quantile_cont``); the default is a one-pass GK sketch
+    via ``approxQuantile`` — the only choice at 100 TB.
+    """
+    out = df
+    for c in columns:
+        if exact:
+            row = out.agg(
+                F.expr(f"percentile({c}, 0.25)").alias("q1"),
+                F.expr(f"percentile({c}, 0.75)").alias("q3"),
+            ).first()
+            q1, q3 = row["q1"], row["q3"]
+        else:
+            q1, q3 = out.approxQuantile(c, [0.25, 0.75], relative_error)
+        if q1 is None or q3 is None:
+            continue
+        iqr = q3 - q1
+        out = out.filter((F.col(c) > q1 - k * iqr) & (F.col(c) < q3 + k * iqr))
+    return out
+
+
+def zero_variance_prune(df: DataFrame, columns: Sequence[str] | None = None, eps: float = 1e-10) -> DataFrame:
+    """P13 — drop numeric columns with stddev <= eps (`bgrfunctions.py:133-138`).
+
+    One aggregate computes every stddev simultaneously (the reference's
+    pandas ``df.std()`` equivalent), then a metadata-only ``drop``.
+    """
+    numeric = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("integer", "long", "double", "float", "short", "byte", "decimal")
+    ]
+    cols = [c for c in (columns or numeric) if c in numeric]
+    if not cols:
+        return df
+    stds = df.agg(*[F.stddev(c).alias(c) for c in cols]).first()
+    dead = [c for c in cols if stds[c] is not None and stds[c] <= eps]
+    return df.drop(*dead) if dead else df
+
+
+def round_column(df: DataFrame, column: str, scale: int = 1) -> DataFrame:
+    """F1 — round a column in place (`als.py:29,50`, `bgrfunctions.py:16-19`)."""
+    return df.withColumn(column, F.round(F.col(column), scale))
+
+
+def discretize_label(
+    df: DataFrame,
+    column: str = "Rating",
+    label: str = "buckets",
+    threshold: float = 4.0,
+) -> DataFrame:
+    """F2 — binarize: ``label = column < threshold ? 0.0 : 1.0``
+    (`bgrfunctions.py:22-24`).
+
+    The code uses threshold 4 while the PDF (pp.5,24) says 7 — code is
+    ground truth; the threshold is a parameter.
+    """
+    return df.withColumn(
+        label,
+        F.when(F.col(column) < F.lit(threshold), F.lit(0.0)).otherwise(F.lit(1.0)),
+    )
+
+
+def rename_columns(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    """P12 — bulk rename (`functions.py:22-28` strips '.' from names)."""
+    return df.withColumnsRenamed(dict(mapping))
+
+
+def strip_chars_from_names(df: DataFrame, chars: str = ".") -> DataFrame:
+    """P12 — the reference's ``remove_points``: drop given chars from all
+    column names (metadata-only, no job)."""
+    table = str.maketrans("", "", chars)
+    return df.toDF(*[c.translate(table) for c in df.columns])
+
+
+def cast_columns(df: DataFrame, casts: Mapping[str, str]) -> DataFrame:
+    """F5 — explicit casts (`bgrfunctions.py:145-148`)."""
+    return df.withColumns({c: F.col(c).cast(t) for c, t in casts.items()})

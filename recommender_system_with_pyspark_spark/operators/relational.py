@@ -1,0 +1,194 @@
+"""Relational operators (SURVEY §2.3 joins, §2.4 aggregations, §2.5 top-k,
+§2.7 scalar compositions).
+
+Scale notes (100 TB):
+- ``prune_sparse_entities``: the qualifying-key sides are post-aggregation
+  tiny (distinct keys above a count threshold), so both semi-joins broadcast
+  — the 19M/100TB fact table is never shuffled. At extreme key cardinality
+  AQE falls back to shuffled semi-join with skew splitting.
+- ``star_join``: dimensions broadcast (classic star schema); the fact scan
+  is the only big side and its filters/projections push down.
+- ``top_k_per_group``: window row_number with a deterministic tie-break;
+  executes as a single shuffle on the partition key (no global sort).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prune_sparse_entities(
+    facts: DataFrame,
+    item_col: str,
+    user_col: str,
+    min_item_count: int,
+    min_user_count: int,
+) -> DataFrame:
+    """Reference ``low_importance_elements`` (`bgrfunctions.py:43-53`,
+    thresholds `als.py:14-15`): drop items with <= min_item_count rows, then
+    users with <= min_user_count rows, composed in the reference's exact
+    non-fixpoint order:
+
+      1. items counted on the *original* frame, facts semi-joined on items;
+      2. users counted on the *original* frame, filtered users semi-joined
+         against the qualifying items' facts, facts semi-joined on the
+         resulting user set.
+
+    (I.e. user counts are computed pre-item-pruning — surviving users may
+    have fewer qualifying rows than the threshold. Reproduced faithfully;
+    run twice for a fixpoint.)
+
+    Both key sets are post-aggregation small → broadcast semi-joins; the
+    fact table is scanned, never shuffled.
+    """
+    items = facts.groupBy(item_col).count().filter(F.col("count") > min_item_count)
+    users = facts.groupBy(user_col).count().filter(F.col("count") > min_user_count)
+    pruned = facts.join(F.broadcast(items.select(item_col)), item_col, "left_semi")
+    users_kept = users.join(pruned, user_col, "left_semi")
+    return pruned.join(F.broadcast(users_kept.select(user_col)), user_col, "left_semi")
+
+
+def semi_join(df: DataFrame, keys: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """J1 — left-semi join (`functions.py:43,47,49`)."""
+    return df.join(keys, on, "left_semi")
+
+
+def anti_join(df: DataFrame, keys: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """NOT-EXISTS complement of J1 (engine extension; no reference site)."""
+    return df.join(keys, on, "left_anti")
+
+
+def star_join(
+    fact: DataFrame,
+    dims: Sequence[tuple[DataFrame, str]],
+    how: str = "left",
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """J4 — chained dimension joins (`read_db.py:27-33` pandas star-join).
+
+    Dimensions broadcast by default — at 100 TB the fact side is the only
+    shuffle-sized input and it is never moved.
+    """
+    out = fact
+    for dim, key in dims:
+        d = F.broadcast(dim) if broadcast_dims else dim
+        out = out.join(d, key, how)
+    return out
+
+
+def group_count(df: DataFrame, *keys: str, alias: str = "count") -> DataFrame:
+    """A1/A2 — groupBy count (`bgrfunctions.py:45,49`). Partial+final hash
+    aggregate (map-side combine) — Catalyst provides it automatically."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias))
+
+
+def having(df: DataFrame, *keys: str, min_count: int, alias: str = "count") -> DataFrame:
+    """P3 — groups with count > k (`functions.py:42,46`)."""
+    return group_count(df, *keys, alias=alias).filter(F.col(alias) > min_count)
+
+
+def distinct_count(df: DataFrame, column: str, approximate: bool = False) -> DataFrame:
+    """A8 — number of distinct values (`als.py:52`).
+
+    ``approximate=True`` uses HyperLogLog++ (`approx_count_distinct`) — the
+    scale path: one pass, fixed memory, no shuffle of distinct values.
+    """
+    agg = (
+        F.approx_count_distinct(column) if approximate else F.countDistinct(column)
+    ).alias(f"{column}_distinct")
+    return df.agg(agg)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: str | Sequence[str],
+    order_by: str,
+    k: int,
+    ascending: bool = False,
+    tie_breaker: str | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """W1 — per-group top-k, the relational equivalent of
+    ``recommendForAllUsers(k)`` (`als.py:44`).
+
+    row_number over (partition, order desc, tie asc) — deterministic under a
+    tie_breaker. One shuffle on the partition key; no global sort.
+    """
+    part = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    order = [F.col(order_by).asc() if ascending else F.col(order_by).desc()]
+    if tie_breaker:
+        order.append(F.col(tie_breaker).asc())
+    w = Window.partitionBy(*part).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def global_top_n(df: DataFrame, order_by: str, n: int, tie_breaker: str | None = None) -> DataFrame:
+    """W2+W3 — global sort + limit (`read_db.py:34,52` + implicit show(20)).
+
+    Spark executes orderBy+limit as TakeOrderedAndProject — per-partition
+    top-n then a driver merge of n*partitions rows, never a full sort.
+    """
+    order = [F.col(order_by).desc()]
+    if tie_breaker:
+        order.append(F.col(tie_breaker).asc())
+    return df.orderBy(*order).limit(n)
+
+
+def binary_flags_to_categorical(
+    df: DataFrame,
+    flag_cols: Sequence[str],
+    out_col: str,
+    drop_flags: bool = True,
+    sep: str = ", ",
+) -> DataFrame:
+    """F7 — wide 0/1 flag matrix → one comma-joined categorical string
+    (`bgrfunctions.py:35-40` ``binary_to_categorical``; v1 `functions.py:33`
+    is buggy and not reproduced).
+
+    Fully native: per row, collect the names of set flags and join. No UDF —
+    a pure projection inside WholeStageCodegen, embarrassingly parallel.
+    Rows with no set flags yield '' (matching the reference's ''.join of an
+    empty list).
+    """
+    names = F.array(
+        *[
+            F.when(F.col(c) != 0, F.lit(c)).otherwise(F.lit(None))
+            for c in flag_cols
+        ]
+    )
+    out = df.withColumn(
+        out_col,
+        F.array_join(F.filter(names, lambda x: x.isNotNull()), sep),
+    )
+    return out.drop(*flag_cols) if drop_flags else out
+
+
+def explode_recommendations(
+    df: DataFrame,
+    rec_col: str = "recommendations",
+    fields: Sequence[str] = ("BGGId", "Rating"),
+) -> DataFrame:
+    """F3/F4 — flatten array<struct> recommendation lists (`als.py:45-47`)."""
+    out = df.withColumn("rec", F.explode(F.col(rec_col))).drop(rec_col)
+    for f in fields:
+        out = out.withColumn(f, F.col(f"rec.{f}"))
+    return out.drop("rec")
+
+
+def pivot_sum(
+    df: DataFrame,
+    group_by: str,
+    pivot_col: str,
+    value_col: str,
+    pivot_values: Sequence[str] | None = None,
+) -> DataFrame:
+    """Engine extension — pivot with explicit value list (avoids the extra
+    distinct-values job and keeps output schema deterministic)."""
+    g = df.groupBy(group_by).pivot(pivot_col, list(pivot_values) if pivot_values else None)
+    return g.agg(F.sum(value_col))
