@@ -1,0 +1,186 @@
+"""Deduplication operators (north-star extension; SURVEY §7 M5).
+
+Five dedup strategies, each with its 100 TB story:
+
+- exact:          hash-groupBy on a canonical fingerprint — one shuffle on
+                  the 128-bit key, near-perfectly balanced.
+- n-gram Jaccard: exact pairwise similarity inside blocking groups —
+                  quadratic within a block, so only usable with a good
+                  blocking key; the oracle-testable ground truth for the
+                  approximate methods.
+- MinHash LSH:    shingles → MinHash signatures → banded bucket join
+                  (MLlib MinHashLSH) — the scale path: candidate pairs only,
+                  cost ~ |near-duplicates|, not |pairs|.
+- SimHash:        64-bit signature + banded blocking on 16-bit sub-keys —
+                  one cheap signature pass, Hamming filter on candidates.
+- embedding:      cosine near-dup over an embedding column — see
+                  operators.similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import add_fingerprint, add_simhash, hamming64, tokens, word_shingles
+
+
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    canonicalize: bool = False,
+) -> DataFrame:
+    """Exact dedup: keep the min-id representative per (canonical) text.
+
+    Returns (keep_id, dupes). One hash aggregate; with ``canonicalize`` the
+    group key is the md5 fingerprint (constant-width shuffle key — at 100 TB
+    never shuffle raw document bodies, shuffle their hashes)."""
+    if canonicalize:
+        keyed = add_fingerprint(df, text_col, "_key")
+    else:
+        keyed = df.withColumn("_key", F.col(text_col))
+    return keyed.groupBy("_key").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("dupes"),
+    ).drop("_key")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    threshold: float = 0.5,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Exact token/shingle-set Jaccard over candidate pairs.
+
+    Pairs are generated within ``block_col`` groups (blocking keeps the
+    quadratic blowup bounded — at scale use MinHash LSH to *generate* the
+    candidates and this operator only to *verify* them). Jaccard is a ratio
+    of integer set sizes — exactly deterministic, oracle-friendly.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sets = (word_shingles(text_col, shingle_n) if shingle_n > 1
+            else F.array_distinct(tokens(text_col)))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        sets.alias("_set"),
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"),
+        *( [F.col("_blk").alias("_blk_a")] if block_col else [] ),
+        F.col("_set").alias("_set_a"),
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"),
+        *( [F.col("_blk").alias("_blk_b")] if block_col else [] ),
+        F.col("_set").alias("_set_b"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("_blk_a") == F.col("_blk_b"))
+    inter = F.size(F.array_intersect("_set_a", "_set_b"))
+    union = F.size("_set_a") + F.size("_set_b") - inter
+    return (
+        a.join(b, cond)
+        .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    shingle_n: int = 3,
+    seed: int = 1,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs — the 100 TB dedup path.
+
+    shingle sets → binary HashingTF vectors → MinHash signatures → banded
+    self-join on signature buckets (MLlib ``MinHashLSH.approxSimilarityJoin``)
+    → Jaccard-distance filter. Candidate generation cost scales with the
+    number of colliding pairs, not |docs|².
+
+    Returns (id_a, id_b, jaccard_dist) with id_a < id_b.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = df.select(
+        F.col(id_col).alias("_id"),
+        (word_shingles(text_col, shingle_n) if shingle_n > 1
+         else F.array_distinct(tokens(text_col))).alias("_shingles"),
+    ).filter(F.size("_shingles") > 0)
+    tf = HashingTF(inputCol="_shingles", outputCol="_features",
+                   numFeatures=num_features, binary=True)
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="_features", outputCol="_sig",
+                     numHashTables=num_hash_tables, seed=seed)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA._id") < F.col("datasetB._id"))
+        .select(
+            F.col("datasetA._id").alias("id_a"),
+            F.col("datasetB._id").alias("id_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs with banded blocking.
+
+    64-bit signatures; split into ``bands`` 16-bit sub-keys — two docs
+    within Hamming distance < bands must share at least one band
+    (pigeonhole), so the equi-join on (band_index, band_value) generates all
+    candidates for max_hamming < bands without a cross join. Candidates are
+    then filtered by true Hamming distance.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    sigs = add_simhash(df.select(id_col, text_col), text_col, "simhash").select(
+        F.col(id_col).alias("_id"), "simhash"
+    )
+    width = 64 // bands
+    banded = sigs.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(F.col("_id").alias("id_a"), F.col("simhash").alias("_sa"), "band", "key")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("simhash").alias("_sb"), "band", "key")
+    cand = a.join(b, ["band", "key"]).filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "_sa", "_sb"
+    ).distinct()
+    return (
+        cand.withColumn("hamming", hamming64(F.col("_sa"), F.col("_sb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

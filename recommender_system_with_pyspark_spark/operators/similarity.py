@@ -1,0 +1,195 @@
+"""Similarity search over embedding columns (north-star extension).
+
+- ``cosine_topk``      — exact brute-force top-k: the correctness baseline,
+                         oracle-testable. Query side broadcasts; candidate
+                         side streams — cost |Q|·|C| dot products, fully
+                         parallel, no shuffle of the candidate table.
+- ``lsh_topk``         — BucketedRandomProjectionLSH on L2-normalized
+                         vectors (Euclidean on the unit sphere is monotone
+                         in cosine): the approximate scale path — candidate
+                         generation via bucket join, exact re-rank after.
+- ``ivf_topk``         — IVF-style: k-means coarse centroids, probe the
+                         nearest ``n_probe`` cells, exact re-rank inside —
+                         classic ANN partitioning expressed as two joins.
+- ``embedding_near_dup`` — cosine-threshold near-duplicate pairs.
+
+All distance math is native (``zip_with`` + ``aggregate`` fold) — JVM-side,
+no Python serde per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<double> columns (native fold —
+    same sequential summation order as the DuckDB oracle)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (query_id, neighbor_id, sim, rank).
+
+    The query side is broadcast (ANN workloads have |Q| ≪ |C|); every
+    candidate partition scores locally, then one shuffle on query_id for the
+    per-query top-k window. Deterministic tie-break on neighbor id."""
+    from pyspark.sql import Window
+
+    q = _as_double(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "_qv")
+    c = _as_double(candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")), "_cv")
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id") if exclude_self else F.lit(True))
+    scored = pairs.withColumn("sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    seed: int = 1,
+) -> DataFrame:
+    """Approximate cosine top-k via BucketedRandomProjectionLSH on
+    L2-normalized vectors. Bucket join generates candidates; exact cosine
+    re-ranks. Recall is tunable via bucket_length / num_hash_tables."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import Window
+
+    def prep(df: DataFrame, label: str) -> DataFrame:
+        v = _as_double(df.select(F.col(id_col).alias(label), F.col(vec_col).alias("_arr")), "_arr")
+        v = v.withColumn("_vec", array_to_vector("_arr"))
+        return Normalizer(inputCol="_vec", outputCol="_nvec", p=2.0).transform(v)
+
+    qp, cp = prep(queries, "query_id"), prep(candidates, "neighbor_id")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_nvec", outputCol="_hashes",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed,
+    )
+    model = lsh.fit(cp)
+    # Euclidean distance d on unit vectors ↔ cosine = 1 - d²/2 (monotone).
+    pairs = model.approxSimilarityJoin(qp, cp, 2.0, distCol="_dist").filter(
+        F.col("datasetA.query_id") != F.col("datasetB.neighbor_id")
+    )
+    scored = pairs.select(
+        F.col("datasetA.query_id").alias("query_id"),
+        F.col("datasetB.neighbor_id").alias("neighbor_id"),
+        F.round(1.0 - F.col("_dist") * F.col("_dist") / 2.0, 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 1,
+) -> DataFrame:
+    """IVF-style ANN: KMeans coarse quantizer → assign candidates to cells →
+    probe the n_probe nearest cells per query → exact cosine re-rank inside.
+
+    At 100 TB the candidate table is written partitioned by cell id, so a
+    probe touches only n_probe/n_cells of the data (partition pruning)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    cand = _as_double(
+        candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")), "_cv"
+    ).withColumn("_vec", array_to_vector("_cv"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_vec", predictionCol="_cell")
+    model = km.fit(cand)
+    cand_cells = model.transform(cand).select("neighbor_id", "_cv", "_cell")
+
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    centers_df = queries.sparkSession.createDataFrame(centers, "cell int, center array<double>")
+
+    q = _as_double(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "_qv"
+    )
+    # rank cells per query by centroid cosine, keep n_probe
+    qc = q.crossJoin(F.broadcast(centers_df)).withColumn(
+        "_csim", cosine(F.col("_qv"), F.col("center"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_csim"), F.asc("cell"))
+    probed = qc.withColumn("_r", F.row_number().over(wq)).filter(F.col("_r") <= n_probe).select(
+        "query_id", "_qv", F.col("cell").alias("_cell")
+    )
+    pairs = probed.join(cand_cells, "_cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Cosine-threshold near-duplicate pairs (id_a < id_b, sim >= threshold).
+
+    Exact within blocks; at scale generate candidates with lsh_topk/ivf_topk
+    first and verify here."""
+    base = _as_double(
+        df.select(
+            F.col(id_col).alias("_id"),
+            *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+            F.col(vec_col).alias("_v"),
+        ),
+        "_v",
+    )
+    a = base.select(F.col("_id").alias("id_a"), *( [F.col("_blk").alias("_ba")] if block_col else [] ), F.col("_v").alias("_va"))
+    b = base.select(F.col("_id").alias("id_b"), *( [F.col("_blk").alias("_bb")] if block_col else [] ), F.col("_v").alias("_vb"))
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("_ba") == F.col("_bb"))
+    return (
+        a.join(b, cond)
+        .withColumn("sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

@@ -1,0 +1,190 @@
+"""Text-analysis operators (north-star extension; SURVEY §7 M5).
+
+The reference drops its only text column (games.Description —
+`bgrfunctions.py:84`); a training-data pipeline at 100 TB needs text ops as
+first-class citizens. Everything here is built-in `pyspark.sql.functions`
+expressions — JVM-side, whole-stage-codegen, zero Python in the hot path:
+
+- tokenization + token statistics
+- quality scoring (length / punctuation / stopword ratios)
+- language ID (marker-word profile scoring — n-gram heuristic)
+- document fingerprinting (md5 canonical hash + 64-bit SimHash)
+
+All are embarrassingly parallel projections — no shuffle, scale linearly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+PUNCT_RE = r"[^a-zA-Z0-9\s]"
+
+# Default marker-word profiles for language ID. Real deployments plug in
+# per-language stopword lists; the mechanism (per-profile regex hit counts →
+# argmax with deterministic tie-break) is the operator.
+DEFAULT_LANG_PROFILES: Mapping[str, Sequence[str]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "es": ("el", "los", "las", "es", "una", "que"),
+}
+
+
+def tokens(col: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokenization as a native array column."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    return F.split(F.trim(c), TOKEN_SPLIT_RE)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles (the unit set for MinHash / Jaccard dedup).
+
+    Built with native ``transform`` over an index sequence — no UDF."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def add_token_stats(df: DataFrame, text_col: str = "text", prefix: str = "") -> DataFrame:
+    """Attach per-document token statistics: token count, char count,
+    punctuation count/ratio, mean token length."""
+    t = F.col(text_col)
+    n_tokens = token_count(text_col)
+    n_chars = F.length(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, PUNCT_RE, ""))
+    return df.withColumns(
+        {
+            f"{prefix}n_tokens": n_tokens,
+            f"{prefix}n_chars": n_chars,
+            f"{prefix}n_punct": n_punct,
+            f"{prefix}punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6),
+            f"{prefix}mean_token_len": F.round(
+                F.length(F.regexp_replace(t, TOKEN_SPLIT_RE, ""))
+                / F.greatest(n_tokens, F.lit(1)),
+                6,
+            ),
+        }
+    )
+
+
+def stopword_ratio(col: Column | str, stopwords: Sequence[str]) -> Column:
+    """Fraction of tokens that are stopwords (quality signal)."""
+    pattern = r"\b(" + "|".join(stopwords) + r")\b"
+    c = F.col(col) if isinstance(col, str) else col
+    hits = F.regexp_count(F.lower(c), F.lit(pattern))
+    return F.round(hits / F.greatest(token_count(col), F.lit(1)), 6)
+
+
+def add_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: Sequence[str] = DEFAULT_LANG_PROFILES["en"],
+    out_col: str = "quality",
+) -> DataFrame:
+    """Composite document-quality score in [0,1]: length sweet-spot,
+    low punctuation noise, healthy stopword ratio. Deterministic, pure
+    expression — a trainable scorer would slot in as a Pandas UDF."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(text_col)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, PUNCT_RE, ""))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    sw_ratio = F.regexp_count(
+        F.lower(t), F.lit(r"\b(" + "|".join(stopwords) + r")\b")
+    ) / F.greatest(n_tokens, F.lit(1))
+    length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 5)
+    sw_score = F.least(sw_ratio * 4, F.lit(1.0))
+    return df.withColumn(
+        out_col,
+        F.round(0.4 * length_score + 0.3 * punct_score + 0.3 * sw_score, 6),
+    )
+
+
+def add_language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    profiles: Mapping[str, Sequence[str]] = DEFAULT_LANG_PROFILES,
+    out_col: str = "lang_pred",
+) -> DataFrame:
+    """Marker-word language ID: per-profile regex hit counts → argmax with
+    deterministic tie-break (profile declaration order wins ties)."""
+    t = F.lower(F.col(text_col))
+    scores = {
+        lang: F.regexp_count(t, F.lit(r"\b(" + "|".join(words) + r")\b"))
+        for lang, words in profiles.items()
+    }
+    langs = list(profiles)
+    pred = None
+    for i, lang in enumerate(langs):
+        cond = None
+        for other in langs[i + 1:]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        branch = F.lit(lang)
+        if pred is None:
+            pred = F.when(cond, branch) if cond is not None else branch
+        else:
+            pred = pred.when(cond, branch) if cond is not None else pred.otherwise(branch)
+    return df.withColumn(out_col, pred)
+
+
+def add_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "fingerprint",
+) -> DataFrame:
+    """Canonical content fingerprint: lowercase → strip non-alphanumerics →
+    md5. The exact-dedup key for noisy text."""
+    normalized = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", "")
+    return df.withColumn(out_col, F.md5(normalized))
+
+
+def add_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, fully native.
+
+    Per document: hash each distinct token (xxhash64), then for each bit
+    position take the sign of sum(+1/-1). Implemented as explode →
+    per-(doc,bit) aggregation folded into 64 conditional sums → bit
+    reassembly. One shuffle on the doc key.
+    """
+    toks = F.array_distinct(tokens(text_col))
+    hashed = df.withColumn("_tok", F.explode(toks)).withColumn(
+        "_h", F.xxhash64(F.col("_tok"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(bits)
+    ]
+    key_cols = [c for c in df.columns]
+    agg = hashed.groupBy(*key_cols).agg(*bit_sums)
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    return agg.withColumn(out_col, sim).drop(*[f"_b{i}" for i in range(bits)])
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Popcount of XOR — Hamming distance between two 64-bit signatures."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,1 +1,275 @@
-"""Text / dedup / similarity query surface — filled in as operators land."""
+"""Text / dedup / similarity / multimodal query surface (north-star
+extensions — SURVEY §2.9 note, §7 M5) with DuckDB oracles where the
+semantics are SQL-expressible, rows-only otherwise (MinHash/SimHash/LSH use
+Spark-specific hash functions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import load_table
+from .operators import dedup as D
+from .operators import multimodal as M
+from .operators import similarity as S
+from .operators import text as X
+from .registry import query
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER)                                       AS n_chars,
+           CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS INTEGER) AS n_punct,
+           round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                 / greatest(length(text), 1)::DOUBLE, 6)                        AS punct_ratio,
+           round(length(regexp_replace(text, '\\s+', '', 'g'))
+                 / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)::DOUBLE, 6) AS mean_token_len
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + punctuation stats per document — pure native
+    expressions, no UDF, embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = X.add_token_stats(docs, "text")
+    return out.select(
+        "doc_id", "n_tokens",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        "n_punct", "punct_ratio", "mean_token_len",
+    )
+
+
+@query(
+    "quality_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               length(text)                                                       AS n_chars,
+               len(string_split_regex(trim(lower(text)), '\\s+'))                 AS n_tokens,
+               length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+               len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is)\\b'))   AS sw_hits
+        FROM documents
+    )
+    SELECT doc_id,
+           round(0.4 * least(n_chars / 500.0, 1.0)
+               + 0.3 * greatest(0.0, 1.0 - (n_punct / greatest(n_chars, 1)::DOUBLE) * 5)
+               + 0.3 * least((sw_hits / greatest(n_tokens, 1)::DOUBLE) * 4, 1.0), 6) AS quality
+    FROM t
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length sweet-spot + punctuation noise +
+    stopword-ratio health, composed as one codegen projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.add_quality_score(docs, "text").select("doc_id", "quality")
+
+
+_LANG_PROFILES = {
+    "sparkish": ("spark", "query", "shuffle", "partition", "window"),
+    "dbish": ("table", "row", "column", "scan", "join"),
+    "plain": ("the", "a", "value", "data", "fast"),
+}
+
+
+@query(
+    "lang_id",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '\\b(spark|query|shuffle|partition|window)\\b')) AS s1,
+               len(regexp_extract_all(lower(text), '\\b(table|row|column|scan|join)\\b'))           AS s2,
+               len(regexp_extract_all(lower(text), '\\b(the|a|value|data|fast)\\b'))                AS s3
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN s1 >= s2 AND s1 >= s3 THEN 'sparkish'
+                WHEN s2 >= s3 THEN 'dbish'
+                ELSE 'plain' END AS lang_pred
+    FROM s
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word-profile language ID (n-gram heuristic): per-profile regex
+    hit counts → argmax, declaration order breaking ties. Profiles here use
+    the synthetic corpus vocabulary; real deployments plug in per-language
+    stopword lists."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.add_language_id(docs, "text", profiles=_LANG_PROFILES).select("doc_id", "lang_pred")
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical content fingerprint (lowercase → strip non-alnum → md5) —
+    the constant-width dedup key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.add_fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dupes
+    FROM documents GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via canonical-fingerprint groupBy: shuffle the 128-bit
+    hash, never the document bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_exact(docs, "text", "doc_id", canonicalize=True)
+
+
+@query(
+    "ngram_jaccard",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / greatest(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)), 1), 6) AS jaccard
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / greatest(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)), 1) >= 0.8
+    """,
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs, blocked by language — a ratio
+    of integer set sizes, exactly deterministic. The quadratic-within-block
+    ground truth that MinHash approximates at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, "text", "doc_id", block_col="lang", threshold=0.8, shingle_n=1)
+
+
+@query("minhash_near_dup")  # Spark-hash-specific → rows-only check
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (3-word shingles, 8 hash tables) — the
+    100 TB dedup path: cost ~ colliding pairs, not |docs|²."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_dup(docs, "text", "doc_id", threshold=0.5, shingle_n=3)
+
+
+@query("simhash_near_dup")  # xxhash64-specific → rows-only check
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64) near-dup pairs with banded blocking (4×16-bit bands):
+    pigeonhole guarantees recall for Hamming < 4 without a cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dup(docs, "text", "doc_id", max_hamming=3, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.v, c.v), 6) AS sim
+        FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rnk AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (the ANN correctness baseline):
+    broadcast queries, stream candidates, window top-k. Native zip_with/
+    aggregate fold — no Python per row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.cosine_topk(queries, emb, "vec_id", "embedding", k=5)
+
+
+@query(
+    "embedding_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact; LSH/IVF generate the
+    candidates at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup(emb, "vec_id", "embedding", threshold=0.4)
+
+
+@query("ann_lsh_topk")  # random-projection specific → rows-only check
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via BucketedRandomProjectionLSH on normalized
+    vectors — bucket join for candidates, exact cosine re-rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.lsh_topk(queries, emb, "vec_id", "embedding", k=5)
+
+
+@query("ann_ivf_topk")  # kmeans-dependent → rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse k-means cells, probe nearest n_probe cells,
+    exact re-rank inside — the partition-pruned scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(queries, emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=3)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_bytes",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column plumbing: documents as binary blobs + typed
+    metadata; byte length and content hash computed on the binary column."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.documents_as_media(docs)
+    return media.select(
+        "media_id",
+        F.length(F.col("media")).cast("long").alias("n_bytes"),
+        F.md5(F.col("media")).alias("content_md5"),
+    )
+
+
+@query("multimodal_features")  # Arrow-batch UDF → rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary media via mapInPandas (Arrow batch
+    iterator — the exact plumbing a neural encoder would use; codec stubbed
+    per container limits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.documents_as_media(docs)
+    return M.extract_byte_features(media, n_bins=16)

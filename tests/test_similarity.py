@@ -1,0 +1,62 @@
+"""Similarity-search operator tests on planted vectors."""
+
+from __future__ import annotations
+
+import math
+
+from recommender_system_with_pyspark_spark.operators import similarity as S
+
+
+def _vecs(spark):
+    # 8-dim: ids 0/1 nearly parallel, 2 orthogonal-ish, 3 anti-parallel to 0
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0, 0.1, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.05, 0.0, 0.0, 0.1, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0, -0.1, 0.0, 0.0, 0.0]),
+        (4, [0.5, 0.5, 0.5, 0.5, 0.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(spark):
+    df = _vecs(spark)
+    out = S.cosine_topk(df.filter("vec_id = 0"), df, k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [1, 4]
+    assert rows[0]["sim"] > 0.99
+    assert all(r["query_id"] == 0 for r in rows)
+
+
+def test_cosine_matches_math(spark):
+    df = _vecs(spark)
+    out = S.cosine_topk(df.filter("vec_id = 2"), df.filter("vec_id = 4"), k=1, exclude_self=False)
+    got = out.first()["sim"]
+    expected = 0.5 / (1.0 * math.sqrt(4 * 0.25))
+    assert abs(got - expected) < 1e-6
+
+
+def test_embedding_near_dup_threshold(spark):
+    out = S.embedding_near_dup(_vecs(spark), threshold=0.95)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_lsh_topk_recalls_nearest(spark):
+    df = _vecs(spark)
+    out = S.lsh_topk(df.filter("vec_id = 0"), df, k=1, num_hash_tables=8, bucket_length=2.0)
+    top = out.filter("rank = 1").first()
+    assert top["neighbor_id"] == 1
+
+
+def test_ivf_topk_recalls_nearest(spark, sf_tiny):
+    from recommender_system_with_pyspark_spark.io import load_table
+    from recommender_system_with_pyspark_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_tiny, "embeddings")
+    queries = emb.filter("vec_id < 5")
+    exact = cosine_topk(queries, emb, k=3)
+    approx = S.ivf_topk(queries, emb, k=3, n_cells=4, n_probe=4)  # probe all → exact
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert e == a  # probing every cell must reproduce brute force

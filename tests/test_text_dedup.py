@@ -1,0 +1,99 @@
+"""Unit tests for text analysis + dedup operators on planted fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from recommender_system_with_pyspark_spark.operators import dedup as D
+from recommender_system_with_pyspark_spark.operators import text as X
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "a"),
+    (2, "the quick brown fox jumps over the lazy cat", "a"),  # near-dup of 1
+    (3, "completely different words here entirely unrelated", "a"),
+    (4, "the quick brown fox jumps over the lazy dog", "a"),  # exact dup of 1
+    (5, "der hund und die katze und der vogel ist da", "b"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    out = df.select(X.word_shingles("text", 3).alias("s")).first()["s"]
+    assert out == ["a b c", "b c d"]
+
+
+def test_token_stats_values(spark):
+    df = spark.createDataFrame([(1, "Hello, world! xy")], "doc_id int, text string")
+    row = X.add_token_stats(df).first()
+    assert row["n_tokens"] == 3
+    assert row["n_punct"] == 2  # comma + bang
+    assert row["n_chars"] == 16
+
+
+def test_quality_score_bounds(spark):
+    out = X.add_quality_score(_docs(spark))
+    vals = [r["quality"] for r in out.collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_language_id_profiles(spark):
+    out = X.add_language_id(_docs(spark))
+    got = {r["doc_id"]: r["lang_pred"] for r in out.collect()}
+    assert got[1] == "en"
+    assert got[5] == "de"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "hello, world!"), (3, "other")],
+        "doc_id int, text string",
+    )
+    out = X.add_fingerprint(df)
+    fps = {r["doc_id"]: r["fingerprint"] for r in out.collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_simhash_identical_and_near(spark):
+    df = _docs(spark)
+    sigs = X.add_simhash(df.select("doc_id", "text"), "text")
+    got = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    assert got[1] == got[4]  # identical text → identical signature
+    near = df.sparkSession.createDataFrame(
+        [(got[1], got[2]), (got[1], got[3])], "a long, b long"
+    ).select(X.hamming64(F.col("a"), F.col("b")).alias("d")).collect()
+    d_near, d_far = near[0]["d"], near[1]["d"]
+    assert d_near < d_far  # near-dup closer than unrelated doc
+
+
+def test_dedup_exact_counts(spark):
+    out = D.dedup_exact(_docs(spark), "text", "doc_id")
+    rows = {r["keep_id"]: r["dupes"] for r in out.collect()}
+    assert rows[1] == 2  # docs 1 and 4
+    assert sum(rows.values()) == 5
+
+
+def test_jaccard_pairs_finds_near_dup(spark):
+    pairs = D.jaccard_pairs(_docs(spark), "text", "doc_id", block_col="lang", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in got and 0.5 <= got[(1, 2)] < 1.0
+    assert (1, 3) not in got
+    assert all(a < b for a, b in got)
+
+
+def test_minhash_near_dup_finds_planted_pair(spark):
+    pairs = D.minhash_near_dup(_docs(spark), "text", "doc_id", threshold=0.3, shingle_n=2)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 4) in found
+    assert (1, 2) in found or (2, 4) in found  # near-dup caught by LSH
+
+
+def test_simhash_near_dup_blocking(spark):
+    pairs = D.simhash_near_dup(_docs(spark), "text", "doc_id", max_hamming=3, bands=4)
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert found.get((1, 4)) == 0  # exact dup always recalled at hamming 0
