@@ -1,1 +1,185 @@
-"""ML query surface (rows-only checks) — filled in as operators land."""
+"""ML query surface (SURVEY §2.8). Deterministic transforms (StringIndexer,
+MinMaxScaler, Correlation) get full DuckDB oracles; iterative/stochastic
+estimators (ALS, PCA, ChiSquare) are rows-only with invariants enforced in
+tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import load_table
+from .registry import query
+
+
+@query(
+    "string_indexer",
+    oracle="""
+    WITH freq AS (
+        SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment
+    ), idx AS (
+        SELECT c_mktsegment,
+               CAST(rank() OVER (ORDER BY cnt DESC, c_mktsegment ASC) - 1 AS DOUBLE) AS seg_indexed
+        FROM freq
+    )
+    SELECT c.c_custkey, i.seg_indexed
+    FROM customer c JOIN idx i USING (c_mktsegment)
+    """,
+)
+def string_indexer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 — StringIndexer: frequency-ordered double index, modal value → 0.0
+    (PDF p.17), ties broken alphabetically (Spark's documented frequencyDesc
+    behavior). Internally one countByValue job + broadcast map."""
+    from pyspark.ml.feature import StringIndexer
+
+    cust = load_table(spark, sf_dir, "customer")
+    model = StringIndexer(inputCol="c_mktsegment", outputCol="seg_indexed").fit(cust)
+    return model.transform(cust).select("c_custkey", "seg_indexed")
+
+
+@query(
+    "minmax_scaler_ml",
+    oracle="""
+    WITH m AS (SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM customer)
+    SELECT c_custkey, round((c_acctbal - lo) / (hi - lo), 6) AS bal_scaled
+    FROM customer, m
+    """,
+)
+def minmax_scaler_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 — MLlib MinMaxScaler (PDF p.13 formula): fit is one min/max
+    aggregate; transform is a broadcast projection. Same oracle as the
+    relational ``minmax_scale`` — proving the MLlib path computes the
+    identical formula."""
+    from pyspark.ml.feature import MinMaxScaler, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    cust = load_table(spark, sf_dir, "customer")
+    v = VectorAssembler(inputCols=["c_acctbal"], outputCol="_v").transform(cust)
+    scaled = MinMaxScaler(inputCol="_v", outputCol="_s").fit(v).transform(v)
+    return scaled.select(
+        "c_custkey",
+        F.round(vector_to_array("_s")[0], 6).alias("bal_scaled"),
+    )
+
+
+@query(
+    "correlation_matrix",
+    oracle="""
+    WITH c AS (
+        SELECT corr(l_quantity, l_quantity)      AS qq,
+               corr(l_quantity, l_extendedprice) AS qe,
+               corr(l_quantity, l_discount)      AS qd,
+               corr(l_extendedprice, l_extendedprice) AS ee,
+               corr(l_extendedprice, l_discount) AS ed,
+               corr(l_discount, l_discount)      AS dd
+        FROM lineitem
+    )
+    SELECT 'l_quantity' AS feature_a, 'l_quantity' AS feature_b, round(qq, 6) AS corr FROM c
+    UNION ALL SELECT 'l_quantity', 'l_extendedprice', round(qe, 6) FROM c
+    UNION ALL SELECT 'l_quantity', 'l_discount', round(qd, 6) FROM c
+    UNION ALL SELECT 'l_extendedprice', 'l_quantity', round(qe, 6) FROM c
+    UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', round(ee, 6) FROM c
+    UNION ALL SELECT 'l_extendedprice', 'l_discount', round(ed, 6) FROM c
+    UNION ALL SELECT 'l_discount', 'l_quantity', round(qd, 6) FROM c
+    UNION ALL SELECT 'l_discount', 'l_extendedprice', round(ed, 6) FROM c
+    UNION ALL SELECT 'l_discount', 'l_discount', round(dd, 6) FROM c
+    """,
+)
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 — MLlib Correlation.corr full matrix (`functions.py:153-171`) as
+    tidy rows; driver holds only len(cols)² doubles (ceiling documented in
+    ml.stats)."""
+    from .ml.stats import correlation_matrix as corr_m
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_m(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@query("chi_square")  # p-values need the chi² CDF → rows-only
+def chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 — ChiSquareTest of categorical features against a binary label."""
+    from .ml.stats import chi_square_test
+    from .operators.cleaning import discretize_label
+
+    ev = load_table(spark, sf_dir, "events")
+    labeled = discretize_label(ev, "value", "label", threshold=50.0).withColumn(
+        "type_code",
+        F.when(F.col("event_type") == "click", 0.0)
+        .when(F.col("event_type") == "error", 1.0)
+        .when(F.col("event_type") == "purchase", 2.0)
+        .when(F.col("event_type") == "signup", 3.0)
+        .otherwise(4.0),
+    ).withColumn("hour_code", (F.hour("ts")).cast("double"))
+    return chi_square_test(labeled, ["type_code", "hour_code"], "label")
+
+
+@query("feature_pipeline_pca")  # eigenvector sign/rotation → rows-only
+def feature_pipeline_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M5+M8 — the full feature Pipeline (index → onehot → assemble →
+    minmax-scale → PCA) in one fit, sparse throughout."""
+    from pyspark.ml.functions import vector_to_array
+
+    from .ml.features import feature_pipeline, fit_features
+
+    part = load_table(spark, sf_dir, "part")
+    pipe = feature_pipeline(
+        index_cols=["p_brand", "p_type"],
+        numeric_cols=["p_size", "p_retailprice"],
+        scale=True,
+        pca_k=3,
+    )
+    model = fit_features(pipe, part)
+    out = model.transform(part)
+    arr = vector_to_array(F.col("features"))
+    return out.select(
+        "p_partkey",
+        F.round(arr[0], 4).alias("pc1"),
+        F.round(arr[1], 4).alias("pc2"),
+        F.round(arr[2], 4).alias("pc3"),
+    )
+
+
+@query("onehot_features")  # sparse vector output → rows-only
+def onehot_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 — OneHotEncoder: index → sparse one-hot; emitted as (key, active
+    index, size) rows to stay sparse-friendly."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import OneHotEncoder, StringIndexer
+
+    cust = load_table(spark, sf_dir, "customer")
+    pipe = Pipeline(
+        stages=[
+            StringIndexer(inputCol="c_mktsegment", outputCol="_idx"),
+            OneHotEncoder(inputCol="_idx", outputCol="_oh", dropLast=False),
+        ]
+    )
+    out = pipe.fit(cust).transform(cust)
+    return out.select(
+        "c_custkey",
+        F.col("_idx").cast("int").alias("active_index"),
+    )
+
+
+@query("als_recommend")  # iterative factorization → rows-only
+def als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10+M11+F3/F4 — the flagship ALS path at query granularity."""
+    from .flagship import recommend_top_items
+
+    return recommend_top_items(spark, sf_dir, k=3, max_iter=5)
+
+
+@query("als_tuned")  # TVS grid search → rows-only (metrics row)
+def als_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10+M17+M18+M19 — ALS under TrainValidationSplit with a small grid,
+    seeded split; returns the metric row (rmse, r2, best rank)."""
+    from .flagship import implicit_ratings
+    from .ml.models import als_prediction
+
+    ratings = implicit_ratings(spark, sf_dir)
+    res = als_prediction(
+        ratings, ranks=(4, 8), reg_params=(0.1,), max_iter=5, seed=1, tune=True
+    )
+    return spark.createDataFrame(
+        [(round(res.metrics["rmse"], 4), round(res.metrics["r2"], 4), int(res.best_params["rank"]))],
+        "rmse double, r2 double, best_rank int",
+    )

@@ -1,0 +1,114 @@
+"""Streaming query surface — Structured Streaming runs driven to completion
+through a memory sink, plus batch twins of the window operators. The
+tumbling-window STREAMING query shares its oracle with the batch form:
+same declarative plan, two execution modes."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import load_table
+from .registry import query
+from .streaming.windows import (
+    run_to_memory_sink,
+    session_windows,
+    sliding_counts,
+    stream_events,
+    tumbling_counts,
+)
+
+_TUMBLING_ORACLE = """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("stream_tumbling_counts", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregate: readStream(parquet) →
+    window(1h) count/sum → memory sink (complete mode), driven to completion
+    with availableNow. Hash-matches the same SQL as the batch form — the
+    streaming plan computes identical results on bounded input."""
+    ev = stream_events(spark, sf_dir)
+    return run_to_memory_sink(tumbling_counts(ev, "1 hour", watermark=None), "complete")
+
+
+@query(
+    "sliding_window_counts",
+    oracle="""
+    WITH expanded AS (
+        SELECT epoch(date_trunc('hour', ts))::BIGINT - 3600 * k AS window_start,
+               event_type
+        FROM events, (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h width, 1h slide) in batch form: every event lands
+    in exactly width/slide windows — the oracle expands each row into its
+    two containing windows."""
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_counts(ev, "2 hours", "1 hour", watermark=None)
+
+
+@query(
+    "session_window_batch",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) // 1000000 AS session_start,
+           (epoch_us(max(ts)) + 1800000000) // 1000000 AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, session_id
+    """,
+)
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (30-min gap) in batch mode — merged-interval
+    semantics verified against the lag/cumsum island construction."""
+    ev = load_table(spark, sf_dir, "events")
+    return session_windows(ev, "30 minutes", watermark=None)
+
+
+@query("stream_session_windows")  # append-mode emission timing → rows-only
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming session windows with watermark (append mode — the
+    only mode Spark supports for streaming session aggregations). Append
+    emits only watermark-closed sessions, so sessions still open at
+    end-of-input are withheld — batch-equivalence modulo that tail is
+    asserted in tests, hence rows-only here."""
+    ev = stream_events(spark, sf_dir)
+    return run_to_memory_sink(session_windows(ev, "30 minutes", "2 hours"), "append")
+
+
+@query(
+    "stream_filter_route",
+    oracle="""
+    SELECT event_id, user_id, round(value, 2) AS value
+    FROM events WHERE event_type = 'purchase' AND value > 100
+    """,
+)
+def stream_filter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming ETL (filter + project — the routing pattern):
+    append mode, no state, no watermark needed."""
+    ev = stream_events(spark, sf_dir)
+    routed = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 100)).select(
+        "event_id", "user_id", F.round("value", 2).alias("value")
+    )
+    return run_to_memory_sink(routed, "append")

@@ -1,0 +1,110 @@
+"""Structured Streaming windows + sessionization (engine extension; the
+reference has no streaming surface — SURVEY §2.9 — but the driver's
+``events`` table is streaming-shaped).
+
+Every transform here is written against a generic DataFrame so the SAME
+code path serves batch and streaming (Structured Streaming's core promise);
+``stream_events`` wires the parquet directory through ``readStream`` and
+``run_to_memory_sink`` drives a bounded stream to completion for tests and
+oracle checks.
+
+Scale notes: windowed aggregations keep per-window state in the state
+store; the watermark bounds state size (late rows beyond it are dropped).
+``session_window`` state is per (key, open-session).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import EVENTS
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet directory (one-file directory =
+    one micro-batch; real deployments point this at Kafka). Handles the
+    TIMESTAMP(NANOS) storage the same way io.load_table does."""
+    import pyspark.sql.types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos-as-long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour",
+                    watermark: str | None = "2 hours") -> DataFrame:
+    """Tumbling-window count+sum per event_type. Batch and streaming."""
+    src = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("window_start"),
+            "event_type", "n", "total",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "2 hours", slide: str = "1 hour",
+                   watermark: str | None = "2 hours") -> DataFrame:
+    """Sliding-window counts: each row lands in width/slide windows."""
+    src = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("window_start"),
+            "event_type", "n",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str | None = "2 hours") -> DataFrame:
+    """Native session windows (gap-based) per user — the streaming twin of
+    the batch lag/cumsum sessionize query."""
+    src = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("win.start")).alias("session_start"),
+            F.unix_timestamp(F.col("win.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drive a bounded stream to completion through a memory sink and return
+    the materialized result (test/oracle harness; production writes go to
+    parquet/Kafka sinks with checkpointing)."""
+    name = f"sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)

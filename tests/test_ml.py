@@ -1,0 +1,175 @@
+"""ML pipeline + model zoo tests (SURVEY §5 invariants at fixture scale)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from recommender_system_with_pyspark_spark.ml import features as FE
+from recommender_system_with_pyspark_spark.ml import models as MD
+from recommender_system_with_pyspark_spark.ml.stats import chi_square_test, correlation_matrix
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    """Small numeric frame with a learnable binary label."""
+    import random
+
+    random.seed(7)
+    rows = []
+    for i in range(400):
+        x = random.random()
+        y = random.random()
+        label = 1.0 if x + 0.3 * y > 0.6 else 0.0
+        rows.append((i, x, y, ["u", "v", "w"][i % 3], label))
+    return spark.createDataFrame(rows, "id int, x double, y double, cat string, label double")
+
+
+@pytest.fixture(scope="module")
+def assembled(labeled):
+    from pyspark.ml.feature import VectorAssembler
+
+    return VectorAssembler(inputCols=["x", "y"], outputCol="features").transform(labeled)
+
+
+def test_string_indexer_modal_is_zero(spark, sf_tiny):
+    from recommender_system_with_pyspark_spark.io import load_table
+    from recommender_system_with_pyspark_spark.ml.features import encode_categorical_features
+
+    cust = load_table(spark, sf_tiny, "customer")
+    encoded, _ = encode_categorical_features(cust, ["c_mktsegment"])
+    modal_seg = (
+        cust.groupBy("c_mktsegment").count().orderBy(F.desc("count"), F.asc("c_mktsegment")).first()[0]
+    )
+    joined = encoded.join(cust.select("c_custkey", "c_mktsegment"), "c_custkey")
+    zero_rows = joined.filter(F.col("c_mktsegment_indexed") == 0.0)
+    assert zero_rows.select("c_mktsegment").distinct().first()[0] == modal_seg
+    assert "c_mktsegment" not in encoded.columns
+
+
+def test_feature_pipeline_scaled_bounds_and_scree(spark, labeled):
+    pipe = FE.feature_pipeline(index_cols=["cat"], numeric_cols=["x", "y"], scale=True, pca_k=2)
+    model = FE.fit_features(pipe, labeled)
+    ev = FE.explained_variance(model)
+    assert len(ev) == 2
+    assert ev == sorted(ev, reverse=True)  # non-increasing
+    assert sum(ev) <= 1.0 + 1e-9
+    from pyspark.ml.functions import vector_to_array
+
+    out = model.transform(labeled)
+    scaled = out.select(vector_to_array("_scaled").alias("s"))
+    bad = scaled.select(F.explode("s").alias("v")).filter((F.col("v") < -1e-9) | (F.col("v") > 1 + 1e-9))
+    assert bad.count() == 0
+
+
+def test_pca_dim_guard():
+    pipe = FE.feature_pipeline(numeric_cols=[f"c{i}" for i in range(20_000)], pca_k=5)
+    with pytest.raises(ValueError, match="ceiling"):
+        FE.fit_features(pipe, None)
+
+
+def test_logistic_regression_learns(assembled):
+    res = MD.logistic_regression(assembled, seed=1)
+    assert res.metrics["accuracy"] > 0.85
+    assert res.metrics["areaUnderROC"] > 0.85  # true rawPrediction ROC
+
+
+def test_compat_hard_roc_quirk(spark):
+    # The reference feeds hard predictions to the ROC evaluator
+    # (`bgrfunctions.py:250`). On imbalanced data (the BGG label is ~92%
+    # positive — BASELINE.md) the classifier predicts the majority class
+    # almost always → hard-prediction ROC pins to ~0.5 even though the
+    # score-based ROC shows real ranking power (`risultati.txt:68,105`).
+    import random
+
+    from pyspark.ml.feature import VectorAssembler
+
+    random.seed(11)
+    rows = []
+    for _ in range(800):
+        x, y = random.random(), random.random()
+        # ~90% positive; x carries a weak real signal
+        label = 1.0 if random.random() < 0.8 + 0.19 * x else 0.0
+        rows.append((x, y, label))
+    df = VectorAssembler(inputCols=["x", "y"], outputCol="features").transform(
+        spark.createDataFrame(rows, "x double, y double, label double")
+    )
+    good = MD.logistic_regression(df, seed=1, compat_hard_roc=False)
+    quirk = MD.logistic_regression(df, seed=1, compat_hard_roc=True)
+    assert abs(quirk.metrics["areaUnderROC"] - 0.5) < 0.05  # pinned to chance
+    assert good.metrics["areaUnderROC"] > quirk.metrics["areaUnderROC"] + 0.03
+    assert quirk.metrics["accuracy"] > 0.85  # majority-rate accuracy, like the reference
+
+
+def test_decision_tree_and_forest(assembled):
+    dt = MD.decision_tree(assembled, seed=1)
+    rf = MD.random_forest(assembled, seed=1, num_trees=5)
+    assert dt.metrics["accuracy"] > 0.8
+    assert rf.metrics["accuracy"] > 0.8
+
+
+def test_decision_tree_reference_grid_degenerates(assembled):
+    # minInfoGain ∈ {20,30} (the reference grid) forbids every split →
+    # majority-class stump → ROC ≈ 0.5 (PDF p.32 explanation, reproduced)
+    res = MD.decision_tree(assembled, seed=1, min_info_gains=(20.0, 30.0))
+    assert abs(res.metrics["areaUnderROC"] - 0.5) < 0.05
+
+
+def test_fm_regressor_runs(assembled):
+    df = assembled.withColumnRenamed("label", "target")
+    res = MD.fm_regressor(df, label_col="target", step_sizes=(0.1,), factor_sizes=(1,))
+    assert res.metrics["rmse"] < 0.6
+
+
+def test_als_prediction_and_topk(spark, sf_tiny):
+    from recommender_system_with_pyspark_spark.flagship import implicit_ratings
+
+    ratings = implicit_ratings(spark, sf_tiny)
+    res = MD.als_prediction(ratings, ranks=(4,), reg_params=(0.1,), max_iter=5, tune=False)
+    assert res.metrics["rmse"] < 2.0
+    recs = MD.recommend_for_all_users(res.model, k=4)
+    counts = recs.groupBy("user_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in counts] == [4]
+    # scores non-increasing within each user
+    w_bad = recs.alias("a").join(
+        recs.alias("b"),
+        (F.col("a.user_id") == F.col("b.user_id")) & (F.col("a.rank") + 1 == F.col("b.rank")),
+    ).filter(F.col("b.score") > F.col("a.score") + 1e-6)
+    assert w_bad.count() == 0
+
+
+def test_metrics_report_shape(assembled):
+    res = MD.logistic_regression(assembled, seed=1)
+    report = MD.metrics_report({"logreg": res})
+    row = report.first()
+    assert row["model"] == "logreg"
+    assert 0.0 <= row["accuracy"] <= 1.0
+
+
+def test_correlation_matrix_props(spark, labeled):
+    out = correlation_matrix(labeled, ["x", "y", "label"])
+    m = {(r["feature_a"], r["feature_b"]): r["corr"] for r in out.collect()}
+    assert m[("x", "x")] == 1.0
+    assert m[("x", "y")] == m[("y", "x")]  # symmetric
+    assert m[("x", "label")] > 0.5  # label is driven by x
+
+
+def test_chi_square_detects_dependence(spark):
+    rows = [(float(i % 2), float(i % 2), float(i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "label double, dep double, indep double")
+    out = chi_square_test(df, ["dep", "indep"], "label")
+    got = {r["feature"]: r["p_value"] for r in out.collect()}
+    assert got["dep"] < 0.01  # perfectly dependent
+    assert got["indep"] > 0.1  # independent
+
+
+def test_model_save_load(tmp_path, assembled):
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    from recommender_system_with_pyspark_spark.io import save_model
+
+    res = MD.logistic_regression(assembled, seed=1)
+    path = str(tmp_path / "lr_model")
+    save_model(res.model, path)
+    loaded = LogisticRegressionModel.load(path)
+    assert loaded.numFeatures == res.model.numFeatures
