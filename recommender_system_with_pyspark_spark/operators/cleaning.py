@@ -70,6 +70,8 @@ def fill_mean(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     the v1 reference bug of filling LanguageEase with ComAgeRec's mean,
     `functions.py:97`, is structurally impossible here).
     """
+    if not columns:
+        return df
     means = df.agg(*[F.avg(c).alias(c) for c in columns]).first()
     return df.na.fill({c: means[c] for c in columns if means[c] is not None})
 
@@ -138,7 +140,10 @@ def iqr_outlier_filter(
             ).first()
             q1, q3 = row["q1"], row["q3"]
         else:
-            q1, q3 = out.approxQuantile(c, [0.25, 0.75], relative_error)
+            qs = out.approxQuantile(c, [0.25, 0.75], relative_error)
+            if len(qs) < 2:  # no non-null values left in this column
+                continue
+            q1, q3 = qs
         if q1 is None or q3 is None:
             continue
         iqr = q3 - q1

@@ -1,0 +1,82 @@
+"""Plan-quality contracts (SURVEY §4): the physical plans the engine
+promises — pushdown, pruning, broadcast, bounded shuffles — must actually
+materialize. These tests fail if a future change regresses a plan even
+when results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from recommender_system_with_pyspark_spark.io import load_table
+from recommender_system_with_pyspark_spark.plans import explain as E
+
+
+def test_filter_pushdown_to_parquet(spark, sf_tiny):
+    li = load_table(spark, sf_tiny, "lineitem")
+    q = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    assert "GreaterThan(l_quantity,30" in E.pushed_filters(q)
+
+
+def test_column_pruning(spark, sf_tiny):
+    li = load_table(spark, sf_tiny, "lineitem")
+    q = li.select("l_orderkey", "l_quantity")
+    E.assert_plan(q, pruned_to=["l_orderkey", "l_quantity"])
+
+
+def test_broadcast_join_in_flagship_queries(spark, sf_tiny):
+    from recommender_system_with_pyspark_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    for name in ["broadcast_join_revenue", "star_join", "prune_sparse"]:
+        df = QUERIES[name](spark, sf_tiny)
+        assert E.uses_broadcast_join(df), f"{name} lost its broadcast join"
+
+
+def test_prune_sparse_shuffle_budget(spark, sf_tiny):
+    """The semi-join pruning composition must not shuffle the fact table:
+    shuffles only for the two count aggregations + final group-by."""
+    from recommender_system_with_pyspark_spark.operators.relational import prune_sparse_entities
+
+    li = load_table(spark, sf_tiny, "lineitem")
+    pruned = prune_sparse_entities(li, "l_partkey", "l_suppkey", 5, 50)
+    # aggregation shuffles for the two HAVING counts are expected; the two
+    # semi-joins themselves must be broadcast (no join-side exchange)
+    assert E.uses_broadcast_join(pruned)
+    assert E.shuffle_count(pruned) <= 3
+
+
+def test_groupby_does_partial_aggregation(spark, sf_tiny):
+    li = load_table(spark, sf_tiny, "lineitem")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = E.formatted_plan(q)
+    # partial agg before the exchange, final after (map-side combine)
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert E.shuffle_count(q) == 1
+
+
+def test_pricing_summary_single_shuffle(spark, sf_tiny):
+    from recommender_system_with_pyspark_spark.registry import QUERIES
+
+    df = QUERIES["pricing_summary"](spark, sf_tiny)
+    assert E.shuffle_count(df) == 1  # one exchange on the grouping keys
+
+
+def test_topk_no_global_sort(spark, sf_tiny):
+    from recommender_system_with_pyspark_spark.operators.relational import global_top_n
+
+    part = load_table(spark, sf_tiny, "part")
+    q = global_top_n(part, "p_retailprice", 10, tie_breaker="p_partkey")
+    assert "TakeOrderedAndProject" in E.executed_plan(q)
+
+
+def test_scalar_ops_stay_in_codegen(spark, sf_tiny):
+    """Text analysis is pure projection — must be one codegen span over the
+    scan, zero shuffles."""
+    from recommender_system_with_pyspark_spark.operators.text import add_token_stats
+
+    docs = load_table(spark, sf_tiny, "documents")
+    q = add_token_stats(docs)
+    assert E.shuffle_count(q) == 0
+    assert E.codegen_stage_count(q) >= 1
