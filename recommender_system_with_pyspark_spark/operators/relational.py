@@ -181,6 +181,32 @@ def explode_recommendations(
     return out.drop("rec")
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-mitigating equi-join: the big side gets a random salt in
+    [0, salt), the small side is replicated ``salt`` times, and the join
+    runs on (key, salt) — a hot key's rows spread across ``salt`` reducers
+    instead of one.
+
+    Result is identical to ``big.join(small, on, how)``. Use when AQE's
+    skew-join splitting isn't available/enough (SURVEY §4: the reference's
+    ratings are long-tail skewed by both user and game). Inner/left joins
+    only — the salt must not fabricate unmatched small-side rows."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salted_big = big.withColumn("_salt", (F.rand(seed) * salt).cast("int"))
+    salts = big.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt"))
+    salted_small = small.crossJoin(salts)
+    out = salted_big.join(salted_small, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
 def pivot_sum(
     df: DataFrame,
     group_by: str,

@@ -1,0 +1,100 @@
+"""Temporal operators (engine extension — SURVEY §2.3 notes the reference
+has no as-of/range joins; a 100 TB event pipeline needs them).
+
+``as_of_join`` — native backward as-of join (for each left row, the most
+recent right row with time ≤ left time, per key) via the union + ordered
+``last(ignorenulls)`` window construction:
+
+  1. tag both sides, union on (key, time, side, payload-struct);
+  2. one window per key ordered by (time, side) — right rows sort before
+     left rows at equal times, giving inclusive (≥) semantics;
+  3. running ``last(payload, ignorenulls=True)`` fills each left row with
+     the latest right payload; filter back to left rows.
+
+Cost: ONE shuffle of |L|+|R| rows on the key (vs. the naive range-join
+which is a per-key cross product). The same pattern extends to forward
+as-of (order desc) and tolerance bands (filter on time delta after fill).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: Sequence[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Backward as-of join; payload columns come through null when no right
+    row precedes the left row (LEFT-join semantics).
+
+    Right-side ties on (key, time) are broken deterministically by keeping
+    the row with the greatest first payload column."""
+    payload = list(payload_cols)
+    # dedupe right on (key, time): latest payload wins, deterministic
+    w_dedupe = Window.partitionBy(right_key, right_time).orderBy(F.desc(payload[0]))
+    r = (
+        right.select(right_key, right_time, *payload)
+        .withColumn("_rn", F.row_number().over(w_dedupe))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
+        "_payload", F.lit(None).cast(f"struct<{','.join(f'{c}:string' for c in payload)}>")
+    )
+    # build the union frames with aligned schemas
+    left_cols = [c for c in left.columns]
+    r_tagged = r.select(
+        F.col(right_key).alias(left_key),
+        F.col(right_time).alias(left_time),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols if c not in (left_key, left_time)],
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c).cast("string").alias(c) for c in payload]).alias("_payload"),
+    ).select(*left_cols, "_side", "_payload")
+    unioned = l_tagged.select(*left_cols, "_side", "_payload").unionByName(r_tagged)
+    w = (
+        Window.partitionBy(left_key)
+        .orderBy(F.col(left_time).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.withColumn("_last", F.last("_payload", ignorenulls=True).over(w))
+    out = filled.filter(F.col("_side") == 1).drop("_side", "_payload")
+    # unpack payload struct with right-side types preserved via cast-back
+    right_types = dict(r.dtypes)
+    for c in payload:
+        out = out.withColumn(c, F.col(f"_last.{c}").cast(right_types[c]))
+    out = out.drop("_last")
+    if tolerance_seconds is not None:
+        # re-derive the matched right time is not carried; callers include
+        # the right time column in payload_cols to apply tolerance
+        raise NotImplementedError(
+            "pass the right time column in payload_cols and filter on the "
+            "delta explicitly; kept explicit to avoid hidden semantics"
+        )
+    return out
+
+
+def date_parts(df: DataFrame, ts_col: str, prefix: str = "") -> DataFrame:
+    """Calendar decomposition (year/quarter/month/day/weekday/hour) — all
+    codegen expressions. weekday is Monday=0 (ISO-adjacent, matches
+    DuckDB's isodow-1)."""
+    t = F.col(ts_col)
+    return df.withColumns(
+        {
+            f"{prefix}year": F.year(t),
+            f"{prefix}quarter": F.quarter(t),
+            f"{prefix}month": F.month(t),
+            f"{prefix}day": F.dayofmonth(t),
+            f"{prefix}weekday": F.weekday(t),
+            f"{prefix}hour": F.hour(t),
+        }
+    )

@@ -1,0 +1,236 @@
+"""Temporal / window-function / JSON / skew query surface — engine
+extensions beyond the reference inventory, all oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .io import load_table
+from .operators.relational import salted_join
+from .operators.temporal import as_of_join, date_parts
+from .registry import query
+
+
+@query(
+    "asof_join",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+    ), od AS (SELECT * FROM o WHERE rn = 1)
+    SELECT e.event_id,
+           od.o_orderkey AS last_orderkey,
+           round(od.o_totalprice, 2) AS last_totalprice
+    FROM events e ASOF LEFT JOIN od
+    ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (Spark has no native one — SURVEY §2.3 note):
+    each event joined to the user's most recent prior order. Native
+    union + ordered last(ignorenulls) window — ONE shuffle of |L|+|R| rows
+    on the key, no per-key cross product."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = as_of_join(
+        ev, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.round("o_totalprice", 2).alias("last_totalprice"),
+    )
+
+
+@query(
+    "salted_join_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join: identical result to the plain equi-join (the
+    oracle IS the plain join) with hot keys spread over 8 reducers — the
+    manual fallback when AQE skew splitting isn't enough (SURVEY §4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li.withColumnRenamed("l_orderkey", "o_orderkey"), orders, "o_orderkey", salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+    FROM orders
+    """,
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame aggregation: per-customer running spend (rows frame,
+    deterministic tie-break). One shuffle on the partition key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "lead_lag_gap",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) :: DATE,
+                o_orderdate :: DATE) AS INTEGER) AS days_since_prev
+    FROM orders
+    """,
+)
+def lead_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() — days between a customer's consecutive orders (null for the
+    first)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ).alias("days_since_prev"),
+    )
+
+
+@query(
+    "rank_brands",
+    oracle="""
+    WITH rev AS (
+        SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    )
+    SELECT p_brand, revenue,
+           CAST(dense_rank() OVER (ORDER BY revenue DESC) AS INTEGER) AS rnk,
+           CAST(ntile(4) OVER (ORDER BY revenue DESC, p_brand) AS INTEGER) AS quartile
+    FROM rev
+    """,
+)
+def rank_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank + ntile over aggregated revenue (W-coverage beyond the
+    reference's single implicit top-k)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"))
+    wq = Window.orderBy(F.desc("revenue"), F.asc("p_brand"))
+    return rev.select(
+        "p_brand", "revenue",
+        F.dense_rank().over(w).alias("rnk"),
+        F.ntile(4).over(wq).alias("quartile"),
+    )
+
+
+@query(
+    "date_parts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)      AS year,
+           CAST(quarter(o_orderdate) AS INTEGER)   AS quarter,
+           CAST(month(o_orderdate) AS INTEGER)     AS month,
+           CAST(day(o_orderdate) AS INTEGER)       AS day,
+           CAST(isodow(o_orderdate) - 1 AS INTEGER) AS weekday,
+           CAST(hour(o_orderdate) AS INTEGER)      AS hour
+    FROM orders
+    """,
+)
+def date_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar decomposition (F-coverage: the reference has no date/time
+    functions; an event pipeline lives on them). weekday Monday=0."""
+    orders = load_table(spark, sf_dir, "orders")
+    return date_parts(orders, "o_orderdate").select(
+        "o_orderkey", "year", "quarter", "month", "day", "weekday", "hour"
+    )
+
+
+@query(
+    "json_extract",
+    oracle="""
+    SELECT event_id, CAST(props->>'k' AS INTEGER) AS k,
+           CAST(count(*) OVER (PARTITION BY CAST(props->>'k' AS INTEGER)) AS BIGINT) AS k_freq
+    FROM events
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (get_json_object — pure
+    codegen; for fixed schemas prefer from_json + struct access)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    out = ev.withColumn("k", k)
+    w = Window.partitionBy("k")
+    return out.select("event_id", "k", F.count(F.lit(1)).over(w).alias("k_freq"))
+
+
+@query(
+    "percentiles",
+    oracle="""
+    SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+           round(quantile_cont(o_totalprice, 0.90), 6) AS p90
+    FROM orders
+    """,
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — exact continuous percentiles (the approxQuantile GK sketch is
+    the scale path; exact here to pin the interpolation semantics)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {p})"), 6).alias(f"p{int(p*100)}")
+            for p in (0.25, 0.50, 0.75, 0.90)
+        ]
+    )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide → long) — the inverse of pivot_events."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        [F.col("l_quantity").alias("quantity"), F.col("l_extendedprice").alias("price"),
+         F.col("l_discount").alias("discount")],
+        "metric", "val",
+    )

@@ -44,3 +44,4 @@ def load_all_queries() -> None:
     from . import queries_text  # noqa: F401
     from . import queries_ml  # noqa: F401
     from . import queries_streaming  # noqa: F401
+    from . import queries_temporal  # noqa: F401

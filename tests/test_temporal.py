@@ -1,0 +1,80 @@
+"""As-of join + salted join + date parts unit tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from recommender_system_with_pyspark_spark.operators.relational import salted_join
+from recommender_system_with_pyspark_spark.operators.temporal import as_of_join, date_parts
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_as_of_join_hand_case(spark):
+    quotes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100.0),
+            (1, _ts("2024-01-01T10:05:00"), 101.0),
+            (2, _ts("2024-01-01T10:02:00"), 200.0),
+        ],
+        "key int, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:03:00"), "t1"),   # → 100.0
+            (1, _ts("2024-01-01T10:05:00"), "t2"),   # equal time → inclusive → 101.0
+            (2, _ts("2024-01-01T10:01:00"), "t3"),   # before any quote → null
+            (3, _ts("2024-01-01T10:10:00"), "t4"),   # no quotes for key → null
+        ],
+        "key int, ts timestamp, trade string",
+    )
+    out = as_of_join(
+        trades, quotes,
+        left_key="key", right_key="key",
+        left_time="ts", right_time="qts",
+        payload_cols=["px"],
+    )
+    got = {r["trade"]: r["px"] for r in out.collect()}
+    assert got == {"t1": 100.0, "t2": 101.0, "t3": None, "t4": None}
+    assert out.count() == trades.count()  # left join: every trade preserved
+
+
+def test_as_of_join_tie_dedupe(spark):
+    quotes = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 5.0), (1, _ts("2024-01-01T10:00:00"), 9.0)],
+        "key int, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:01:00"), "t1")], "key int, ts timestamp, trade string"
+    )
+    out = as_of_join(trades, quotes, "key", "key", "ts", "qts", ["px"])
+    assert out.first()["px"] == 9.0  # greatest-payload tie-break
+
+
+def test_salted_join_equals_plain_join(spark, sf_tiny):
+    from recommender_system_with_pyspark_spark.io import load_table
+
+    li = load_table(spark, sf_tiny, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    orders = load_table(spark, sf_tiny, "orders").select("o_orderkey", "o_orderpriority")
+    plain = li.join(orders, "o_orderkey").groupBy("o_orderpriority").count()
+    salted = salted_join(li, orders, "o_orderkey", salt=4).groupBy("o_orderpriority").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    big = spark.createDataFrame([(1, "a"), (99, "b")], "k int, v string")
+    small = spark.createDataFrame([(1, "x")], "k int, w string")
+    out = salted_join(big, small, "k", salt=4, how="left")
+    got = {r["v"]: r["w"] for r in out.collect()}
+    assert got == {"a": "x", "b": None}
+
+
+def test_date_parts_values(spark):
+    df = spark.createDataFrame([(1, _ts("2024-03-15T13:45:00"))], "id int, ts timestamp")
+    row = date_parts(df, "ts").first()
+    assert (row["year"], row["quarter"], row["month"], row["day"], row["hour"]) == (2024, 1, 3, 15, 13)
+    assert row["weekday"] == 4  # 2024-03-15 is a Friday, Monday=0
