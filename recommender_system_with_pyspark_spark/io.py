@@ -116,6 +116,32 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: str,
+    n_buckets: int,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table sink: pre-hash-partitions (and sorts) the data on the
+    join/agg key so later joins between two tables bucketed on the same key
+    with the same bucket count run WITHOUT a shuffle — the co-location
+    strategy for repeatedly-joined 100 TB fact tables.
+
+    With ``path`` the table is external (data at the given location);
+    otherwise it lands in the session warehouse."""
+    writer = (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_by)
+        .sortBy(bucket_by)
+        .format("parquet")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
 def save_model(model, path: str) -> None:
     """ML model sink (S6 — `bgrfunctions.py:228,262,298,328,360`)."""
     model.write().overwrite().save(path)

@@ -1,0 +1,80 @@
+"""Custom stateful streaming operators via applyInPandasWithState
+(engine extension — the escape hatch when windowed aggregates can't express
+the semantics; state lives in the state store, partitioned by key).
+
+``running_user_totals`` — the canonical shape: per-key running aggregates
+carried across micro-batches with an idle-timeout eviction. Structure
+generalizes to CDC accumulators, per-entity anomaly detectors, and
+session-carrying enrichment.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _make_update(idle_timeout_ms: int | None):
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return _update
+
+
+def running_user_totals(events: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
+    """Per-user running (count, sum) state across micro-batches; emits the
+    updated totals each batch a user appears in. One shuffle on user_id;
+    state-store footprint = one (long, double) pair per active user.
+
+    ``idle_timeout_ms`` enables ProcessingTimeTimeout state eviction for
+    unbounded streams. Leave None for bounded/availableNow runs — with a
+    timeout configured, availableNow keeps scheduling timeout-processing
+    micro-batches and a 'finite' run degenerates into dozens of batches."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_update(idle_timeout_ms),
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "update",
+            timeout,
+        )
+    )

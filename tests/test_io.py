@@ -1,0 +1,83 @@
+"""Source/sink tests (SURVEY §2.1): CSV compat paths, parquet round-trips,
+bucketed co-located joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from recommender_system_with_pyspark_spark import io as eio
+from recommender_system_with_pyspark_spark import schemas
+from recommender_system_with_pyspark_spark.plans import explain as E
+
+
+def test_csv_round_trip_with_schema(spark, sf_tiny, tmp_path):
+    orig = eio.load_table(spark, sf_tiny, "customer")
+    out = str(tmp_path / "cust_csv")
+    eio.write_csv(orig, out)
+    back = eio.read_csv(spark, out, schema=schemas.CUSTOMER)
+    assert back.count() == orig.count()
+    assert back.schema == schemas.CUSTOMER
+    a = orig.agg(F.sum("c_acctbal")).first()[0]
+    b = back.agg(F.sum("c_acctbal")).first()[0]
+    assert abs(a - b) < 1e-6
+
+
+def test_csv_single_file_compat(spark, tmp_path):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    out = str(tmp_path / "single")
+    eio.write_csv(df, out, single_file=True)
+    import glob
+
+    parts = glob.glob(f"{out}/part-*")
+    assert len(parts) == 1  # the reference's coalesce(1) semantics
+
+
+def test_csv_infer_schema_compat(spark, sf_tiny, tmp_path):
+    orig = eio.load_table(spark, sf_tiny, "region")
+    out = str(tmp_path / "region_csv")
+    eio.write_csv(orig, out)
+    inferred = eio.read_csv(spark, out, infer_schema=True)
+    assert dict(inferred.dtypes)["r_regionkey"] == "int"
+
+
+def test_parquet_partitioned_write_prunes(spark, sf_tiny, tmp_path):
+    orders = eio.load_table(spark, sf_tiny, "orders")
+    out = str(tmp_path / "orders_part")
+    eio.write_parquet(orders, out, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    # partition pruning: the scan must carry the partition filter
+    plan = E.formatted_plan(back)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]
+    assert back.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_bucketed_join_no_shuffle(spark, sf_tiny, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts join
+    WITHOUT an exchange — the co-located 100 TB join strategy."""
+    orders = eio.load_table(spark, sf_tiny, "orders")
+    li = eio.load_table(spark, sf_tiny, "lineitem")
+    eio.write_bucketed(orders, "b_orders", "o_orderkey", 4, path=str(tmp_path / "bo"))
+    eio.write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 4,
+        path=str(tmp_path / "bl"),
+    )
+    a = spark.table("b_orders")
+    b = spark.table("b_lineitem")
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "o_orderkey").groupBy("o_orderstatus").count()
+        n_shuffles = E.shuffle_count(joined)
+        assert n_shuffles <= 1, f"bucketed join shuffled {n_shuffles}×"  # only the final agg
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_jdbc_reader_surfaces_lazy_error(spark):
+    import pytest
+
+    with pytest.raises(Exception):
+        eio.read_jdbc(spark, "jdbc:nosuch://x", "t").count()
