@@ -53,7 +53,11 @@ def recommend_top_items(
     Returns (user_id, item_id, score, rank, p_name)."""
     from pyspark.ml.recommendation import ALS
 
-    ratings = implicit_ratings(spark, sf_dir)
+    # cache the derived ratings: prune_sparse_entities consumes its input
+    # three times (item counts, user counts, final semi-join) and ALS block
+    # construction reads it again — without the cache the join+agg lineage
+    # re-executes on every pass
+    ratings = implicit_ratings(spark, sf_dir).cache()
     pruned = prune_sparse_entities(
         ratings, "item_id", "user_id", min_item_count, min_user_count
     )
