@@ -183,3 +183,37 @@ def als_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(round(res.metrics["rmse"], 4), round(res.metrics["r2"], 4), int(res.best_params["rank"]))],
         "rmse double, r2 double, best_rank int",
     )
+
+
+@query("tfidf_features")  # hash-based TF + fitted IDF → rows-only
+def tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF featurization of documents (Tokenizer → StopWordsRemover →
+    HashingTF → IDF): stateless hashing TF needs no vocabulary fit — the
+    100 TB path. Emits (doc_id, nnz, l2) summaries of the sparse vectors."""
+    from pyspark.ml.functions import vector_to_array
+
+    from .ml.text_features import tfidf_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = tfidf_pipeline(num_features=1 << 12).fit(docs)
+    out = model.transform(docs)
+    arr = vector_to_array(F.col("tfidf"))
+    return out.select(
+        "doc_id",
+        F.size(F.filter(arr, lambda x: x != 0)).alias("nnz"),
+        F.round(F.sqrt(F.aggregate(F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)), 4).alias("l2"),
+    )
+
+
+@query("word2vec_neighbors")  # trained embedding → rows-only
+def word2vec_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2Vec document embeddings fed into the engine's own similarity
+    operator (cosine top-3 per query doc) — the text → embedding → ANN
+    composition a training-data pipeline runs end-to-end."""
+    from .ml.text_features import embed_documents
+    from .operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    emb, _ = embed_documents(docs, vector_size=16)
+    queries_df = emb.filter(F.col("doc_id") < 5)
+    return cosine_topk(queries_df, emb, id_col="doc_id", vec_col="embedding", k=3)

@@ -93,6 +93,25 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def write_foreach_batch(
+    stream_df: DataFrame,
+    batch_fn,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+):
+    """foreachBatch sink: per-micro-batch callback ``batch_fn(df, epoch_id)``
+    with checkpointed progress — the exactly-once upsert pattern (idempotent
+    writes keyed on epoch_id; Spark replays an epoch only if it never
+    committed). Returns the started StreamingQuery."""
+    return (
+        stream_df.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(batch_fn)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drive a bounded stream to completion through a memory sink and return
     the materialized result (test/oracle harness; production writes go to
