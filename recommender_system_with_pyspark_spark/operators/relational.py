@@ -90,14 +90,17 @@ def having(df: DataFrame, *keys: str, min_count: int, alias: str = "count") -> D
     return group_count(df, *keys, alias=alias).filter(F.col(alias) > min_count)
 
 
-def distinct_count(df: DataFrame, column: str, approximate: bool = False) -> DataFrame:
+def distinct_count(
+    df: DataFrame, column: str, approximate: bool = False, rsd: float = 0.05
+) -> DataFrame:
     """A8 — number of distinct values (`als.py:52`).
 
     ``approximate=True`` uses HyperLogLog++ (`approx_count_distinct`) — the
     scale path: one pass, fixed memory, no shuffle of distinct values.
-    """
+    ``rsd`` is the target relative standard deviation (smaller = bigger
+    sketch; 0.01 ≈ 100 KB per group)."""
     agg = (
-        F.approx_count_distinct(column) if approximate else F.countDistinct(column)
+        F.approx_count_distinct(column, rsd) if approximate else F.countDistinct(column)
     ).alias(f"{column}_distinct")
     return df.agg(agg)
 

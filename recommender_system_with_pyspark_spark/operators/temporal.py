@@ -83,6 +83,39 @@ def as_of_join(
     return out
 
 
+def range_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join (value ∈ [lo, hi)) via bucketization — Spark's native
+    answer to an inequality join is a nested-loop (O(|F|·|R|)); bucketizing
+    turns it into an equi-join on bucket id + a residual filter.
+
+    Each range row is exploded into ceil((hi-lo)/width)+1 bucket rows, the
+    fact side computes its bucket in O(1), and the equi-join shuffles on the
+    bucket id. Choose ``bucket_width`` ≈ the typical range width so ranges
+    explode into O(1) buckets."""
+    fb = facts.withColumn("_bucket", F.floor(F.col(value_col) / bucket_width).cast("long"))
+    rb = ranges.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width).cast("long"),
+                F.floor((F.col(hi_col)) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    joined = fb.join(rb, "_bucket", how)
+    return joined.filter(
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    ).drop("_bucket")
+
+
 def date_parts(df: DataFrame, ts_col: str, prefix: str = "") -> DataFrame:
     """Calendar decomposition (year/quarter/month/day/weekday/hour) — all
     codegen expressions. weekday is Monday=0 (ISO-adjacent, matches

@@ -234,3 +234,33 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
          F.col("l_discount").alias("discount")],
         "metric", "val",
     )
+
+@query(
+    "range_join_buckets",
+    oracle="""
+    WITH bands AS (
+        SELECT 0.0 AS lo, 50.0 AS hi, 'low' AS band UNION ALL
+        SELECT 50.0, 150.0, 'mid' UNION ALL
+        SELECT 150.0, 1000.0, 'high'
+    )
+    SELECT band, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band
+    """,
+)
+def range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (value ∈ [lo, hi)) via bucketization: an equi-join on
+    bucket id + residual filter instead of the O(|F|·|R|) nested loop Spark
+    would otherwise pick for an inequality join."""
+    from .operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 1000.0, "high")],
+        "lo double, hi double, band string",
+    )
+    joined = range_join(ev, bands, "value", "lo", "hi", bucket_width=50.0)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
