@@ -184,6 +184,35 @@ def explode_recommendations(
     return out.drop("rec")
 
 
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str | Sequence[str],
+    dedupe_updates_by: str | None = None,
+) -> DataFrame:
+    """MERGE INTO emulation (upsert) without a table format: matched target
+    rows are replaced by their update, unmatched updates are inserted —
+    expressed as target-anti-join-updates ∪ updates.
+
+    ``dedupe_updates_by``: if the updates batch can carry several rows per
+    key (CDC), keep the one with the max of this column (e.g. an event
+    timestamp) — deterministic last-writer-wins.
+
+    At scale this is the no-Delta fallback; with a lakehouse format the
+    same logical op is a real MERGE with file-level pruning."""
+    keys = [key] if isinstance(key, str) else list(key)
+    up = updates
+    if dedupe_updates_by is not None:
+        w = Window.partitionBy(*keys).orderBy(F.desc(dedupe_updates_by))
+        up = (
+            updates.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    untouched = target.join(up.select(*keys), keys, "left_anti")
+    return untouched.unionByName(up.select(*target.columns))
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

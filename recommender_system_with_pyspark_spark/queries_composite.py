@@ -152,3 +152,66 @@ def order_fulfillment_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_ship_days"),
         )
     )
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal * 2 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT 99901, 'new_cust_1', 0, 100.0, 'BUILDING'
+    ), untouched AS (
+        SELECT * FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+    ), merged AS (
+        SELECT * FROM untouched UNION ALL SELECT * FROM updates
+    )
+    SELECT c_custkey, round(c_acctbal, 2) AS bal FROM merged
+    """,
+)
+def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (CDC upsert): matched rows replaced, new rows
+    inserted — anti-join + unionByName (the no-lakehouse fallback for
+    SCD/CDC maintenance)."""
+    from .operators.relational import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") * 2
+    ).unionByName(
+        spark.createDataFrame(
+            [(99901, "new_cust_1", 0, 100.0, "BUILDING")], cust.schema
+        )
+    )
+    merged = merge_upsert(cust, updates, "c_custkey")
+    return merged.select("c_custkey", F.round("c_acctbal", 2).alias("bal"))
+
+
+@query("cross_validated_logreg")  # k-fold fits → rows-only (metrics row)
+def cross_validated_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M17-alternative — CrossValidator (imported-but-unused in the
+    reference, `bgrfunctions.py:7`): 3-fold CV over a small logistic grid
+    on a derived is-high-value label; returns the metric row."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.tuning import ParamGridBuilder
+
+    from .ml.models import _cv
+
+    orders = load_table(spark, sf_dir, "orders")
+    df = VectorAssembler(
+        inputCols=["o_totalprice"], outputCol="features"
+    ).transform(
+        orders.withColumn(
+            "label", (F.col("o_totalprice") > 50000).cast("double")
+        )
+    )
+    lr = LogisticRegression(featuresCol="features", labelCol="label")
+    grid = ParamGridBuilder().addGrid(lr.regParam, [0.1, 0.01]).build()
+    ev = MulticlassClassificationEvaluator(metricName="accuracy", labelCol="label", predictionCol="prediction")
+    model = _cv(lr, ev, grid, seed=1, num_folds=3).fit(df)
+    acc = ev.evaluate(model.bestModel.transform(df))
+    return spark.createDataFrame([(round(acc, 4),)], "accuracy double")
