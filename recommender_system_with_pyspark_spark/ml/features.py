@@ -132,3 +132,21 @@ def explained_variance(model: PipelineModel) -> list[float]:
         if isinstance(stage, PCAModel):
             return list(stage.explainedVariance)
     raise ValueError("pipeline has no PCA stage")
+
+
+def principal_components(model: PipelineModel) -> list[list[float]]:
+    """M22 — the PCA loading matrix (``PCAModel.pc``; reference
+    `functions.py:209-215` renders it as the loading heatmap).
+
+    Returns row-major loadings: ``out[i][j]`` = weight of input feature i in
+    principal component j — an (n_features × k) orthonormal-column matrix.
+    Sign per column is implementation-defined (eigenvector sign ambiguity);
+    consumers should compare |loading| or fix signs downstream."""
+    from pyspark.ml.feature import PCAModel
+
+    for stage in model.stages:
+        if isinstance(stage, PCAModel):
+            pc = stage.pc.toArray()  # driver-side (n_features × k) — small by
+            # construction: fit_features caps n_features at PCA_MAX_INPUT_DIM
+            return [[float(x) for x in row] for row in pc]
+    raise ValueError("pipeline has no PCA stage")

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import add_fingerprint, add_simhash, hamming64, shingle_hashes, tokens, word_shingles
+from .text import add_fingerprint, hamming64, shingle_hashes, simhash_signatures, tokens, word_shingles
 
 
 def dedup_exact(
@@ -219,20 +219,28 @@ def simhash_near_dup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 8,
+    max_hamming: int | None = None,
     bands: int = 4,
 ) -> DataFrame:
     """SimHash near-duplicate pairs with banded blocking.
 
-    64-bit signatures; split into ``bands`` 16-bit sub-keys — two docs
-    within Hamming distance < bands must share at least one band
+    64-bit signatures; split into ``bands`` (64/bands)-bit sub-keys — two
+    docs within Hamming distance < bands must share at least one band
     (pigeonhole), so the equi-join on (band_index, band_value) generates all
-    candidates for max_hamming < bands without a cross join. Candidates are
+    candidates for distance < bands without a cross join. Candidates are
     then filtered by true Hamming distance.
+
+    ``max_hamming`` defaults to ``bands - 1``, the largest distance with
+    FULL recall under the pigeonhole guarantee. Passing a larger value is
+    allowed but explicitly lossy: pairs at distance in [bands, max_hamming]
+    are found only if they happen to share a band — raise ``bands`` (finer
+    sub-keys → more candidates) to extend guaranteed recall instead.
 
     Returns (id_a, id_b, hamming) with id_a < id_b.
     """
-    sigs = add_simhash(df.select(id_col, text_col), text_col, "simhash").select(
+    if max_hamming is None:
+        max_hamming = bands - 1
+    sigs = simhash_signatures(df, text_col, id_col, "simhash").select(
         F.col(id_col).alias("_id"), "simhash"
     )
     width = 64 // bands

@@ -72,24 +72,26 @@ def extract_byte_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
 
     Deterministic stand-in for a real decode→embed stage — exercises the
     exact batch shape (iterator of pandas DataFrames in/out), schema, and
-    partition behavior a neural feature extractor would use."""
-    import math
+    partition behavior a neural feature extractor would use.
+
+    Per-blob work is fully numpy-vectorized (``np.frombuffer`` +
+    ``np.bincount``) — no per-byte Python loop, so throughput scales with
+    blob size at memory bandwidth, not interpreter speed."""
+    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
             for mid, blob in zip(pdf["media_id"], pdf["media"]):
-                b = bytes(blob)
-                n = len(b)
-                counts = [0] * n_bins
-                for byte in b:
-                    counts[byte * n_bins // 256] += 1
-                entropy = 0.0
-                for c in counts:
-                    if c:
-                        p = c / n
-                        entropy -= p * math.log2(p)
-                out.append((mid, n, round(entropy, 6), counts))
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                n = int(arr.size)
+                counts = np.bincount((arr.astype(np.int32) * n_bins) >> 8, minlength=n_bins)
+                if n:
+                    p = counts[counts > 0] / n
+                    entropy = float(-(p * np.log2(p)).sum())
+                else:
+                    entropy = 0.0
+                out.append((mid, n, round(entropy, 6), counts.tolist()))
             yield pd.DataFrame(out, columns=["media_id", "n_bytes", "byte_entropy", "histogram"])
 
     return df.select("media_id", "media").mapInPandas(batches, FEATURE_SCHEMA)

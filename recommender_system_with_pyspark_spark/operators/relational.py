@@ -221,10 +221,19 @@ def salted_join(
     how: str = "inner",
     seed: int = 42,
 ) -> DataFrame:
-    """Skew-mitigating equi-join: the big side gets a random salt in
-    [0, salt), the small side is replicated ``salt`` times, and the join
-    runs on (key, salt) — a hot key's rows spread across ``salt`` reducers
-    instead of one.
+    """Skew-mitigating equi-join: the big side gets a salt in [0, salt),
+    the small side is replicated ``salt`` times, and the join runs on
+    (key, salt) — a hot key's rows spread across ``salt`` reducers instead
+    of one.
+
+    The salt is DETERMINISTIC — ``pmod(xxhash64(all big columns, seed),
+    salt)`` — never ``F.rand``: a non-deterministic expression feeding a
+    shuffle means a recomputed partition (fetch failure, speculative task,
+    AQE replan) can re-salt rows differently from the already-shuffled
+    small side, losing or duplicating rows on partial retries. Hashing row
+    content reproduces identical shuffle output on any recompute; fully
+    identical rows share a salt, which only matters if a hot key's rows are
+    all byte-identical (then they carry no spreadable entropy anyway).
 
     Result is identical to ``big.join(small, on, how)``. Use when AQE's
     skew-join splitting isn't available/enough (SURVEY §4: the reference's
@@ -232,7 +241,8 @@ def salted_join(
     only — the salt must not fabricate unmatched small-side rows."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
-    salted_big = big.withColumn("_salt", (F.rand(seed) * salt).cast("int"))
+    row_hash = F.xxhash64(*[F.col(c) for c in big.columns], F.lit(seed))
+    salted_big = big.withColumn("_salt", F.pmod(row_hash, F.lit(salt)).cast("int"))
     salts = big.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt"))
     salted_small = small.crossJoin(salts)
     out = salted_big.join(salted_small, [on, "_salt"], how)

@@ -11,7 +11,10 @@
 - ``ivf_topk``         — IVF-style: k-means coarse centroids, probe the
                          nearest ``n_probe`` cells, exact re-rank inside —
                          classic ANN partitioning expressed as two joins.
-- ``embedding_near_dup`` — cosine-threshold near-duplicate pairs.
+- ``embedding_near_dup`` — cosine-threshold near-duplicate pairs (native
+                         pair join within blocks); ``_blocked`` is the
+                         distributed-exact block-matrix path (the scale
+                         default), ``_blas`` the opt-in broadcast fast path.
 
 All distance math is native (``zip_with`` + ``aggregate`` fold) — JVM-side,
 no Python serde per row.
@@ -223,6 +226,84 @@ def embedding_near_dup_blas(
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
 
     return base.mapInPandas(score, "id_a long, id_b long, sim double")
+
+
+def embedding_near_dup_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """EXACT cosine-threshold near-dup pairs, fully distributed — the
+    scale-safe default (no driver collect, no broadcast ceiling).
+
+    Block-matrix decomposition: vectors are hashed into ``n_chunks`` chunks;
+    every chunk pair (ci ≤ cj) becomes one cogroup task that computes the
+    chunk×chunk similarity block with one BLAS matmul (Arrow-batched
+    ``applyInPandas``) and emits pairs above threshold. Work is
+    O(n²d / C²) per task over C(C+1)/2 tasks; communication is O(n·C)
+    vector replications — at 100 TB pick C ≈ sqrt(cluster cores) so blocks
+    fit executor memory, or pre-filter candidates with lsh_topk/ivf_topk.
+    ``embedding_near_dup_blas`` stays as an opt-in fast path when one side
+    is known to fit in a broadcast.
+
+    Returns (id_a, id_b, sim) with id_a < id_b, sim >= threshold."""
+    import numpy as np
+    import pandas as pd
+
+    base = _as_double(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")), "_v"
+    )
+    chunked = base.withColumn(
+        "_c", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_chunks)).cast("int")
+    )
+    spark = df.sparkSession
+    chunk_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_chunks) for j in range(i, n_chunks)], "ci int, cj int"
+    )
+    # distinct column names per side: both frames share the `chunked`
+    # lineage, and cogroup's analyzer cannot disambiguate same-named
+    # attributes across a self-referencing pair
+    left = chunked.join(F.broadcast(chunk_pairs), chunked["_c"] == chunk_pairs["ci"]).select(
+        "ci", "cj", "_id", "_v"
+    )
+    right = chunked.join(F.broadcast(chunk_pairs), chunked["_c"] == chunk_pairs["cj"]).select(
+        F.col("ci").alias("_rci"),
+        F.col("cj").alias("_rcj"),
+        F.col("_id").alias("_rid"),
+        F.col("_v").alias("_rv"),
+    )
+
+    def score(key: tuple, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        ci, cj = key
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        a = np.stack(lpdf["_v"].to_numpy()).astype("float64")
+        b = np.stack(rpdf["_rv"].to_numpy()).astype("float64")
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        b /= np.linalg.norm(b, axis=1, keepdims=True)
+        sims = np.round(a @ b.T, 6)
+        aid = lpdf["_id"].to_numpy()
+        bid = rpdf["_rid"].to_numpy()
+        ii, jj = np.where(sims >= threshold)
+        ia, ib, s = aid[ii], bid[jj], sims[ii, jj]
+        if ci == cj:
+            # same chunk on both sides: keep each unordered pair once
+            mask = ia < ib
+            ia, ib, s = ia[mask], ib[mask], s[mask]
+        else:
+            # disjoint chunks: normalize order (self-pairs impossible)
+            ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "sim": s})
+
+    return (
+        left.groupby("ci", "cj")
+        .cogroup(right.groupby("_rci", "_rcj"))
+        .applyInPandas(score, "id_a long, id_b long, sim double")
+    )
 
 
 def embedding_near_dup(

@@ -38,7 +38,13 @@ def as_of_join(
     row precedes the left row (LEFT-join semantics).
 
     Right-side ties on (key, time) are broken deterministically by keeping
-    the row with the greatest first payload column."""
+    the row with the greatest first payload column.
+
+    ``tolerance_seconds`` bounds how stale a match may be: the matched
+    right time is carried through the fill internally, and payload columns
+    are nulled out when ``left_time - matched_right_time`` exceeds the
+    tolerance (the left row itself is always kept — LEFT semantics).
+    Matches DuckDB ``ASOF LEFT JOIN`` + a delta-based null-out."""
     payload = list(payload_cols)
     # dedupe right on (key, time): latest payload wins, deterministic
     w_dedupe = Window.partitionBy(right_key, right_time).orderBy(F.desc(payload[0]))
@@ -48,8 +54,11 @@ def as_of_join(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # the payload struct carries the matched right time as a hidden field so
+    # tolerance can be applied after the fill
+    struct_fields = [*payload, "__rt"]
     l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
-        "_payload", F.lit(None).cast(f"struct<{','.join(f'{c}:string' for c in payload)}>")
+        "_payload", F.lit(None).cast(f"struct<{','.join(f'{c}:string' for c in struct_fields)}>")
     )
     # build the union frames with aligned schemas
     left_cols = [c for c in left.columns]
@@ -58,7 +67,10 @@ def as_of_join(
         F.col(right_time).alias(left_time),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols if c not in (left_key, left_time)],
         F.lit(0).alias("_side"),
-        F.struct(*[F.col(c).cast("string").alias(c) for c in payload]).alias("_payload"),
+        F.struct(
+            *[F.col(c).cast("string").alias(c) for c in payload],
+            F.col(right_time).cast("string").alias("__rt"),
+        ).alias("_payload"),
     ).select(*left_cols, "_side", "_payload")
     unioned = l_tagged.select(*left_cols, "_side", "_payload").unionByName(r_tagged)
     w = (
@@ -70,17 +82,24 @@ def as_of_join(
     out = filled.filter(F.col("_side") == 1).drop("_side", "_payload")
     # unpack payload struct with right-side types preserved via cast-back
     right_types = dict(r.dtypes)
-    for c in payload:
-        out = out.withColumn(c, F.col(f"_last.{c}").cast(right_types[c]))
-    out = out.drop("_last")
     if tolerance_seconds is not None:
-        # re-derive the matched right time is not carried; callers include
-        # the right time column in payload_cols to apply tolerance
-        raise NotImplementedError(
-            "pass the right time column in payload_cols and filter on the "
-            "delta explicitly; kept explicit to avoid hidden semantics"
-        )
-    return out
+        # timestamp→double casts to epoch seconds; numeric time columns cast
+        # through unchanged; dates go via timestamp (date→double is invalid)
+        def _secs(col: F.Column, dtype: str) -> F.Column:
+            return (col.cast("timestamp") if dtype == "date" else col).cast("double")
+
+        matched_rt = F.col("_last.__rt").cast(right_types[right_time])
+        stale = (
+            _secs(F.col(left_time), dict(left.dtypes)[left_time])
+            - _secs(matched_rt, right_types[right_time])
+        ) > F.lit(float(tolerance_seconds))
+        for c in payload:
+            val = F.col(f"_last.{c}").cast(right_types[c])
+            out = out.withColumn(c, F.when(stale, F.lit(None).cast(right_types[c])).otherwise(val))
+    else:
+        for c in payload:
+            out = out.withColumn(c, F.col(f"_last.{c}").cast(right_types[c]))
+    return out.drop("_last")
 
 
 def range_join(
@@ -91,6 +110,7 @@ def range_join(
     hi_col: str,
     bucket_width: float,
     how: str = "inner",
+    fact_id: str | None = None,
 ) -> DataFrame:
     """Range join (value ∈ [lo, hi)) via bucketization — Spark's native
     answer to an inequality join is a nested-loop (O(|F|·|R|)); bucketizing
@@ -99,7 +119,13 @@ def range_join(
     Each range row is exploded into ceil((hi-lo)/width)+1 bucket rows, the
     fact side computes its bucket in O(1), and the equi-join shuffles on the
     bucket id. Choose ``bucket_width`` ≈ the typical range width so ranges
-    explode into O(1) buckets."""
+    explode into O(1) buckets.
+
+    ``how='left'`` requires ``fact_id`` (a unique fact key): a post-filter
+    on a null-extended join would silently drop facts that matched a bucket
+    but failed the residual range predicate, so unmatched facts are instead
+    recovered by an anti-join on the id and unioned back null-extended —
+    true left range-join semantics."""
     fb = facts.withColumn("_bucket", F.floor(F.col(value_col) / bucket_width).cast("long"))
     rb = ranges.withColumn(
         "_bucket",
@@ -110,10 +136,27 @@ def range_join(
             )
         ),
     )
-    joined = fb.join(rb, "_bucket", how)
-    return joined.filter(
-        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
-    ).drop("_bucket")
+    inner = (
+        fb.join(rb, "_bucket")
+        .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
+        .drop("_bucket")
+    )
+    if how == "inner":
+        return inner
+    if how != "left":
+        raise ValueError("range_join supports how='inner' or 'left'")
+    if fact_id is None:
+        raise ValueError(
+            "range_join(how='left') needs fact_id: a bucket-matched fact that "
+            "fails the residual range filter is indistinguishable from a "
+            "matched one without a unique fact key"
+        )
+    range_types = dict(ranges.dtypes)
+    unmatched = facts.join(inner.select(fact_id).distinct(), fact_id, "left_anti").select(
+        *facts.columns,
+        *[F.lit(None).cast(range_types[c]).alias(c) for c in ranges.columns],
+    )
+    return inner.unionByName(unmatched)
 
 
 def date_parts(df: DataFrame, ts_col: str, prefix: str = "") -> DataFrame:

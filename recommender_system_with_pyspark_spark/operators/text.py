@@ -171,21 +171,24 @@ def add_fingerprint(
     return df.withColumn(out_col, F.md5(normalized))
 
 
-def add_simhash(
+def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",
+    id_col: str = "doc_id",
     out_col: str = "simhash",
     bits: int = 64,
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens, fully native.
+    """64-bit SimHash signatures keyed by ``id_col`` only: (id, simhash).
 
     Per document: hash each distinct token (xxhash64), then for each bit
     position take the sign of sum(+1/-1). Implemented as explode →
-    per-(doc,bit) aggregation folded into 64 conditional sums → bit
-    reassembly. One shuffle on the doc key.
+    per-(id,bit) aggregation folded into 64 conditional sums → bit
+    reassembly. ONE shuffle keyed by the 8-byte id — the document body
+    never rides the shuffle (the dedup module's scale rule: shuffle hashes,
+    not bodies). Documents with zero tokens produce no signature row.
     """
     toks = F.array_distinct(tokens(text_col))
-    hashed = df.withColumn("_tok", F.explode(toks)).withColumn(
+    hashed = df.select(id_col, F.explode(toks).alias("_tok")).withColumn(
         "_h", F.xxhash64(F.col("_tok"))
     )
     bit_sums = [
@@ -194,14 +197,30 @@ def add_simhash(
         ).alias(f"_b{i}")
         for i in range(bits)
     ]
-    key_cols = [c for c in df.columns]
-    agg = hashed.groupBy(*key_cols).agg(*bit_sums)
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
     sim = None
     for i in range(bits):
         bit = F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         sim = term if sim is None else sim.bitwiseXOR(term)
-    return agg.withColumn(out_col, sim).drop(*[f"_b{i}" for i in range(bits)])
+    return agg.withColumn(out_col, sim).select(id_col, out_col)
+
+
+def add_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    bits: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """withColumn-style convenience over :func:`simhash_signatures`: all
+    input columns plus ``out_col``, row multiplicity preserved (signatures
+    are computed per id and joined back, so exact-duplicate rows stay
+    distinct rows — the former group-by-all-columns form collapsed them and
+    shuffled raw text as the group key). Zero-token documents keep their
+    row with a null signature."""
+    sigs = simhash_signatures(df, text_col, id_col, out_col, bits)
+    return df.join(sigs, id_col, "left")
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -139,6 +139,31 @@ def feature_pipeline_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("pca_loadings")  # eigenvector sign ambiguity → rows-only
+def pca_loadings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M22 — the PCA loading matrix (``PCAModel.pc``, reference
+    `functions.py:209-215` loading heatmap) as (feature_idx, component,
+    loading) rows. Columns are orthonormal (invariant-tested); sign is
+    implementation-defined, hence rows-only."""
+    from .ml.features import feature_pipeline, fit_features, principal_components
+
+    part = load_table(spark, sf_dir, "part")
+    pipe = feature_pipeline(
+        index_cols=["p_brand", "p_type"],
+        numeric_cols=["p_size", "p_retailprice"],
+        scale=True,
+        pca_k=3,
+    )
+    model = fit_features(pipe, part)
+    pc = principal_components(model)
+    rows = [
+        (i, j, round(abs(w), 4))
+        for i, row in enumerate(pc)
+        for j, w in enumerate(row)
+    ]
+    return spark.createDataFrame(rows, "feature_idx int, component int, abs_loading double")
+
+
 @query("onehot_features")  # sparse vector output → rows-only
 def onehot_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 — OneHotEncoder: index → sparse one-hot; emitted as (key, active

@@ -49,6 +49,48 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_tolerance",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id AS c_user, ts AS c_ts, event_id AS click_id, value AS click_value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+    ), cd AS (SELECT * FROM clicks WHERE rn = 1),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id,
+           CASE WHEN epoch_us(p.ts) - epoch_us(cd.c_ts) > 3600000000
+                THEN NULL ELSE cd.click_id END AS click_id,
+           CASE WHEN epoch_us(p.ts) - epoch_us(cd.c_ts) > 3600000000
+                THEN NULL ELSE round(cd.click_value, 2) END AS click_value
+    FROM p ASOF LEFT JOIN cd ON p.user_id = cd.c_user AND p.ts >= cd.c_ts
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance band: each purchase matched to the user's
+    most recent prior click, nulled when the click is staler than one hour
+    (the left row is kept — LEFT semantics). Same one-shuffle union+window
+    construction; the matched right time rides the fill struct internally."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    joined = as_of_join(
+        purchases, clicks,
+        left_key="user_id", right_key="c_user",
+        left_time="ts", right_time="c_ts",
+        payload_cols=["click_id", "click_value"],
+        tolerance_seconds=3600,
+    )
+    return joined.select(
+        "event_id", "click_id", F.round("click_value", 2).alias("click_value")
+    )
+
+
+@query(
     "salted_join_agg",
     oracle="""
     SELECT o_orderpriority,
@@ -260,6 +302,38 @@ def range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lo double, hi double, band string",
     )
     joined = range_join(ev, bands, "value", "lo", "hi", bucket_width=50.0)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+
+
+@query(
+    "range_join_left",
+    oracle="""
+    WITH bands AS (
+        SELECT 0.0 AS lo, 50.0 AS hi, 'low' AS band UNION ALL
+        SELECT 50.0, 150.0, 'mid'
+    )
+    SELECT band, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+    FROM events e LEFT JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY band
+    """,
+)
+def range_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT range join: facts outside every band survive null-extended
+    (recovered by an anti-join on the fact id — a naive post-filter on a
+    null-extended bucket join would silently drop bucket-matched facts that
+    fail the residual range predicate)."""
+    from .operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 150.0, "mid")],
+        "lo double, hi double, band string",
+    )
+    joined = range_join(ev, bands, "value", "lo", "hi", bucket_width=50.0,
+                        how="left", fact_id="event_id")
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total"),

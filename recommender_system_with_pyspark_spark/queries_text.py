@@ -217,11 +217,13 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs — exact, via the broadcast+BLAS
-    matmul path (numpy over Arrow batches; ~30× the per-pair expression
-    fold). LSH/IVF generate candidates beyond broadcast scale."""
+    """Embedding-cosine near-duplicate pairs — exact and fully distributed:
+    block-matrix cogroup (each chunk-pair block is one BLAS matmul task; no
+    driver collect, no broadcast ceiling, scales as O(n²/C²) work × C²
+    tasks). ``embedding_near_dup_blas`` remains the opt-in fast path when
+    one side fits in a broadcast."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_near_dup_blas(emb, "vec_id", "embedding", threshold=0.4)
+    return S.embedding_near_dup_blocked(emb, "vec_id", "embedding", threshold=0.4, n_chunks=4)
 
 
 @query("ann_lsh_topk")  # random-projection specific → rows-only check
@@ -267,11 +269,55 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")  # Arrow-batch UDF → rows-only check
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, ascii(c) AS byte
+        FROM documents, unnest(string_split(text, '')) AS t(c)
+        WHERE length(text) > 0
+    ),
+    bins AS (
+        SELECT doc_id, byte * 16 // 256 AS bin, count(*)::DOUBLE AS cnt
+        FROM chars GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT d.doc_id, g.range AS bin, coalesce(b.cnt, CAST(0 AS DOUBLE)) AS cnt
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        CROSS JOIN range(16) g
+        LEFT JOIN bins b ON b.doc_id = d.doc_id AND b.bin = g.range
+    ),
+    agg AS (
+        SELECT doc_id, sum(cnt) AS total,
+               list(CAST(cnt AS BIGINT) ORDER BY bin) AS hist
+        FROM grid GROUP BY doc_id
+    ),
+    ent AS (
+        SELECT g.doc_id,
+               sum(CASE WHEN g.cnt > 0 THEN -(g.cnt / a.total) * log2(g.cnt / a.total)
+                        ELSE CAST(0 AS DOUBLE) END) AS entropy
+        FROM grid g JOIN agg a USING (doc_id)
+        GROUP BY g.doc_id
+    )
+    SELECT a.doc_id AS media_id,
+           CAST(a.total AS BIGINT) AS n_bytes,
+           round(e.entropy, 6) AS byte_entropy,
+           to_json(a.hist) AS histogram_json
+    FROM agg a JOIN ent e ON a.doc_id = e.doc_id
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary media via mapInPandas (Arrow batch
     iterator — the exact plumbing a neural encoder would use; codec stubbed
-    per container limits)."""
+    per container limits). The histogram is serialized with ``to_json`` so
+    the result is hashable row-wise (driver canonicalizer + oracle both
+    compare the compact JSON string). Oracle is exact because the synthetic
+    corpus is pure ASCII (byte == code point); entropy summation order
+    matches at 6 dp."""
     docs = load_table(spark, sf_dir, "documents")
     media = M.documents_as_media(docs)
-    return M.extract_byte_features(media, n_bins=16)
+    feats = M.extract_byte_features(media, n_bins=16)
+    return feats.select(
+        "media_id", "n_bytes", "byte_entropy",
+        F.to_json("histogram").alias("histogram_json"),
+    )

@@ -34,3 +34,22 @@ def test_range_join_equals_nested_loop(spark, sf_tiny):
     a = sorted((r["event_id"], r["band"]) for r in bucketed.collect())
     b = sorted((r["event_id"], r["band"]) for r in naive.collect())
     assert a == b
+
+
+def test_range_join_left_equals_nested_loop(spark, sf_tiny):
+    import pytest
+
+    ev = load_table(spark, sf_tiny, "events")
+    bands = spark.createDataFrame(
+        [(0.0, 37.5, "a"), (37.5, 205.0, "b")], "lo double, hi double, band string"
+    )
+    # a bucket-matched fact failing the residual must survive null-extended —
+    # exactly the rows a naive post-filter 'left' would silently drop
+    bucketed = range_join(ev, bands, "value", "lo", "hi", bucket_width=40.0,
+                          how="left", fact_id="event_id")
+    naive = ev.join(bands, (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")), "left")
+    a = sorted((r["event_id"], r["band"]) for r in bucketed.collect())
+    b = sorted((r["event_id"], r["band"]) for r in naive.collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        range_join(ev, bands, "value", "lo", "hi", bucket_width=40.0, how="left")

@@ -62,6 +62,18 @@ def test_feature_pipeline_scaled_bounds_and_scree(spark, labeled):
     assert bad.count() == 0
 
 
+def test_pca_loading_matrix_orthonormal_columns(spark, labeled):
+    pipe = FE.feature_pipeline(index_cols=["cat"], numeric_cols=["x", "y"], scale=True, pca_k=2)
+    model = FE.fit_features(pipe, labeled)
+    pc = FE.principal_components(model)  # (n_features × k), columns orthonormal
+    k = len(pc[0])
+    assert k == 2
+    for a in range(k):
+        for b in range(k):
+            dot = sum(row[a] * row[b] for row in pc)
+            assert abs(dot - (1.0 if a == b else 0.0)) < 1e-6
+
+
 def test_pca_dim_guard():
     pipe = FE.feature_pipeline(numeric_cols=[f"c{i}" for i in range(20_000)], pca_k=5)
     with pytest.raises(ValueError, match="ceiling"):

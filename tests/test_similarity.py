@@ -42,6 +42,27 @@ def test_embedding_near_dup_threshold(spark):
     assert pairs == {(0, 1)}
 
 
+def test_embedding_near_dup_blocked_matches_pair_join(spark, sf_tiny):
+    # the distributed block-matrix path must be EXACT: same pairs + sims
+    # (6 dp) as the native pair-join ground truth, for any chunk count
+    from recommender_system_with_pyspark_spark.io import load_table
+
+    emb = load_table(spark, sf_tiny, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in S.embedding_near_dup(emb, threshold=0.4).collect()
+    }
+    for n_chunks in (1, 3):
+        blocked = {
+            (r["id_a"], r["id_b"]): r["sim"]
+            for r in S.embedding_near_dup_blocked(
+                emb, threshold=0.4, n_chunks=n_chunks
+            ).collect()
+        }
+        assert blocked.keys() == exact.keys()
+        assert all(abs(blocked[k] - exact[k]) < 1e-6 for k in exact)
+
+
 def test_lsh_topk_recalls_nearest(spark):
     df = _vecs(spark)
     out = S.lsh_topk(df.filter("vec_id = 0"), df, k=1, num_hash_tables=8, bucket_length=2.0)

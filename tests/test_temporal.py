@@ -43,6 +43,27 @@ def test_as_of_join_hand_case(spark):
     assert out.count() == trades.count()  # left join: every trade preserved
 
 
+def test_as_of_join_tolerance_nulls_stale_matches(spark):
+    quotes = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 100.0)],
+        "key int, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:04:00"), "fresh"),   # 240s old → kept
+            (1, _ts("2024-01-01T10:05:00"), "edge"),    # exactly 300s → kept (> is strict)
+            (1, _ts("2024-01-01T10:06:00"), "stale"),   # 360s old → nulled
+        ],
+        "key int, ts timestamp, trade string",
+    )
+    out = as_of_join(
+        trades, quotes, "key", "key", "ts", "qts", ["px"], tolerance_seconds=300
+    )
+    got = {r["trade"]: r["px"] for r in out.collect()}
+    assert got == {"fresh": 100.0, "edge": 100.0, "stale": None}
+    assert out.count() == 3  # stale rows survive null-extended (LEFT)
+
+
 def test_as_of_join_tie_dedupe(spark):
     quotes = spark.createDataFrame(
         [(1, _ts("2024-01-01T10:00:00"), 5.0), (1, _ts("2024-01-01T10:00:00"), 9.0)],
@@ -63,6 +84,18 @@ def test_salted_join_equals_plain_join(spark, sf_tiny):
     plain = li.join(orders, "o_orderkey").groupBy("o_orderpriority").count()
     salted = salted_join(li, orders, "o_orderkey", salt=4).groupBy("o_orderpriority").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_salt_is_deterministic(spark):
+    # retry-safety: the salt must be a deterministic function of row content,
+    # never rand() — a recomputed partition (fetch failure / speculation /
+    # AQE replan) would otherwise re-salt rows differently from the
+    # already-shuffled small side and lose/duplicate rows.
+    big = spark.createDataFrame([(i % 3, f"v{i}") for i in range(50)], "k int, v string")
+    small = spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], "k int, w string")
+    plan = salted_join(big, small, "k", salt=4)._jdf.queryExecution().analyzed().toString()
+    assert "rand(" not in plan
+    assert "xxhash64" in plan
 
 
 def test_salted_left_join_preserves_unmatched(spark):

@@ -70,6 +70,22 @@ def test_simhash_identical_and_near(spark):
     assert d_near < d_far  # near-dup closer than unrelated doc
 
 
+def test_add_simhash_preserves_row_multiplicity(spark):
+    # id-keyed aggregation: exact-duplicate rows stay distinct rows (the
+    # former group-by-all-columns form collapsed them and shuffled raw text
+    # as the group key)
+    df = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"), (3, "other words entirely")],
+        "doc_id int, text string",
+    )
+    out = X.add_simhash(df, "text")
+    rows = out.collect()
+    assert len(rows) == 3
+    got = {r["doc_id"]: r["simhash"] for r in rows}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+
 def test_dedup_exact_counts(spark):
     out = D.dedup_exact(_docs(spark), "text", "doc_id")
     rows = {r["keep_id"]: r["dupes"] for r in out.collect()}
