@@ -162,9 +162,12 @@ def als_workflow(
         .transform(cleaned)
         .withColumn("UserId", F.col("UserId").cast("int"))
     )
+    # cache: the TVS grid re-consumes this frame once per fit (4x) plus the
+    # best-model refit and the test transform — without it the whole
+    # index+prune lineage (two shuffles) replays per fit
     pruned = R.prune_sparse_entities(
         indexed, "BGGId", "UserId", min_game_ratings, min_user_ratings
-    )
+    ).cache()
     res = als_prediction(
         pruned, user_col="UserId", item_col="BGGId", rating_col="Rating",
         tune=tune, **als_kwargs,

@@ -81,6 +81,16 @@ def als_prediction(
     from pyspark.ml.recommendation import ALS
     from pyspark.ml.tuning import ParamGridBuilder
 
+    # checkpointInterval is a silent no-op without a checkpoint dir, and at
+    # maxIter=20 the factor RDD lineage is deep enough to StackOverflow task
+    # serialization (hit at 2M rows already). Set one if the session has
+    # none — on a real cluster this should point at durable shared storage.
+    sc = ratings.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-als-ckpt-"))
+
     train, test = ratings.randomSplit([0.8, 0.2], seed=seed)
     als = ALS(
         userCol=user_col, itemCol=item_col, ratingCol=rating_col,

@@ -50,7 +50,7 @@ def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    block_col: str | None = None,
+    block_col: str | list[str] | None = None,
     threshold: float = 0.5,
     shingle_n: int = 1,
 ) -> DataFrame:
@@ -58,31 +58,36 @@ def jaccard_pairs(
 
     Pairs are generated within ``block_col`` groups (blocking keeps the
     quadratic blowup bounded — at scale use MinHash LSH to *generate* the
-    candidates and this operator only to *verify* them). Jaccard is a ratio
-    of integer set sizes — exactly deterministic, oracle-friendly.
+    candidates and this operator only to *verify* them). ``block_col`` may
+    be a list — a composite key like (lang, length-bucket) keeps block
+    cardinality bounded even when one key alone is near-degenerate (at
+    100 TB a single language block is ~the whole corpus; language x
+    32-token length bucket is not). Jaccard is a ratio of integer set
+    sizes — exactly deterministic, oracle-friendly.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    blocks = [block_col] if isinstance(block_col, str) else list(block_col or [])
     sets = (word_shingles(text_col, shingle_n) if shingle_n > 1
             else F.array_distinct(tokens(text_col)))
     base = df.select(
         F.col(id_col).alias("_id"),
-        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        *[F.col(c).alias(f"_blk{i}") for i, c in enumerate(blocks)],
         sets.alias("_set"),
     )
     a = base.select(
         F.col("_id").alias("id_a"),
-        *( [F.col("_blk").alias("_blk_a")] if block_col else [] ),
+        *[F.col(f"_blk{i}").alias(f"_blk{i}_a") for i in range(len(blocks))],
         F.col("_set").alias("_set_a"),
     )
     b = base.select(
         F.col("_id").alias("id_b"),
-        *( [F.col("_blk").alias("_blk_b")] if block_col else [] ),
+        *[F.col(f"_blk{i}").alias(f"_blk{i}_b") for i in range(len(blocks))],
         F.col("_set").alias("_set_b"),
     )
     cond = F.col("id_a") < F.col("id_b")
-    if block_col:
-        cond = cond & (F.col("_blk_a") == F.col("_blk_b"))
+    for i in range(len(blocks)):
+        cond = cond & (F.col(f"_blk{i}_a") == F.col(f"_blk{i}_b"))
     inter = F.size(F.array_intersect("_set_a", "_set_b"))
     union = F.size("_set_a") + F.size("_set_b") - inter
     return (

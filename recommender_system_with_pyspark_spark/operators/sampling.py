@@ -1,0 +1,78 @@
+"""Deterministic, content-addressed sampling & splitting (north-star
+extension: training-data pipeline ops).
+
+``df.sample()``/``randomSplit()`` draw per-partition pseudo-randoms — the
+kept set changes under repartition, task retry, or engine version, which is
+poison for a training pipeline (a re-run must reproduce yesterday's
+train/val/test membership EXACTLY, or eval sets leak into training).
+
+Everything here derives the decision from a hash of the ROW KEY instead:
+
+    bucket(k) = int(hex(md5(k || ':' || seed))[:8])   in [0, 2^32)
+
+- Same key → same decision, on any partitioning, any cluster, any day.
+- md5 is engine-portable (identical in Spark, DuckDB, Python), so sampling
+  decisions can be verified — and reproduced — outside Spark.
+- Sampling/splitting becomes a pure projection + filter: no shuffle, fully
+  pushdown-friendly, trivially parallel at 100 TB.
+- Different ``seed`` values give independent samples (hash avalanche), so
+  nested draws (sample 10% of the 80% train split) stay unbiased.
+
+The reference's unseeded ``randomSplit`` (M9 quirk, `bgrfunctions.py:183`)
+is the cautionary tale these operators replace.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1 << 32
+
+
+def hash_bucket(key: Column | str, seed: int | str = 0) -> Column:
+    """Uniform bucket in [0, 2^32) from the md5 of (key, seed) — the first
+    8 hex chars parsed as an integer. Portable across engines (DuckDB:
+    ``('0x' || substr(md5(k || ':' || seed), 1, 8))::BIGINT``)."""
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(k.cast("string"), F.lit(f":{seed}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Keep rows whose key-bucket falls below ``fraction`` — a deterministic
+    Bernoulli(fraction) sample keyed by content, stable across runs,
+    partitionings, and engines. All rows sharing a key are kept or dropped
+    together (sample by document, not by shard)."""
+    return df.filter(hash_bucket(key_col, seed) < int(fraction * _BUCKETS))
+
+
+def stable_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: int | str = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row a named split (e.g. train/val/test 0.8/0.1/0.1) by
+    key-bucket range — the deterministic replacement for ``randomSplit``.
+    Weights must sum to ~1; assignment is exhaustive (the last split takes
+    any remainder, so float dust can't drop rows)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(key_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < int(acc * _BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1]))
+    return df.withColumn(out_col, expr)

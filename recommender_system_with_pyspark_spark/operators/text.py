@@ -226,3 +226,43 @@ def add_simhash(
 def hamming64(a: Column, b: Column) -> Column:
     """Popcount of XOR — Hamming distance between two 64-bit signatures."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# PII / boilerplate scrubbing patterns — deliberately simple, engine-portable
+# regexes (no lookbehind), identical semantics in Java regex and DuckDB/RE2.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+LONG_DIGITS_RE = r"[0-9]{7,}"
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    email_token: str = "<EMAIL>",
+    url_token: str = "<URL>",
+    digits_token: str = "<NUM>",
+) -> DataFrame:
+    """Redact emails, URLs, and long digit runs from a text column — the
+    standard pre-training privacy pass. Pure codegen ``regexp_replace``
+    chain: no Python, no shuffle, linear scan — the shape that holds at
+    100 TB. URL redaction runs FIRST so an address embedded in a URL query
+    string is swallowed by the URL token, then emails, then digit runs.
+
+    Redaction counts ride along as ``{out}_n_urls/_n_emails/_n_digits`` —
+    each counts what its own rule redacts (an email inside a URL counts as
+    URL, not email) — so downstream filters can drop PII-dense documents
+    instead of just masking them."""
+    out = out_col or text_col
+    src = F.col(text_col)
+    no_url = F.regexp_replace(src, URL_RE, "")
+    no_email = F.regexp_replace(no_url, EMAIL_RE, "")
+    scrubbed = F.regexp_replace(src, URL_RE, url_token)
+    scrubbed = F.regexp_replace(scrubbed, EMAIL_RE, email_token)
+    scrubbed = F.regexp_replace(scrubbed, LONG_DIGITS_RE, digits_token)
+    return (
+        df.withColumn(f"{out}_n_urls", F.regexp_count(src, F.lit(URL_RE)))
+        .withColumn(f"{out}_n_emails", F.regexp_count(no_url, F.lit(EMAIL_RE)))
+        .withColumn(f"{out}_n_digits", F.regexp_count(no_email, F.lit(LONG_DIGITS_RE)))
+        .withColumn(out, scrubbed)
+    )

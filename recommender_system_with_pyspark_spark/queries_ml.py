@@ -139,6 +139,33 @@ def feature_pipeline_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("als_golden")  # iterative estimator → rows-only; golden bands asserted in-row
+def als_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-metric pin for the reference's E2 result (`risultati.txt:140-144`:
+    RMSE 1.1024 / R^2 0.4225 at rank 20, regParam 0.1, maxIter 20, seed 1).
+
+    Runs ALS with the reference's winning hyperparameters on the calibrated
+    synthetic BGG corpus (domain/golden.py — deterministic hash-based draws,
+    partitioning-independent; reference per-user/per-item density at 2M
+    rows). Emits the measured metrics plus in-band flags so the driver's
+    row hash pins them; `tools/als_reference_scale.py` runs the same
+    pipeline at the full 18.9M-row scale with the full TVS grid."""
+    from .domain.golden import synthetic_ratings
+    from .ml.models import als_prediction
+
+    df = synthetic_ratings(spark, 2_000_000, 42_000, 2_300, partitions=64).cache()
+    res = als_prediction(
+        df, user_col="user_id", item_col="item_id", rating_col="rating",
+        ranks=(20,), reg_params=(0.1,), max_iter=20, seed=1, tune=False,
+    )
+    rmse, r2 = res.metrics["rmse"], res.metrics["r2"]
+    return spark.createDataFrame(
+        [(round(rmse, 2), round(r2, 2),
+          bool(abs(rmse - 1.1024) <= 0.05), bool(abs(r2 - 0.4225) <= 0.05))],
+        "rmse double, r2 double, rmse_in_band boolean, r2_in_band boolean",
+    )
+
+
 @query("pca_loadings")  # eigenvector sign ambiguity → rows-only
 def pca_loadings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M22 — the PCA loading matrix (``PCAModel.pc``, reference

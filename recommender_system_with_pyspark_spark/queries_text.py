@@ -160,6 +160,47 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(docs, "text", "doc_id", block_col="lang", threshold=0.8, shingle_n=1)
 
 
+@query(
+    "ngram_jaccard_blocked",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+        FROM documents
+    ), sb AS (
+        SELECT doc_id, lang, toks, len(toks) // 32 AS len_bucket FROM s
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / greatest(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)), 1), 6) AS jaccard
+    FROM sb a JOIN sb b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / greatest(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)), 1) >= 0.8
+    """,
+)
+def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard near-dup pairs under a COMPOSITE blocking key:
+    (lang, 32-token length bucket). The finer key is what makes the
+    exact-verify path usable beyond toy blocks — a language alone is
+    ~the whole corpus at 100 TB, while language x length-bucket bounds each
+    block (cardinality invariant tested in test_text_dedup). Near-dup pairs
+    straddling a bucket boundary are excluded by construction on BOTH
+    engines, so the oracle hash still matches; at >=0.8 Jaccard, token
+    counts differ by <25%, so only boundary-adjacent pairs are affected —
+    recover them with the standard two-pass trick (re-run with buckets
+    offset by half a width) or use MinHash LSH as the candidate generator."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_bucket = docs.withColumn(
+        "len_bucket",
+        F.floor(F.size(F.array_distinct(X.tokens("text"))) / 32),
+    )
+    return D.jaccard_pairs(
+        with_bucket, "text", "doc_id",
+        block_col=["lang", "len_bucket"], threshold=0.8, shingle_n=1,
+    )
+
+
 @query("minhash_near_dup")  # Spark-hash-specific → rows-only check
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native MinHash-LSH near-dup pairs (3-word shingles, 16 permutations
@@ -320,4 +361,120 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "n_bytes", "byte_entropy",
         F.to_json("histogram").alias("histogram_json"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splitting / scrubbing (training-pipeline ops)
+# ---------------------------------------------------------------------------
+
+@query(
+    "hash_sample",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE CAST(('0x' || substr(md5(doc_id || ':7'), 1, 8)) AS BIGINT) < 429496729
+    """,
+)
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample keyed by md5(doc_id) — the same
+    rows survive on every run, partitioning, and engine (the oracle runs
+    the IDENTICAL predicate in DuckDB), unlike df.sample(). A projection +
+    filter: no shuffle, linear at 100 TB."""
+    from .operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.hash_sample(docs, "doc_id", 0.1, seed=7).select("doc_id", "lang", "source")
+
+
+@query(
+    "stable_split",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(doc_id || ':42'), 1, 8)) AS BIGINT) AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 3435973836 THEN 'train'
+                WHEN bucket < 3865470566 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM b GROUP BY 1
+    """,
+)
+def stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by md5 key-bucket — the
+    replacement for the reference's unseeded randomSplit (M9 quirk,
+    `bgrfunctions.py:183`): membership is a pure function of the document
+    id, so a re-run months later reproduces yesterday's eval set exactly.
+    min/max doc ids per split pin the actual membership, not just sizes."""
+    from .operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = SA.stable_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@query(
+    "pii_scrub",
+    oracle="""
+    WITH injected AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN
+                    text || ' contact user' || doc_id ||
+                    '@example.com id 123456789 or https://ex.com/u/' || doc_id
+               ELSE text END AS text
+        FROM documents
+    ), no_url AS (
+        SELECT doc_id, text, regexp_replace(text, 'https?://[^\\s]+', '', 'g') AS t1
+        FROM injected
+    ), no_email AS (
+        SELECT doc_id, text, t1,
+               regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '', 'g') AS t2
+        FROM no_url
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS INTEGER) AS n_urls,
+           CAST(len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(t2, '[0-9]{7,}')) AS INTEGER) AS n_digits,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               'https?://[^\\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{7,}', '<NUM>', 'g')) AS scrub_md5
+    FROM no_email
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (URLs → emails → long digit runs, in that order)
+    with per-rule counts. The corpus is synthetic word-salad, so PII is
+    INJECTED deterministically on every 7th document (same injection in the
+    oracle) — the query then proves the scrubber removes exactly it. Output
+    compares the md5 of the scrubbed text so the full redacted body is
+    pinned, not just the counts. Pure regexp codegen: linear, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com id 123456789 or https://ex.com/u/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    scrubbed = X.scrub_pii(injected, "text", out_col="scrubbed")
+    return scrubbed.select(
+        "doc_id",
+        F.col("scrubbed_n_urls").alias("n_urls"),
+        F.col("scrubbed_n_emails").alias("n_emails"),
+        F.col("scrubbed_n_digits").alias("n_digits"),
+        F.md5("scrubbed").alias("scrub_md5"),
     )
