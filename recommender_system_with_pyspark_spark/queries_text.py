@@ -168,7 +168,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
         FROM documents
     ), sb AS (
-        SELECT doc_id, lang, toks, len(toks) // 32 AS len_bucket FROM s
+        SELECT doc_id, lang, toks, len(toks) // 4 AS len_bucket FROM s
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_intersect(a.toks, b.toks))::DOUBLE
@@ -181,19 +181,19 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard near-dup pairs under a COMPOSITE blocking key:
-    (lang, 32-token length bucket). The finer key is what makes the
+    (lang, 4-token length bucket). The finer key is what makes the
     exact-verify path usable beyond toy blocks — a language alone is
     ~the whole corpus at 100 TB, while language x length-bucket bounds each
     block (cardinality invariant tested in test_text_dedup). Near-dup pairs
     straddling a bucket boundary are excluded by construction on BOTH
     engines, so the oracle hash still matches; at >=0.8 Jaccard, token
-    counts differ by <25%, so only boundary-adjacent pairs are affected —
+    counts differ by <12%, so only boundary-adjacent pairs are affected —
     recover them with the standard two-pass trick (re-run with buckets
     offset by half a width) or use MinHash LSH as the candidate generator."""
     docs = load_table(spark, sf_dir, "documents")
     with_bucket = docs.withColumn(
         "len_bucket",
-        F.floor(F.size(F.array_distinct(X.tokens("text"))) / 32),
+        F.floor(F.size(F.array_distinct(X.tokens("text"))) / 4),
     )
     return D.jaccard_pairs(
         with_bucket, "text", "doc_id",

@@ -124,7 +124,7 @@ def test_jaccard_composite_blocking_bounds_blocks(spark, sf_small):
 
     docs = load_table(spark, sf_small, "documents")
     bucketed = docs.withColumn(
-        "len_bucket", F.floor(F.size(F.array_distinct(tokens("text"))) / 32)
+        "len_bucket", F.floor(F.size(F.array_distinct(tokens("text"))) / 4)
     )
     single = docs.groupBy("lang").count().agg(F.max("count")).first()[0]
     composite = (
