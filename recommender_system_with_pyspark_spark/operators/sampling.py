@@ -76,3 +76,30 @@ def stable_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = (expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1]))
     return df.withColumn(out_col, expr)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the domain-mixture op of a
+    training-data pipeline ("keep all wiki, 10% of crawl"): each stratum
+    value gets its own keep-fraction, applied via the same portable
+    md5 key-bucket as :func:`hash_sample` (strata with rate >= 1 keep
+    everything; unlisted strata keep ``default_rate``).
+
+    One codegen CASE over a broadcastable literal map — no shuffle, no
+    per-stratum passes, linear at 100 TB."""
+    bucket = hash_bucket(key_col, seed)
+    thresh = None
+    for value, rate in rates.items():
+        t = F.lit(min(int(rate * _BUCKETS), _BUCKETS))
+        cond = F.col(strata_col) == value
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = thresh.otherwise(F.lit(min(int(default_rate * _BUCKETS), _BUCKETS))) \
+        if thresh is not None else F.lit(min(int(default_rate * _BUCKETS), _BUCKETS))
+    return df.filter(bucket < thresh)

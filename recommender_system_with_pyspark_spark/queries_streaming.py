@@ -86,13 +86,42 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows(ev, "30 minutes", watermark=None)
 
 
-@query("stream_session_windows")  # append-mode emission timing → rows-only
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    ), sessions AS (
+        SELECT user_id,
+               epoch_us(min(ts)) // 1000000 AS session_start,
+               (epoch_us(max(ts)) + 1800000000) // 1000000 AS session_end,
+               epoch_us(max(ts)) + 1800000000 AS end_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM islands GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM sessions
+    WHERE end_us <= (SELECT max(epoch_us(ts)) FROM events) - 7200000000
+    """,
+)
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming session windows with watermark (append mode — the
     only mode Spark supports for streaming session aggregations). Append
-    emits only watermark-closed sessions, so sessions still open at
-    end-of-input are withheld — batch-equivalence modulo that tail is
-    asserted in tests, hence rows-only here."""
+    emits exactly the sessions CLOSED by the final watermark — i.e. batch
+    sessions whose end (last event + 30-min gap) precedes max(ts) − 2 h —
+    so the oracle is the batch island construction plus that watermark
+    predicate. Sessions still open at end-of-input are withheld by design
+    (they'd emit on the next batch in production); full batch-equivalence
+    including the tail is covered by ``session_window_batch``."""
     ev = stream_events(spark, sf_dir)
     return run_to_memory_sink(session_windows(ev, "30 minutes", "2 hours"), "append")
 

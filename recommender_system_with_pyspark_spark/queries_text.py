@@ -478,3 +478,115 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("scrubbed_n_digits").alias("n_digits"),
         F.md5("scrubbed").alias("scrub_md5"),
     )
+
+
+@query(
+    "domain_mix_sample",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, lang, source,
+               CAST(('0x' || substr(md5(doc_id || ':13'), 1, 8)) AS BIGINT) AS bucket
+        FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 4294967296
+                             WHEN 'de' THEN 2147483648
+                             WHEN 'fr' THEN 2147483648
+                             WHEN 'es' THEN 1073741824
+                             ELSE 429496729 END
+    GROUP BY lang
+    """,
+)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling — per-stratum keep rates (all English, half
+    German/French, a quarter Spanish, 10% of everything else), decided by
+    the portable md5 key-bucket so the mix is reproducible across runs and
+    engines. One codegen CASE + filter: no shuffle until the reporting agg."""
+    from .operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = SA.stratified_hash_sample(
+        docs, "doc_id", "lang",
+        rates={"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25},
+        default_rate=0.1, seed=13,
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@query(
+    "training_mix",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               length(text)                                                       AS n_chars,
+               len(string_split_regex(trim(lower(text)), '\\s+'))                 AS n_tokens,
+               length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+               len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is)\\b'))   AS sw_hits,
+               md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))            AS fp,
+               CAST(('0x' || substr(md5(doc_id || ':42'), 1, 8)) AS BIGINT)       AS bucket
+        FROM documents
+    ), scored AS (
+        SELECT *,
+               0.4 * least(n_chars / 500.0, 1.0)
+             + 0.3 * greatest(0.0, 1.0 - (n_punct / greatest(n_chars, 1)::DOUBLE) * 5)
+             + 0.3 * least((sw_hits / greatest(n_tokens, 1)::DOUBLE) * 4, 1.0) AS quality
+        FROM t
+    )
+    SELECT CASE WHEN bucket < 3435973836 THEN 'train'
+                WHEN bucket < 3865470566 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_unique
+    FROM scored
+    WHERE quality >= 0.5
+    GROUP BY 1, 2
+    """,
+)
+def training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep composite: quality-score filter
+    (>= 0.5) → deterministic 80/10/10 split → per (split, lang) corpus
+    accounting (doc count, token budget, distinct-fingerprint count — the
+    dedup-aware size). Every stage is the engine's own operator
+    (add_quality_score, add_token_stats, add_fingerprint, stable_split)
+    composed lazily into TWO shuffles total (the final group-by +
+    count-distinct) — filters and projections all pipeline into the scan."""
+    from .operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = X.add_quality_score(docs, "text")
+    scored = X.add_token_stats(scored, "text")
+    scored = X.add_fingerprint(scored, "text")
+    kept = scored.filter(F.col("quality") >= 0.5)
+    split = SA.stable_split(kept, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42)
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("fingerprint").alias("n_unique"),
+    )
+
+
+@query("sequence_packing")  # FFD bin assignment is not SQL-expressible → rows-only
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: documents first-fit-decreasing into
+    128-token windows inside deterministic hash groups (Arrow-batched
+    applyInPandas; parallelism = groups, packing state never leaves the
+    task). Invariants (every doc packed exactly once, no window over
+    budget, fill rate vs the theoretical floor) are pytest-enforced;
+    output here is the per-group accounting."""
+    from .operators import packing as P
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id", F.size(X.tokens("text")).alias("n_tokens")
+    )
+    packed = P.pack_sequences(with_counts, "doc_id", "n_tokens", budget=128, n_groups=16)
+    return P.packing_stats(packed, budget=128).orderBy("pack_group")

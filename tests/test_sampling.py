@@ -64,3 +64,57 @@ def test_scrub_pii_redacts_in_order(spark):
     assert out[2]["s"] == "clean text only"
     assert out[2]["s_n_urls"] == 0
     assert out[3]["s"] is None
+
+
+def test_stratified_hash_sample_rates(spark):
+    df = spark.range(20_000).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("stratum"),
+    )
+    out = SA.stratified_hash_sample(
+        df, "key", "stratum", rates={"a": 1.0, "b": 0.25}, default_rate=0.0
+    )
+    counts = {r["stratum"]: r["n"] for r in
+              out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert counts["a"] == 10_000  # rate 1.0 keeps every row
+    assert 0.21 < counts["b"] / 10_000 < 0.29
+
+
+def test_stratified_hash_sample_default_rate_drops_unlisted(spark):
+    df = spark.range(1000).select(F.col("id").alias("key"), F.lit("zz").alias("stratum"))
+    assert SA.stratified_hash_sample(df, "key", "stratum", rates={"a": 1.0}).count() == 0
+
+
+def test_pack_sequences_invariants(spark):
+    from recommender_system_with_pyspark_spark.operators import packing as P
+
+    docs = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(200)) + 1).cast("int").alias("n_tokens"),
+    )
+    packed = P.pack_sequences(docs, "doc_id", "n_tokens", budget=128, n_groups=8).cache()
+    try:
+        # every doc packed exactly once
+        assert packed.count() == 3000
+        assert packed.select("doc_id").distinct().count() == 3000
+        # no window exceeds the budget unless it holds a single truncated doc
+        over = (
+            packed.groupBy("window_id")
+            .agg(F.sum("n_tokens").alias("t"), F.count("*").alias("c"),
+                 F.max(F.col("truncated").cast("int")).alias("tr"))
+            .filter((F.col("t") > 128) & ~((F.col("c") == 1) & (F.col("tr") == 1)))
+            .count()
+        )
+        assert over == 0
+        # deterministic across partitionings
+        repacked = P.pack_sequences(docs.repartition(13), "doc_id", "n_tokens",
+                                    budget=128, n_groups=8)
+        a = {(r["doc_id"], r["window_id"]) for r in packed.collect()}
+        b = {(r["doc_id"], r["window_id"]) for r in repacked.collect()}
+        assert a == b
+        # FFD within groups stays near the global lower bound sum/budget
+        n_windows = packed.select("window_id").distinct().count()
+        floor = docs.select((F.ceil(F.sum("n_tokens") / 128)).cast("int")).first()[0]
+        assert n_windows <= floor * 1.25 + 8
+    finally:
+        packed.unpersist()
