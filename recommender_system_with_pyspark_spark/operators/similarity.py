@@ -339,3 +339,68 @@ def embedding_near_dup(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def write_ivf_index(
+    candidates: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 1,
+) -> list[list[float]]:
+    """Materialize the IVF index: assign each candidate to its nearest
+    KMeans cell and write parquet PARTITIONED BY cell — the physical layout
+    that turns a probe into a partition-pruned scan (read n_probe/n_cells
+    of the data; at 100 TB that is the difference between touching 100 TB
+    and ~6 TB). Returns the coarse centroids (n_cells × dim — driver-small
+    by construction) for :func:`ivf_probe`."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cand = _as_double(
+        candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")), "_cv"
+    ).withColumn("_vec", array_to_vector("_cv"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_vec", predictionCol="cell").fit(cand)
+    (
+        model.transform(cand)
+        .select("neighbor_id", F.col("_cv").alias("embedding"), "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    centers: list[list[float]],
+    query_vec: list[float],
+    n_probe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """Probe a partitioned IVF index for one query vector: rank cells by
+    centroid cosine ON THE DRIVER (centers are tiny), then scan ONLY the
+    ``n_probe`` matching partitions — the ``cell IN (...)`` literal filter
+    becomes a PartitionFilter, so unprobed partitions are never listed,
+    opened, or read (assert via plans.explain / test_plans). Exact cosine
+    re-rank inside the probed cells."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(range(len(centers)), key=lambda i: (-cos(query_vec, centers[i]), i))
+    probe_cells = ranked[:n_probe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    scored = scan.withColumn("sim", F.round(cosine(q, F.col("embedding")), 6))
+    return (
+        scored.orderBy(F.desc("sim"), F.asc("neighbor_id"))
+        .limit(k)
+        .select("neighbor_id", "sim", "cell")
+    )

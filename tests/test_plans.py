@@ -80,3 +80,31 @@ def test_scalar_ops_stay_in_codegen(spark, sf_tiny):
     q = add_token_stats(docs)
     assert E.shuffle_count(q) == 0
     assert E.codegen_stage_count(q) >= 1
+
+
+def test_sampling_ops_are_scan_level(spark, sf_tiny):
+    """hash_sample / stable_split / scrub_pii are projections+filters: zero
+    shuffles, and the scan is pruned to the referenced columns only."""
+    from recommender_system_with_pyspark_spark.registry import QUERIES
+
+    q = QUERIES["hash_sample"](spark, sf_tiny)
+    assert E.shuffle_count(q) == 0
+    assert set(E._schema_cols(E.read_schema(q))) <= {"doc_id", "lang", "source"}
+
+
+def test_training_mix_two_shuffle_budget(spark, sf_tiny):
+    """The full prep composite (quality filter -> split -> grouped
+    accounting with count-distinct) must cost exactly the two exchanges of
+    its final aggregation — everything upstream pipelines into the scan."""
+    from recommender_system_with_pyspark_spark.registry import QUERIES
+
+    df = QUERIES["training_mix"](spark, sf_tiny)
+    assert E.shuffle_count(df) <= 2
+
+
+def test_domain_mix_sample_single_shuffle(spark, sf_tiny):
+    from recommender_system_with_pyspark_spark.registry import QUERIES
+
+    df = QUERIES["domain_mix_sample"](spark, sf_tiny)
+    assert E.shuffle_count(df) == 1  # only the reporting groupBy
+    assert set(E._schema_cols(E.read_schema(df))) <= {"doc_id", "lang"}

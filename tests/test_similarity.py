@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from recommender_system_with_pyspark_spark.operators import similarity as S
 
 
@@ -81,3 +83,37 @@ def test_ivf_topk_recalls_nearest(spark, sf_tiny):
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     assert e == a  # probing every cell must reproduce brute force
+
+
+def test_ivf_partitioned_index_prunes_partitions(spark, sf_tiny, tmp_path):
+    """The IVF scale story made concrete: probing reads ONLY the n_probe
+    cell partitions (PartitionFilters in the scan; pruned files never
+    listed), and the pruned scan's top-k equals brute force restricted to
+    the probed cells."""
+    from recommender_system_with_pyspark_spark.io import load_table
+    from recommender_system_with_pyspark_spark.plans.explain import formatted_plan
+
+    emb = load_table(spark, sf_tiny, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    centers = S.write_ivf_index(emb, path, "vec_id", "embedding", n_cells=8, seed=1)
+    assert len(centers) == 8
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = S.ivf_probe(spark, path, centers, qvec, n_probe=2, k=5)
+    plan = formatted_plan(out)
+    # the literal cell filter must prune at the partition level, not post-scan
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    rows = out.collect()
+    assert len(rows) == 5
+    probed_cells = {r["cell"] for r in rows}
+    assert len(probed_cells) <= 2
+    # pruned-scan result == brute force over the probed partitions
+    full = spark.read.parquet(path)
+    brute = (
+        full.filter(F.col("cell").isin([int(c) for c in probed_cells]))
+        .withColumn("sim", F.round(S.cosine(
+            F.array(*[F.lit(x) for x in qvec]), F.col("embedding")), 6))
+        .orderBy(F.desc("sim"), F.asc("neighbor_id")).limit(5).collect()
+    )
+    assert [(r["neighbor_id"], r["sim"]) for r in rows] == \
+           [(r["neighbor_id"], r["sim"]) for r in brute]
