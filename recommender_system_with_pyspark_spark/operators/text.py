@@ -80,17 +80,24 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
 def shingle_hashes(col: Column | str, n: int = 3) -> Column:
     """Distinct 64-bit hashes of n-word shingles without materializing the
-    shingle strings. NOTE measured SLOWER than word_shingles+hash in the
-    MinHash path: Catalyst inlines the token-hash array once per
-    element_at, re-tokenizing n× per shingle — kept for reference, not used
-    in the hot path."""
-    th = F.transform(tokens(col), lambda t: F.xxhash64(t))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(th) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.xxhash64(*[F.element_at(th, i + j) for j in range(n)]),
-        )
+    shingle strings — the MinHash hot path (signature AND verify operate on
+    hash sets; a 64-bit collision is the only way this differs from string
+    shingles). ``_bind`` makes the token-hash array a real lambda variable;
+    the unbound form re-tokenized n× per shingle and measured 3× slower
+    than strings, the bound form is ~30% FASTER (and explodes 8-byte longs
+    instead of shingle strings — the shuffle-size win grows with document
+    length at 100 TB)."""
+    return _bind(
+        F.transform(tokens(col), lambda t: F.xxhash64(t)),
+        lambda th: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(th) - n, F.lit(0))),
+                # F.get is null-safe on the tail (a doc shorter than n
+                # tokens yields one padded shingle; element_at would raise
+                # under ANSI) — xxhash64 folds nulls deterministically
+                lambda i: F.xxhash64(*[F.get(th, i + j) for j in range(n)]),
+            )
+        ),
     )
 
 
