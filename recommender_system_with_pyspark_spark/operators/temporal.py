@@ -55,10 +55,15 @@ def as_of_join(
         .drop("_rn")
     )
     # the payload struct carries the matched right time as a hidden field so
-    # tolerance can be applied after the fill
-    struct_fields = [*payload, "__rt"]
+    # tolerance can be applied after the fill; fields keep their NATIVE
+    # right-side types (a string round-trip would corrupt high-precision
+    # timestamps/decimals and change NaN/Inf semantics)
+    right_types = dict(r.dtypes)
+    struct_ddl = ",".join(
+        [f"`{c}`:{right_types[c]}" for c in payload] + [f"`__rt`:{right_types[right_time]}"]
+    )
     l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
-        "_payload", F.lit(None).cast(f"struct<{','.join(f'{c}:string' for c in struct_fields)}>")
+        "_payload", F.lit(None).cast(f"struct<{struct_ddl}>")
     )
     # build the union frames with aligned schemas
     left_cols = [c for c in left.columns]
@@ -68,8 +73,8 @@ def as_of_join(
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols if c not in (left_key, left_time)],
         F.lit(0).alias("_side"),
         F.struct(
-            *[F.col(c).cast("string").alias(c) for c in payload],
-            F.col(right_time).cast("string").alias("__rt"),
+            *[F.col(c).alias(c) for c in payload],
+            F.col(right_time).alias("__rt"),
         ).alias("_payload"),
     ).select(*left_cols, "_side", "_payload")
     unioned = l_tagged.select(*left_cols, "_side", "_payload").unionByName(r_tagged)
@@ -80,25 +85,25 @@ def as_of_join(
     )
     filled = unioned.withColumn("_last", F.last("_payload", ignorenulls=True).over(w))
     out = filled.filter(F.col("_side") == 1).drop("_side", "_payload")
-    # unpack payload struct with right-side types preserved via cast-back
-    right_types = dict(r.dtypes)
+    # unpack the natively-typed payload struct
     if tolerance_seconds is not None:
         # timestamp→double casts to epoch seconds; numeric time columns cast
         # through unchanged; dates go via timestamp (date→double is invalid)
         def _secs(col: F.Column, dtype: str) -> F.Column:
             return (col.cast("timestamp") if dtype == "date" else col).cast("double")
 
-        matched_rt = F.col("_last.__rt").cast(right_types[right_time])
         stale = (
             _secs(F.col(left_time), dict(left.dtypes)[left_time])
-            - _secs(matched_rt, right_types[right_time])
+            - _secs(F.col("_last.__rt"), right_types[right_time])
         ) > F.lit(float(tolerance_seconds))
         for c in payload:
-            val = F.col(f"_last.{c}").cast(right_types[c])
-            out = out.withColumn(c, F.when(stale, F.lit(None).cast(right_types[c])).otherwise(val))
+            out = out.withColumn(
+                c,
+                F.when(stale, F.lit(None).cast(right_types[c])).otherwise(F.col(f"_last.{c}")),
+            )
     else:
         for c in payload:
-            out = out.withColumn(c, F.col(f"_last.{c}").cast(right_types[c]))
+            out = out.withColumn(c, F.col(f"_last.{c}"))
     return out.drop("_last")
 
 

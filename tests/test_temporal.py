@@ -111,3 +111,25 @@ def test_date_parts_values(spark):
     row = date_parts(df, "ts").first()
     assert (row["year"], row["quarter"], row["month"], row["day"], row["hour"]) == (2024, 1, 3, 15, 13)
     assert row["weekday"] == 4  # 2024-03-15 is a Friday, Monday=0
+
+def test_as_of_join_preserves_exotic_payload_types(spark):
+    """Payloads ride the fill struct in their NATIVE types — a microsecond
+    timestamp and a decimal survive bit-exact (the former string round-trip
+    was lossy for these)."""
+    from decimal import Decimal
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200)], "k int, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 50, dt.datetime(2024, 1, 1, 0, 0, 0, 123456), Decimal("1.23456789"))],
+        "k int, rt long, stamp timestamp, dec decimal(18,8)",
+    )
+    out = as_of_join(
+        left, right, left_key="k", right_key="k",
+        left_time="t", right_time="rt", payload_cols=["stamp", "dec"],
+    ).collect()
+    by_t = {r["t"]: r for r in out}
+    assert by_t[100]["stamp"] == dt.datetime(2024, 1, 1, 0, 0, 0, 123456)
+    assert by_t[100]["dec"] == Decimal("1.23456789")
+    assert out[0]["stamp"].microsecond == 123456
