@@ -215,3 +215,154 @@ def cross_validated_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = _cv(lr, ev, grid, seed=1, num_folds=3).fit(df)
     acc = ev.evaluate(model.bestModel.transform(df))
     return spark.createDataFrame([(round(acc, 4),)], "accuracy double")
+
+
+@query(
+    "returned_items",  # TPC-H Q10 shape
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returns. The
+    returnflag filter reaches the lineitem scan (pushdown); customer and
+    nation broadcast; the fact shuffles once for the aggregate; top-20 is
+    TakeOrdered, never a global sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "nation_trade_volume",  # TPC-H Q7 shape
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l_shipdate) AS ship_year,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume by ship year. Five joins,
+    ONE fact shuffle: every dimension (orders→customer chain included at
+    this cardinality ratio would shuffle, so orders joins shuffled but
+    customer/supplier/nation broadcast) — the inequality filter runs
+    post-join on broadcast columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    sn = nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("snk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        # decimal accumulation: double sums drift in the last cent across
+        # engines once groups span ~10^4 rows; DECIMAL addition is exact
+        # and associative, so the oracle matches at any group size
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2
+            ).cast("double").alias("volume")
+        )
+    )
+
+
+@query(
+    "large_orders",  # TPC-H Q18 shape
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 230
+    )
+    SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS totalprice,
+           round(total_qty, 2) AS total_qty
+    FROM orders JOIN big ON o_orderkey = l_orderkey
+    """,
+)
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose lineitems sum past a quantity
+    threshold — aggregate-then-join (the HAVING runs before the join, so
+    only qualifying keys shuffle into it; at 100 TB the aggregate output is
+    tiny and broadcasts into orders)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 230)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "parts_above_brand_avg",  # decorrelated scalar-subquery pattern
+    oracle="""
+    WITH b AS (
+        SELECT p_brand, avg(p_retailprice) AS brand_avg
+        FROM part GROUP BY p_brand
+    )
+    SELECT p_partkey, p_brand,
+           round(p_retailprice, 2) AS price,
+           round(brand_avg, 6) AS brand_avg
+    FROM part JOIN b USING (p_brand)
+    WHERE p_retailprice > brand_avg * 1.2
+    """,
+)
+def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery ('parts priced 20% above their brand's
+    average'), decorrelated the Spark way: one aggregate + a broadcast
+    join back — the single-pass plan the optimizer produces for the
+    correlated SQL form."""
+    part = load_table(spark, sf_dir, "part")
+    brand_avg = part.groupBy("p_brand").agg(F.avg("p_retailprice").alias("brand_avg"))
+    return (
+        part.join(F.broadcast(brand_avg), "p_brand")
+        .filter(F.col("p_retailprice") > F.col("brand_avg") * 1.2)
+        .select(
+            "p_partkey", "p_brand",
+            F.round("p_retailprice", 2).alias("price"),
+            F.round("brand_avg", 6).alias("brand_avg"),
+        )
+    )
