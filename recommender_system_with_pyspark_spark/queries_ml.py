@@ -95,9 +95,46 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corr_m(li, ["l_quantity", "l_extendedprice", "l_discount"])
 
 
-@query("chi_square")  # p-values need the chi² CDF → rows-only
+@query(
+    "chi_square",
+    oracle="""
+    WITH base AS (
+        SELECT CASE WHEN event_type = 'click' THEN 0.0
+                    WHEN event_type = 'error' THEN 1.0
+                    WHEN event_type = 'purchase' THEN 2.0
+                    WHEN event_type = 'signup' THEN 3.0
+                    ELSE 4.0 END AS type_code,
+               CAST(hour(ts) AS DOUBLE) AS hour_code,
+               CASE WHEN value < 50.0 THEN 0.0 ELSE 1.0 END AS label
+        FROM events
+    ), stacked AS (
+        SELECT 'type_code' AS feature, type_code AS f, label FROM base
+        UNION ALL
+        SELECT 'hour_code', hour_code, label FROM base
+    ), obs AS (
+        SELECT feature, f, label, count(*)::DOUBLE AS o FROM stacked GROUP BY 1, 2, 3
+    ), fm AS (SELECT feature, f, sum(o) AS rt FROM obs GROUP BY 1, 2),
+    lm AS (SELECT feature, label, sum(o) AS ct FROM obs GROUP BY 1, 2),
+    tot AS (SELECT feature, sum(o) AS n FROM obs GROUP BY 1),
+    cells AS (
+        SELECT fm.feature, fm.f, lm.label,
+               coalesce(o.o, 0) AS o, fm.rt * lm.ct / tot.n AS e
+        FROM fm JOIN lm ON fm.feature = lm.feature
+        JOIN tot ON fm.feature = tot.feature
+        LEFT JOIN obs o ON o.feature = fm.feature AND o.f = fm.f AND o.label = lm.label
+    )
+    SELECT feature,
+           CAST((count(DISTINCT f) - 1) * (count(DISTINCT label) - 1) AS INTEGER) AS dof,
+           round(sum((o - e) * (o - e) / e), 4) AS statistic
+    FROM cells GROUP BY feature
+    """,
+)
 def chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M7 — ChiSquareTest of categorical features against a binary label."""
+    """M7 — ChiSquareTest of categorical features against a binary label.
+    The STATISTIC and dof are pinned against a from-scratch SQL contingency
+    construction (observed vs expected over the full category grid,
+    including zero cells); the p-value needs the chi² CDF — not SQL — and
+    stays covered by the stats-module tests."""
     from .ml.stats import chi_square_test
     from .operators.cleaning import discretize_label
 
@@ -110,7 +147,8 @@ def chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "signup", 3.0)
         .otherwise(4.0),
     ).withColumn("hour_code", (F.hour("ts")).cast("double"))
-    return chi_square_test(labeled, ["type_code", "hour_code"], "label")
+    res = chi_square_test(labeled, ["type_code", "hour_code"], "label")
+    return res.select("feature", "dof", F.round("statistic", 4).alias("statistic"))
 
 
 @query("feature_pipeline_pca")  # eigenvector sign/rotation → rows-only
@@ -191,7 +229,20 @@ def pca_loadings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "feature_idx int, component int, abs_loading double")
 
 
-@query("onehot_features")  # sparse vector output → rows-only
+@query(
+    "onehot_features",
+    oracle="""
+    WITH freq AS (
+        SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment
+    ), idx AS (
+        SELECT c_mktsegment,
+               CAST(rank() OVER (ORDER BY cnt DESC, c_mktsegment ASC) - 1 AS INTEGER) AS active_index
+        FROM freq
+    )
+    SELECT c.c_custkey, i.active_index
+    FROM customer c JOIN idx i USING (c_mktsegment)
+    """,
+)
 def onehot_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 — OneHotEncoder: index → sparse one-hot; emitted as (key, active
     index, size) rows to stay sparse-friendly."""
