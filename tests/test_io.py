@@ -81,3 +81,42 @@ def test_jdbc_reader_surfaces_lazy_error(spark):
 
     with pytest.raises(Exception):
         eio.read_jdbc(spark, "jdbc:nosuch://x", "t").count()
+
+
+def test_sorted_parquet_rowgroups_enable_skipping(spark, sf_small, tmp_path):
+    """write_sorted_parquet produces row groups with near-disjoint min/max
+    key ranges (the property parquet predicate pushdown skips on), where a
+    plain write's row groups all span ~the full key range."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from recommender_system_with_pyspark_spark.io import load_table, write_sorted_parquet
+
+    ev = load_table(spark, sf_small, "events").select("event_id", "user_id", "value")
+    plain, srt = str(tmp_path / "plain"), str(tmp_path / "sorted")
+    ev.repartition(4).write.parquet(plain)
+    write_sorted_parquet(ev, srt, ["user_id"], target_partitions=4)
+
+    def ranges(path):
+        out = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(cols["user_id"]).statistics
+                out.append((st.min, st.max))
+        return out
+
+    total_span = max(b for _, b in ranges(plain)) - min(a for a, _ in ranges(plain))
+    plain_cover = sum(b - a for a, b in ranges(plain)) / (total_span * len(ranges(plain)))
+    sorted_cover = sum(b - a for a, b in ranges(srt)) / (total_span * len(ranges(srt)))
+    # unsorted row groups each span ~full range; sorted ones are narrow slices
+    assert plain_cover > 0.5
+    assert sorted_cover < 0.4
+    # and the pushed filter is visible in the scan
+    from recommender_system_with_pyspark_spark.plans.explain import pushed_filters
+
+    probe = spark.read.parquet(srt).filter(F.col("user_id") == 7)
+    assert "user_id" in pushed_filters(probe)
+    assert probe.count() == ev.filter("user_id = 7").count()
