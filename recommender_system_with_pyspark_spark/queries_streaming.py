@@ -141,3 +141,30 @@ def stream_filter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", F.round("value", 2).alias("value")
     )
     return run_to_memory_sink(routed, "append")
+
+
+@query(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) oracle-checked:
+    per-user running (count, sum) state carried across micro-batches; the
+    LAST emission per user (highest n_events — the count is monotone) must
+    equal the batch aggregate exactly. State is one (long, double) pair per
+    user, shuffled once on the 8-byte key."""
+    from .streaming.stateful import running_user_totals
+
+    ev = stream_events(spark, sf_dir)
+    updates = run_to_memory_sink(running_user_totals(ev), "update")
+    return (
+        updates.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+    )
