@@ -108,3 +108,21 @@ def test_domain_mix_sample_single_shuffle(spark, sf_tiny):
     df = QUERIES["domain_mix_sample"](spark, sf_tiny)
     assert E.shuffle_count(df) == 1  # only the reporting groupBy
     assert set(E._schema_cols(E.read_schema(df))) <= {"doc_id", "lang"}
+
+
+def test_q10_shape_broadcasts_dims(spark, sf_tiny):
+    from recommender_system_with_pyspark_spark.registry import QUERIES
+
+    df = QUERIES["returned_items"](spark, sf_tiny)
+    E.assert_plan(df, broadcast_join=True)
+    assert "TakeOrderedAndProject" in E.executed_plan(df)
+    assert "l_returnflag" in E.pushed_filters(df)  # reaches the lineitem scan
+
+
+def test_q7_shape_single_fact_shuffle_chain(spark, sf_tiny):
+    """Five joins, but only the fact-side joins may shuffle: customer,
+    supplier, and both nation aliases broadcast."""
+    from recommender_system_with_pyspark_spark.registry import QUERIES
+
+    df = QUERIES["nation_trade_volume"](spark, sf_tiny)
+    E.assert_plan(df, broadcast_join=True, max_shuffles=3)
