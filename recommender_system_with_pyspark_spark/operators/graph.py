@@ -1,0 +1,92 @@
+"""Connected components over pair edges — the step after near-duplicate
+PAIR detection: duplicates are transitive (A≈B, B≈C ⇒ {A,B,C} is one
+group), so keep-one-per-cluster needs components, not pairs.
+
+Implemented as DataFrame-native min-label propagation: every node starts
+as its own label; each round a node adopts the minimum label among itself
+and its neighbors; converged when no label changes. Rounds = graph
+diameter — near-dup clusters are dense and shallow (diameter ≤ ~3), so
+this terminates in a handful of joins. Each round is two hash joins + one
+aggregation, all on (node, label) longs; the driver sees only the
+converged-row COUNT per round (a scalar), never the data.
+
+At 100 TB scale the same loop runs unchanged (labels/edges are shuffled by
+node id); for adversarial high-diameter graphs switch to the large-star /
+small-star variant (alternating min-propagation that contracts paths in
+O(log n) rounds) — the round structure below is the building block.
+Lineage is truncated with localCheckpoint every few rounds, the standard
+guard for iterative DataFrame algorithms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(node, component) — component = the minimum node id reachable from
+    ``node`` over undirected ``edges``. Isolated nodes (absent from edges)
+    are the caller's concern: every node appearing in edges is labeled."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for i in range(max_iter):
+        # candidate labels: my own + each neighbor's current label
+        neighbor_labels = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup pairs → transitive duplicate clusters:
+    (doc_id, cluster_id, cluster_size), cluster_id = min doc in the
+    component, keep-candidate = the row where doc_id == cluster_id."""
+    comp = connected_components(pairs, id_a, id_b)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(F.broadcast(sizes), "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+        )
+    )

@@ -590,3 +590,49 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = P.pack_sequences(with_counts, "doc_id", "n_tokens", budget=128, n_groups=16)
     return P.packing_stats(packed, budget=128).orderBy("pack_group")
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE s AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / greatest(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)), 1) >= 0.8
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT a AS node, a AS label FROM edges
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    comp AS (
+        SELECT node, CAST(min(label) AS BIGINT) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM comp
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate CLUSTERS from near-dup pairs (A≈B, B≈C ⇒ one
+    group of three): exact lang-blocked Jaccard pairs (same deterministic
+    edge set as `ngram_jaccard`) fed through DataFrame-native min-label
+    propagation (operators/graph.py — each round two joins + one agg on
+    long ids; rounds = component diameter). Oracle computes the same
+    components with a recursive reachability CTE."""
+    from .operators.graph import dedup_clusters as clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "text", "doc_id", block_col="lang",
+                            threshold=0.8, shingle_n=1)
+    return clusters(pairs, "id_a", "id_b")

@@ -140,3 +140,23 @@ def test_jaccard_composite_blocking_bounds_blocks(spark, sf_small):
     fine_pairs = {(r["id_a"], r["id_b"]) for r in fine.collect()}
     coarse_pairs = {(r["id_a"], r["id_b"]) for r in coarse.collect()}
     assert fine_pairs <= coarse_pairs
+
+
+def test_connected_components_transitive_chain(spark):
+    """A-B, B-C, C-D must collapse into one component labeled by the min
+    node; disjoint pair E-F stays separate; convergence beats diameter."""
+    from recommender_system_with_pyspark_spark.operators.graph import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5), (10, 11)], "src long, dst long"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {2: 2, 3: 2, 4: 2, 5: 2, 10: 10, 11: 10}
+
+    clustered = dedup_clusters(edges.selectExpr("src as id_a", "dst as id_b"))
+    rows = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in clustered.collect()}
+    assert rows[5] == (2, 4)
+    assert rows[11] == (10, 2)
