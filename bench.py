@@ -56,13 +56,20 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     qs = e.queries()
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        # best-of-N: single-JVM timings on shared hosts swing 30%+ run to
+        # run (neighbor load, page cache); the minimum is the steady-state
+        # cost of the PLAN, which is what this benchmark tracks
+        for _ in range(max(1, repeats)):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
