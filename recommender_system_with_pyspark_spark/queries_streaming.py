@@ -168,3 +168,49 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("total_value", "n_events").alias("total_value"),
         )
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.user_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_seconds
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — click→purchase attribution
+    within one hour, both sides unbounded streams. The event-time range
+    condition lets Spark bound join state (each side keeps only rows
+    younger than watermark + interval); on bounded input the inner join
+    emits exactly the interval-join match set, so the oracle is the plain
+    SQL interval join."""
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id",
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "click_id", "purchase_id", "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).cast("long").alias("_gap_us"),
+    ).select(
+        "click_id", "purchase_id", "user_id",
+        (F.col("_gap_us") / 1_000_000).cast("long").alias("gap_seconds"),
+    )
+    return run_to_memory_sink(joined, "append")
