@@ -214,3 +214,35 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_gap_us") / 1_000_000).cast("long").alias("gap_seconds"),
     )
     return run_to_memory_sink(joined, "append")
+
+
+@query("stream_stream_left_join")  # outer-emission timing is batch-boundary dependent → rows-only
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: matched pairs emit like the inner
+    join; unmatched clicks emit null-extended only once the watermark
+    CLOSES their join interval, and state eviction runs a micro-batch
+    behind the watermark — so a bounded availableNow run withholds a small
+    null-extended tail (verified: emission == batch interval join minus a
+    subset of its null-extended rows; tests pin that containment). Inner
+    matches are fully oracle-checked by ``stream_stream_join``."""
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id",
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("click_id", "purchase_id")
+    return run_to_memory_sink(joined, "append")

@@ -49,3 +49,29 @@ def test_sliding_counts_multiplicity(spark, sf_tiny):
     slid = W.sliding_counts(ev, "2 hours", "1 hour", watermark=None)
     # every event contributes to exactly 2 windows
     assert slid.agg(F.sum("n")).first()[0] == 2 * ev.count()
+
+
+def test_stream_stream_left_join_contains_inner_and_only_tail_withheld(spark, sf_small):
+    """Left-outer emission == batch interval join minus a subset of its
+    NULL-EXTENDED rows (the watermark-tail): no spurious rows, no matched
+    pair missing."""
+    from recommender_system_with_pyspark_spark.io import load_table
+    from recommender_system_with_pyspark_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    streamed = {(r["click_id"], r["purchase_id"])
+                for r in QUERIES["stream_stream_left_join"](spark, sf_small).collect()}
+    ev = load_table(spark, sf_small, "events")
+    c = ev.filter("event_type='click'").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ts").alias("cts"))
+    p = ev.filter("event_type='purchase'").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+    batch = {(r["click_id"], r["purchase_id"]) for r in c.join(
+        p, (F.col("cu") == F.col("pu")) & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")), "left_outer"
+    ).select("click_id", "purchase_id").collect()}
+    assert streamed <= batch
+    withheld = batch - streamed
+    assert all(pid is None for _, pid in withheld)  # only null-extended tail
+    inner = {t for t in batch if t[1] is not None}
+    assert inner <= streamed  # every real match emitted
