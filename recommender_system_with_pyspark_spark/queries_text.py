@@ -201,13 +201,43 @@ def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("minhash_near_dup")  # Spark-hash-specific → rows-only check
+@query(
+    "minhash_near_dup",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               list_distinct(
+                 list_transform(
+                   range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 3, 0) + 2),
+                   i -> array_to_string(list_slice(string_split_regex(trim(lower(text)), '\\s+'), i, i + 2), ' ')
+                 )
+               ) AS sh
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1) >= 0.5
+    """,
+)
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native MinHash-LSH near-dup pairs (3-word shingles, 16 permutations
-    in 4 bands, exact-Jaccard verify) — the 100 TB dedup path: cost ~
-    colliding pairs, not |docs|²."""
+    """Native MinHash-LSH near-dup pairs (3-word shingles, 32 permutations
+    in 8 bands, exact-Jaccard verify) — the 100 TB dedup path: cost ~
+    colliding pairs, not |docs|².
+
+    Oracle-checkable because the output is *exact* Jaccard over the
+    candidates: when banding achieves full recall on the data (r=4 rows/band
+    → collision prob 1-(1-j⁴)⁸ ≈ 0.9999 at j=0.9; verified 25/25 true pairs
+    at sf0.01, and the xxhash64 seeds are fixed so the run is deterministic),
+    the verified output EQUALS the quadratic all-pairs ground truth the
+    DuckDB oracle computes. 16 perms/4 bands missed one j=0.9 pair
+    (collision prob 0.986 per band-set); 32/8 costs only ~15% more wall
+    time because the explode→min-agg signature stage dominates."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_near_dup(docs, "text", "doc_id", threshold=0.5, shingle_n=3)
+    return D.minhash_near_dup(docs, "text", "doc_id", threshold=0.5,
+                              num_perm=32, bands=8, shingle_n=3)
 
 
 @query("simhash_near_dup")  # xxhash64-specific → rows-only check
