@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from .io import load_table
 from .registry import query
 from .streaming.windows import (
+    dedup_stream,
     run_to_memory_sink,
     session_windows,
     sliding_counts,
@@ -214,6 +215,29 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_gap_us") / 1_000_000).cast("long").alias("gap_seconds"),
     )
     return run_to_memory_sink(joined, "append")
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, round(value, 2) AS value
+    FROM events
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup of an at-least-once feed: the source is
+    the events stream unioned with a SECOND independent readStream of the
+    same files (every event delivered twice — the redelivery simulation),
+    pushed through ``dropDuplicatesWithinWatermark`` on event_id. The output
+    must equal the batch table exactly — every event once, no event lost —
+    so the oracle is the plain projection. State is bounded by the 2-hour
+    watermark horizon (evicted keys can no longer be replayed)."""
+    doubled = stream_events(spark, sf_dir).unionByName(stream_events(spark, sf_dir))
+    deduped = dedup_stream(doubled, ["event_id"], watermark="2 hours")
+    out = deduped.select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+    return run_to_memory_sink(out, "append")
 
 
 @query("stream_stream_left_join")  # outer-emission timing is batch-boundary dependent → rows-only

@@ -51,6 +51,45 @@ def test_sliding_counts_multiplicity(spark, sf_tiny):
     assert slid.agg(F.sum("n")).first()[0] == 2 * ev.count()
 
 
+def test_stream_dedup_doubled_source_equals_batch_distinct(spark, sf_tiny):
+    """Two independent readStreams of the same files = every event delivered
+    twice; dropDuplicatesWithinWatermark must restore exactly-once."""
+    doubled = W.stream_events(spark, sf_tiny).unionByName(W.stream_events(spark, sf_tiny))
+    out = W.run_to_memory_sink(
+        W.dedup_stream(doubled, ["event_id"], watermark="2 hours"), "append"
+    )
+    batch = load_table(spark, sf_tiny, "events")
+    assert _sorted_rows(out, ["event_id"]) == _sorted_rows(batch, ["event_id"])
+
+
+def test_stream_dedup_across_micro_batches(spark, tmp_path):
+    """A replay arriving in a LATER micro-batch (separate file, forced by
+    maxFilesPerTrigger=1) is still dropped while inside the watermark."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    rows1 = [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:05:00")]
+    rows2 = [(2, "2024-01-01 10:05:00"), (3, "2024-01-01 10:10:00")]  # 2 replayed
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(
+            [(k, ts) for k, ts in rows], "k long, ts string"
+        ).select("k", F.col("ts").cast("timestamp").alias("ts")).coalesce(1).write.parquet(
+            str(tmp_path / "src"), mode="append"
+        )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "src"))
+    )
+    out = W.run_to_memory_sink(
+        W.dedup_stream(src, ["k"], watermark="1 hour", time_col="ts"), "append"
+    )
+    assert sorted(r["k"] for r in out.collect()) == [1, 2, 3]
+
+
 def test_stream_stream_left_join_contains_inner_and_only_tail_withheld(spark, sf_small):
     """Left-outer emission == batch interval join minus a subset of its
     NULL-EXTENDED rows (the watermark-tail): no spurious rows, no matched
