@@ -164,6 +164,43 @@ def range_join(
     return inner.unionByName(unmatched)
 
 
+def scd2_build(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    time_col: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from an event log.
+
+    Collapses consecutive identical ``attr_col`` values per key and emits
+    one validity interval per version: (key, attr, valid_from, valid_to,
+    is_current) with half-open [valid_from, valid_to) semantics and
+    valid_to = NULL for the open (current) version — the standard
+    warehouse dimension-history shape.
+
+    Two window passes over the SAME (key) partitioning — Catalyst reuses
+    one shuffle+sort for both (`lag` to find change rows, `lead` to close
+    intervals), so the whole build is a single exchange of (key, attr,
+    time) rows regardless of history depth. ``order_col`` breaks
+    equal-timestamp ties deterministically (required for oracle parity).
+    """
+    order = [F.col(time_col)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changes = (
+        df.select(key_col, attr_col, time_col, *([order_col] if order_col else []))
+        .withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev")))
+    )
+    return changes.select(
+        key_col,
+        attr_col,
+        F.col(time_col).alias("valid_from"),
+        F.lead(time_col).over(w).alias("valid_to"),
+        F.lead(time_col).over(w).isNull().alias("is_current"),
+    )
+
+
 def date_parts(df: DataFrame, ts_col: str, prefix: str = "") -> DataFrame:
     """Calendar decomposition (year/quarter/month/day/weekday/hour) — all
     codegen expressions. weekday is Monday=0 (ISO-adjacent, matches

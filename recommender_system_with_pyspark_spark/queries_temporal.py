@@ -338,3 +338,41 @@ def range_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total"),
     )
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ordered WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type,
+           epoch_us(ts) // 1000000 AS valid_from,
+           epoch_us(lead(ts) OVER w2) // 1000000 AS valid_to,
+           lead(ts) OVER w2 IS NULL AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build: per-user event_type history collapsed to
+    validity intervals [valid_from, valid_to), NULL valid_to marking the
+    current version. One shuffle on user_id serves both window passes
+    (change detection + interval close) — history depth doesn't add
+    exchanges."""
+    from .operators.temporal import scd2_build
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_build(ev, "user_id", "event_type", "ts", order_col="event_id")
+    return hist.select(
+        "user_id", "event_type",
+        F.expr("unix_micros(valid_from) div 1000000").alias("valid_from"),
+        F.expr("unix_micros(valid_to) div 1000000").alias("valid_to"),
+        "is_current",
+    )

@@ -133,3 +133,28 @@ def test_as_of_join_preserves_exotic_payload_types(spark):
     assert by_t[100]["stamp"] == dt.datetime(2024, 1, 1, 0, 0, 0, 123456)
     assert by_t[100]["dec"] == Decimal("1.23456789")
     assert out[0]["stamp"].microsecond == 123456
+
+
+def test_scd2_build_intervals(spark):
+    from recommender_system_with_pyspark_spark.operators.temporal import scd2_build
+    from recommender_system_with_pyspark_spark.plans.explain import shuffle_count
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: A A B A  -> versions A[0,2) B[2,3) A[3,null)
+        (1, "A", t0, 10), (1, "A", t0 + dt.timedelta(hours=1), 11),
+        (1, "B", t0 + dt.timedelta(hours=2), 12), (1, "A", t0 + dt.timedelta(hours=3), 13),
+        # user 2: single version, stays current
+        (2, "C", t0, 20),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, attr string, ts timestamp, eid long")
+    hist = scd2_build(df, "user_id", "attr", "ts", order_col="eid").orderBy("user_id", "valid_from")
+    got = [(r.user_id, r.attr, r.valid_from.hour if r.valid_from else None,
+            r.valid_to.hour if r.valid_to else None, r.is_current) for r in hist.collect()]
+    assert got == [
+        (1, "A", 0, 2, False), (1, "B", 2, 3, False), (1, "A", 3, None, True),
+        (2, "C", 0, None, True),
+    ]
+    # one is_current per key; both window passes share ONE exchange
+    assert hist.filter("is_current").count() == 2
+    assert shuffle_count(scd2_build(df, "user_id", "attr", "ts", order_col="eid")) == 1
