@@ -284,6 +284,71 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_cust"))
 
 
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT r_name, mktsegment,
+           CAST(grouping(r_name) * 2 + grouping(mktsegment) AS INTEGER) AS gid,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           round(sum(CAST(c_acctbal AS DECIMAL(18, 6))), 2) AS acctbal
+    FROM (SELECT c_mktsegment AS mktsegment, c_acctbal, c_nationkey FROM customer)
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE (r_name, mktsegment)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (region, market segment): all four grouping-set combinations
+    in ONE pass — Spark expands the cube map-side and aggregates once, so
+    the shuffle carries (2ⁿ × input) pre-combined partials, not 2ⁿ separate
+    scans. ``grouping_id`` disambiguates a real NULL dimension value from a
+    cube subtotal (the reason gid must ride along at 100 TB where dirty
+    dimension values are guaranteed). Decimal-cast sum: exact associative
+    addition regardless of partition order."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.withColumnRenamed("c_mktsegment", "mktsegment").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        joined.cube("r_name", "mktsegment")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double").alias("acctbal"),
+        )
+        .select("r_name", "mktsegment", "gid", "n_cust", "acctbal")
+    )
+
+
+@query(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT n_name, mktsegment, CAST(count(*) AS BIGINT) AS n_cust
+    FROM (SELECT c_mktsegment AS mktsegment, c_nationkey FROM customer)
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (mktsegment))
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — only the two marginals, skipping the cross
+    cells a full cube would compute (at scale: cube cost is Σ|sets|, so
+    enumerating just the sets you need is a real saving). Uses the SQL form
+    (the DataFrame API has no grouping-sets builder — SURVEY §2.5 parity via
+    spark.sql)."""
+    load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_mktsegment", "mktsegment"
+    ).createOrReplaceTempView("_gs_customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_gs_nation")
+    return spark.sql("""
+        SELECT n_name, mktsegment, count(*) AS n_cust
+        FROM _gs_customer JOIN _gs_nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (mktsegment))
+    """)
+
+
 # ---------------------------------------------------------------------------
 # Filters / cleaning
 # ---------------------------------------------------------------------------
