@@ -223,6 +223,43 @@ def minhash_near_dup_mllib(
     )
 
 
+def fuzzy_pairs(
+    df: DataFrame,
+    text_col: str,
+    max_distance: int = 3,
+    block_fn=None,
+) -> DataFrame:
+    """Edit-distance (Levenshtein) near-dup pairs over the DISTINCT value
+    space, within blocks — the entity-resolution path for short strings
+    (names, titles, SKUs) where token-set Jaccard is too coarse.
+
+    Dedup-first matters at scale: a 100 TB fact table has millions of
+    distinct entity names, not billions — `distinct()` is one shuffle of
+    the name column, and the quadratic blocked join then runs on the
+    value space. ``block_fn`` (default: first whitespace token) bounds each
+    block; edits in the blocking token escape the block — standard
+    multi-pass blocking (re-run with a second key, union) recovers them.
+
+    Returns (val_a, val_b, distance) with val_a < val_b,
+    distance <= max_distance.
+    """
+    if block_fn is None:
+        block_fn = lambda c: F.split_part(c, F.lit(" "), F.lit(1))  # noqa: E731
+    names = (
+        df.select(F.col(text_col).alias("_v")).distinct()
+        .withColumn("_blk", block_fn(F.col("_v")))
+    )
+    a = names.select(F.col("_v").alias("val_a"), "_blk")
+    b = names.select(F.col("_v").alias("val_b"), "_blk")
+    return (
+        a.join(b, ["_blk"])
+        .filter(F.col("val_a") < F.col("val_b"))
+        .withColumn("distance", F.levenshtein("val_a", "val_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select("val_a", "val_b", "distance")
+    )
+
+
 def simhash_near_dup(
     df: DataFrame,
     text_col: str = "text",

@@ -240,6 +240,26 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                               num_perm=32, bands=8, shingle_n=3)
 
 
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    b AS (SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM names)
+    SELECT a.p_name AS val_a, c.p_name AS val_b,
+           CAST(levenshtein(a.p_name, c.p_name) AS INTEGER) AS distance
+    FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+    WHERE levenshtein(a.p_name, c.p_name) <= 3
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs over the distinct part-name space, blocked
+    by first token — entity resolution for short strings. distinct() first
+    collapses the fact-table multiplicity (quadratic work runs on the value
+    space, not the row space)."""
+    part = load_table(spark, sf_dir, "part")
+    return D.fuzzy_pairs(part, "p_name", max_distance=3)
+
+
 @query("simhash_near_dup")  # xxhash64-specific → rows-only check
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64) near-dup pairs with banded blocking (4×16-bit bands):

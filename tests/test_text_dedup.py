@@ -160,3 +160,21 @@ def test_connected_components_transitive_chain(spark):
     rows = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in clustered.collect()}
     assert rows[5] == (2, 4)
     assert rows[11] == (10, 2)
+
+
+def test_fuzzy_pairs_blocked_recall(spark):
+    from recommender_system_with_pyspark_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("red rod",), ("red rodd",), ("red bolt",), ("blue rod",), ("red rod",)],
+        "name string",
+    )
+    pairs = {(r.val_a, r.val_b, r.distance)
+             for r in D.fuzzy_pairs(df, "name", max_distance=2).collect()}
+    # within-block near-dup found once (distinct first); cross-block pair
+    # ("blue rod" vs "red rod", distance 3>2 anyway) excluded by blocking
+    assert ("red rod", "red rodd", 1) in pairs
+    assert all(a.split()[0] == b.split()[0] for a, b, _ in pairs)
+    # duplicate input rows don't duplicate output pairs
+    assert len([p for p in pairs if p[0] == "red rod" and p[1] == "red rodd"]) == 1
