@@ -72,6 +72,67 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank as DataFrame joins — (node, rank).
+
+    Each iteration: contribution = rank/out_degree sent along every edge,
+    new rank = (1-d)/N + d·Σ(contributions in). Two hash joins + one
+    aggregation per round, all keyed on 8-byte node ids — the edge list is
+    cached once and every shuffle is on the node id, so at 100 TB the cost
+    is iterations × one edge-sized shuffle (partitioning is reused across
+    rounds). Lineage is truncated with localCheckpoint like
+    connected_components.
+
+    Cross-engine determinism (the oracle contract): contribution sums are
+    cast to DECIMAL(38,28) before aggregation — exact associative addition
+    regardless of partition count or combine order — and every double op
+    (division, damping blend) is a single IEEE-754 operation with identical
+    operands on any engine. Dangling mass is NOT redistributed (nodes
+    without out-edges absorb rank) — callers wanting classic PageRank on
+    directed graphs should symmetrize or add sink edges; N is taken from
+    the distinct node set of ``edges``.
+    """
+    e = edges.select(src, dst).distinct().cache()
+    deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .union(e.select(F.col(dst).alias("node")))
+        .distinct()
+        .cache()
+    )
+    n_nodes = nodes.count()  # one scalar to the driver: the algorithm's N
+    rank = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for i in range(iterations):
+        contribs = (
+            e.join(rank.withColumnRenamed("node", src), src)
+            .join(deg, src)
+            .select(
+                F.col(dst).alias("node"),
+                (F.col("rank") / F.col("_deg")).cast("decimal(38,28)").alias("_c"),
+            )
+        )
+        rank = (
+            nodes.join(contribs.groupBy("node").agg(F.sum("_c").alias("_s")), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping) * F.coalesce(F.col("_s").cast("double"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            rank = rank.localCheckpoint(eager=False)
+    return rank
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

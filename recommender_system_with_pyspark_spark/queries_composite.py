@@ -366,3 +366,67 @@ def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("brand_avg", 6).alias("brand_avg"),
         )
     )
+
+
+def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank in plain SQL (recursive CTEs can't
+    aggregate in the recursive term, so the loop is unrolled). Every float
+    literal is cast to DOUBLE (bare DuckDB decimals are DECIMAL-typed and
+    would change the IEEE op sequence); contribution sums go through
+    DECIMAL(38,28) exactly like the Spark side."""
+    sql = """
+    WITH eraw AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (SELECT src, dst FROM eraw UNION SELECT dst, src FROM eraw),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    cnt AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    r0 AS (SELECT node, 1.0::DOUBLE / n AS rank FROM nodes CROSS JOIN cnt)"""
+    for k in range(1, iterations + 1):
+        sql += f""",
+    r{k} AS (
+        SELECT n.node,
+               (1.0::DOUBLE - {damping}::DOUBLE) / cnt.n
+               + {damping}::DOUBLE * coalesce(
+                     CAST(sum(CAST(p.rank / p.deg AS DECIMAL(38, 28))) AS DOUBLE),
+                     0.0::DOUBLE) AS rank
+        FROM nodes n
+        CROSS JOIN cnt
+        LEFT JOIN (SELECT e.dst, r.rank, d.deg::DOUBLE AS deg
+                   FROM r{k - 1} r
+                   JOIN edges e ON r.node = e.src
+                   JOIN deg d ON r.node = d.src) p
+          ON n.node = p.dst
+        GROUP BY n.node, cnt.n
+    )"""
+    sql += f"""
+    SELECT CAST(node AS BIGINT) AS node, round(rank, 6) AS rank FROM r{iterations}"""
+    return sql
+
+
+@query("pagerank_customers", oracle=_pagerank_oracle(iterations=5, damping=0.85))
+def pagerank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the symmetrized customer↔supplier trade
+    graph (edges = distinct (customer, supplier) pairs through
+    orders⋈lineitem; node ids disambiguated by parity). Five fixed power
+    iterations — each round one edge-shuffle keyed on node id — hash-matched
+    against the same iteration unrolled in SQL: the decimal-sum trick makes
+    each round's aggregation exact, so both engines walk identical IEEE-754
+    trajectories."""
+    from .operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    er = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = er.union(er.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    pr = pagerank(sym, iterations=5, damping=0.85)
+    return pr.select(F.col("node").cast("long").alias("node"), F.round("rank", 6).alias("rank"))
