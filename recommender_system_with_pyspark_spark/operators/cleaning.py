@@ -208,3 +208,46 @@ def strip_chars_from_names(df: DataFrame, chars: str = ".") -> DataFrame:
 def cast_columns(df: DataFrame, casts: Mapping[str, str]) -> DataFrame:
     """F5 — explicit casts (`bgrfunctions.py:145-148`)."""
     return df.withColumns({c: F.col(c).cast(t) for c, t in casts.items()})
+
+
+def quantile_bins(
+    df: DataFrame,
+    column: str,
+    n_bins: int = 10,
+    out_col: str = "bin",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Equal-FREQUENCY binning: ntile over a total order. ``tiebreak``
+    columns make the order (and thus the bin boundaries within ties)
+    deterministic — required for cross-engine parity, and good hygiene
+    anyway (an undefined tie order means unstable training features).
+    ntile is one global sort — at 100 TB prefer approx-quantile CUT POINTS
+    (computed once, broadcast, then a width_bucket-style lookup) over a
+    true global ntile; this operator is the exact small-dim form."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(column), *[F.col(c) for c in tiebreak])
+    return df.withColumn(out_col, F.ntile(n_bins).over(w))
+
+
+def equal_width_bins(
+    df: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Equal-WIDTH binning with explicit floor arithmetic (not
+    F.width_bucket — the explicit form is bit-reproducible on any engine
+    that follows IEEE-754, which is the oracle contract). Values below lo
+    → bin 0, at/above hi → n_bins+1, else 1 + floor((x-lo)/(hi-lo)*n) —
+    a pure projection, embarrassingly parallel."""
+    x = F.col(column).cast("double")
+    body = (F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * n_bins) + 1).cast("int")
+    return df.withColumn(
+        out_col,
+        F.when(x < lo, F.lit(0))
+        .when(x >= hi, F.lit(n_bins + 1))
+        .otherwise(body),
+    )

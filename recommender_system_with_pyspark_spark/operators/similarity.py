@@ -404,3 +404,29 @@ def ivf_probe(
         .limit(k)
         .select("neighbor_id", "sim", "cell")
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale_col: str = "scale",
+    out_col: str = "q",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = 127/max|x|,
+    q_i = round(x_i * scale) ∈ [-127, 127].
+
+    4× smaller vectors and int-SIMD dot products downstream — the standard
+    storage/ANN-recall trade at 100 TB embedding scale. Pure projection
+    (transform + aggregate over the array), no shuffle, no UDF. Floats are
+    cast to double FIRST so both the max|x| reduction and the per-element
+    multiply are the same IEEE-754 ops an oracle engine performs on the
+    double-cast list."""
+    from .text import _bind
+
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(dv, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / F.greatest(max_abs, F.lit(1e-30))
+    # scale is lambda-bound (text._bind): referencing it directly inside the
+    # per-element transform would re-run the max|x| reduction PER ELEMENT
+    q = _bind(scale, lambda s: F.transform(dv, lambda x: F.round(x * s).cast("int")))
+    return df.withColumn(scale_col, scale).withColumn(out_col, q)

@@ -320,3 +320,35 @@ def word2vec_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, _ = embed_documents(docs, vector_size=16)
     queries_df = emb.filter(F.col("doc_id") < 5)
     return cosine_topk(queries_df, emb, id_col="doc_id", vec_col="embedding", k=3)
+
+
+@query(
+    "feature_binning",
+    oracle="""
+    SELECT event_id,
+           round(value, 2) AS value,
+           CAST(ntile(10) OVER (ORDER BY value, event_id) AS INTEGER) AS decile,
+           CASE WHEN value < 0.0::DOUBLE THEN 0
+                WHEN value >= 200.0::DOUBLE THEN 11
+                ELSE CAST(1 + floor((value - 0.0::DOUBLE) / 200.0::DOUBLE * 10) AS INTEGER)
+           END AS width_bin
+    FROM events
+    """,
+)
+def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature binning both ways: equal-frequency deciles (ntile over a
+    deterministic total order — event_id breaks value ties) and equal-width
+    bins over [0, 200) with explicit floor arithmetic (bit-reproducible,
+    unlike engine-specific width_bucket internals). ntile is a global sort —
+    fine per-feature; at 100 TB switch to approx-quantile cut points +
+    broadcast lookup (see quantile_bins docstring)."""
+    from .operators.cleaning import equal_width_bins, quantile_bins
+
+    ev = load_table(spark, sf_dir, "events")
+    binned = quantile_bins(ev, "value", n_bins=10, out_col="decile",
+                           tiebreak=["event_id"])
+    binned = equal_width_bins(binned, "value", 0.0, 200.0, n_bins=10,
+                              out_col="width_bin")
+    return binned.select(
+        "event_id", F.round("value", 2).alias("value"), "decile", "width_bin"
+    )

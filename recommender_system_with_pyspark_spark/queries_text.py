@@ -686,3 +686,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.jaccard_pairs(docs, "text", "doc_id", block_col="lang",
                             threshold=0.8, shingle_n=1)
     return clusters(pairs, "id_a", "id_b")
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+        SELECT vec_id, v,
+               127.0::DOUBLE / greatest(list_max(list_transform(v, x -> abs(x))),
+                                        1e-30) AS scale
+        FROM e
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           to_json(list_transform(v, x -> CAST(round(x * scale) AS INTEGER))) AS q_json
+    FROM s
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = 127/max|x|): 4× vector
+    compression for the ANN index path, as a pure no-shuffle projection.
+    Quantized array emitted as JSON (the driver canonicalizer needs hashable
+    cells); the double-cast-first discipline makes every float op identical
+    IEEE-754 on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = S.quantize_int8(emb, "embedding", "scale", "q")
+    return q.select(
+        "vec_id", F.round("scale", 6).alias("scale"),
+        F.to_json("q").alias("q_json"),
+    )

@@ -106,3 +106,22 @@ def test_cast_columns(spark):
     df = _df(spark, [(1.0, 1)], "x double, k int")
     out = C.cast_columns(df, {"x": "int", "k": "boolean"})
     assert dict(out.dtypes) == {"x": "int", "k": "boolean"}
+
+
+def test_bins_monotone_and_balanced(spark):
+    from recommender_system_with_pyspark_spark.operators.cleaning import (
+        equal_width_bins, quantile_bins,
+    )
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, x double")
+    qb = quantile_bins(df, "x", n_bins=4, out_col="qb", tiebreak=["id"])
+    counts = {r.qb: r.n for r in qb.groupBy("qb").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {1: 25, 2: 25, 3: 25, 4: 25}  # equal frequency
+    wb = equal_width_bins(df, "x", 0.0, 100.0, n_bins=10, out_col="wb")
+    got = {r.x: r.wb for r in wb.collect()}
+    assert got[0.0] == 1 and got[9.0] == 1 and got[10.0] == 2 and got[99.0] == 10
+    # out-of-range sentinels
+    oob = equal_width_bins(
+        spark.createDataFrame([(1, -5.0), (2, 100.0)], "id long, x double"),
+        "x", 0.0, 100.0, n_bins=10, out_col="wb")
+    assert {r.x: r.wb for r in oob.collect()} == {-5.0: 0, 100.0: 11}

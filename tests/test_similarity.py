@@ -117,3 +117,20 @@ def test_ivf_partitioned_index_prunes_partitions(spark, sf_tiny, tmp_path):
     )
     assert [(r["neighbor_id"], r["sim"]) for r in rows] == \
            [(r["neighbor_id"], r["sim"]) for r in brute]
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    from recommender_system_with_pyspark_spark.operators.similarity import quantize_int8
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.001, 0.002, -0.0005])],
+        "vec_id long, embedding array<double>",
+    )
+    q = quantize_int8(df, "embedding")
+    rows = {r.vec_id: r for r in q.collect()}
+    for vid, orig in [(1, [0.5, -1.0, 0.25]), (2, [0.001, 0.002, -0.0005])]:
+        r = rows[vid]
+        assert max(abs(v) for v in r.q) == 127  # max element saturates
+        for x, qi in zip(orig, r.q):
+            assert abs(x - qi / r.scale) <= 0.5 / r.scale + 1e-12
