@@ -101,6 +101,59 @@ def shingle_hashes(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def ngram_list(col: Column | str, n: int = 2) -> Column:
+    """n-word shingles WITHOUT dedup — the unit for repetition measurement
+    (how often the dominant n-gram repeats), where multiplicity is the
+    signal that ``word_shingles``'s distinct-set form deliberately throws
+    away. Token array lambda-bound (see ``_bind``)."""
+    return _bind(
+        tokens(col),
+        lambda toks: F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per candidate doc, how many distinct
+    n-gram shingles it shares with ANY benchmark document.
+
+    The scale shape: the benchmark shingle set is small (eval sets are
+    KBs–MBs, the corpus is TBs), so it is distinct-aggregated and
+    BROADCAST; candidate docs explode to (doc, shingle-hash) rows and
+    semi-join the broadcast set map-side — the corpus is never shuffled,
+    and the join carries 8-byte hashes, not shingle strings. Returns
+    (id, n_overlap, contaminated); filter ``contaminated`` to drop, or
+    join back for span-level masking."""
+    bench_sh = (
+        benchmark.select(F.explode(shingle_hashes(text_col, n)).alias("_s")).distinct()
+    )
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(shingle_hashes(text_col, n)).alias("_s")
+    )
+    overlap = (
+        doc_sh.join(F.broadcast(bench_sh), "_s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        docs.select(id_col)
+        .join(overlap, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def add_token_stats(df: DataFrame, text_col: str = "text", prefix: str = "") -> DataFrame:
     """Attach per-document token statistics: token count, char count,
     punctuation count/ratio, mean token length."""

@@ -715,3 +715,147 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.round("scale", 6).alias("scale"),
         F.to_json("q").alias("q_json"),
     )
+
+
+@query(
+    "decontaminate",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 5, 0) + 2),
+                   i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS sh
+        FROM t
+    ), bench AS (
+        SELECT list_distinct(flatten(list(sh))) AS bsh FROM sh WHERE source = 'src0'
+    )
+    SELECT s.doc_id,
+           CAST(len(list_intersect(s.sh, b.bsh)) AS BIGINT) AS n_overlap,
+           len(list_intersect(s.sh, b.bsh)) > 0 AS contaminated
+    FROM sh s CROSS JOIN bench b
+    WHERE s.source <> 'src0'
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the op every LLM training pipeline runs
+    before anything else): docs from source 'src0' act as the held-out
+    eval set; every other doc is flagged by its 5-gram overlap with it.
+    The benchmark shingle set is distinct-aggregated and broadcast — the
+    corpus explodes to (doc, shingle-hash) and semi-joins map-side, so
+    nothing corpus-sized ever shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    cands = docs.filter(F.col("source") != "src0")
+    return X.contamination_flags(cands, bench, "text", "doc_id", n=5)
+
+
+@query(
+    "gopher_quality",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 2),
+                      i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bg
+        FROM t
+    ), cnts AS (
+        SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2
+    ), mx AS (
+        SELECT doc_id, max(c) AS top_cnt FROM cnts GROUP BY 1
+    ), st AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct,
+               list_sum(list_transform(toks, x -> len(x))) AS char_sum,
+               len(list_filter(toks, x -> x IN ('a', 'the'))) AS n_stop
+        FROM t
+    )
+    SELECT st.doc_id,
+           CAST(st.n_tokens AS INTEGER) AS n_tokens,
+           round(n_distinct::DOUBLE / greatest(n_tokens, 1), 6) AS distinct_ratio,
+           round(top_cnt::DOUBLE / greatest(n_tokens - 1, 1), 6) AS top_bigram_frac,
+           round(char_sum::DOUBLE / greatest(n_tokens, 1), 6) AS mean_word_len,
+           round(n_stop::DOUBLE / greatest(n_tokens, 1), 6) AS stopword_frac,
+           (n_distinct::DOUBLE / greatest(n_tokens, 1) >= 0.3
+            AND top_cnt::DOUBLE / greatest(n_tokens - 1, 1) <= 0.15) AS passes
+    FROM st JOIN mx ON st.doc_id = mx.doc_id
+    """,
+)
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-aware quality rules in the Gopher/C4 style: token
+    diversity (distinct ratio), dominant-bigram repetition fraction, mean
+    word length, stopword fraction, and a composite pass flag. The
+    dominant-bigram mode runs as explode → count per (doc, bigram-HASH) →
+    max — the shuffle carries 16-byte keys, not bigram strings, and both
+    aggregations combine map-side. Everything else is a pure projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    st = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.aggregate(F.transform(toks, lambda t: F.length(t)),
+                    F.lit(0), lambda acc, x: acc + x).alias("char_sum"),
+        F.size(F.filter(toks, lambda t: t.isin("a", "the"))).alias("n_stop"),
+    )
+    bg = docs.select(
+        "doc_id", F.explode(X.ngram_list("text", 2)).alias("bg")
+    ).select("doc_id", F.xxhash64("bg").alias("bgh"))
+    mx = (
+        bg.groupBy("doc_id", "bgh").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("top_cnt"))
+    )
+    n_tok = F.col("n_tokens")
+    distinct_ratio = F.col("n_distinct") / F.greatest(n_tok, F.lit(1))
+    top_frac = F.col("top_cnt") / F.greatest(n_tok - 1, F.lit(1))
+    return st.join(mx, "doc_id").select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        F.round(F.col("char_sum") / F.greatest(n_tok, F.lit(1)), 6).alias("mean_word_len"),
+        F.round(F.col("n_stop") / F.greatest(n_tok, F.lit(1)), 6).alias("stopword_frac"),
+        ((distinct_ratio >= 0.3) & (top_frac <= 0.15)).alias("passes"),
+    )
+
+
+@query(
+    "vocab_topk",
+    oracle="""
+    WITH tk AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ), c AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY tok
+    ), r AS (
+        SELECT tok, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INTEGER) AS rank
+        FROM c
+    )
+    SELECT tok, cnt, rank FROM r WHERE rank <= 50
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by frequency with a deterministic
+    rank (count desc, token asc). explode → count combines map-side (the
+    shuffle carries one (token, partial-count) row per distinct token per
+    partition); the rank window runs on the tiny post-agg vocab, not the
+    corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.col("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 50)
+    )

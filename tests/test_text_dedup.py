@@ -178,3 +178,27 @@ def test_fuzzy_pairs_blocked_recall(spark):
     assert all(a.split()[0] == b.split()[0] for a, b, _ in pairs)
     # duplicate input rows don't duplicate output pairs
     assert len([p for p in pairs if p[0] == "red rod" and p[1] == "red rodd"]) == 1
+
+
+def test_contamination_flags_planted_overlap(spark):
+    from recommender_system_with_pyspark_spark.operators.text import contamination_flags
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon eta theta"),   # shares a 5-gram
+         (2, "one two three four five six seven")],          # disjoint
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_overlap, r.contaminated)
+           for r in contamination_flags(docs, bench, n=5).collect()}
+    assert got[1][1] is True and got[1][0] >= 1
+    assert got[2] == (0, False)
+
+
+def test_ngram_list_keeps_multiplicity(spark):
+    from pyspark.sql import functions as F
+    from recommender_system_with_pyspark_spark.operators.text import ngram_list
+
+    df = spark.createDataFrame([("spam spam spam spam",)], "text string")
+    bgs = df.select(ngram_list("text", 2).alias("b")).first()["b"]
+    assert bgs == ["spam spam"] * 3  # word_shingles would collapse to one
