@@ -103,3 +103,29 @@ def stratified_hash_sample(
     thresh = thresh.otherwise(F.lit(min(int(default_rate * _BUCKETS), _BUCKETS))) \
         if thresh is not None else F.lit(min(int(default_rate * _BUCKETS), _BUCKETS))
     return df.filter(bucket < thresh)
+
+
+def stratified_fixed_k(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    k: int,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank rows inside each
+    stratum by their content-hash bucket (key as tiebreak) and keep the k
+    smallest — a deterministic "reservoir" that returns the SAME k rows on
+    any run, partitioning, or engine, unlike ``sampleBy`` (probabilistic
+    rates, no exact k) or a true reservoir (order-dependent).
+
+    One shuffle on the stratum key; rank + filter prune everything beyond
+    k. For heavily-skewed strata at 100 TB, pre-filter with
+    ``hash_sample`` at ~2k/|stratum| to cap the sort input, then rank."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(key_col, seed), F.col(key_col)
+    )
+    return df.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    ).drop("_rn")

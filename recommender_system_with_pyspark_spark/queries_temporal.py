@@ -376,3 +376,56 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(valid_to) div 1000000").alias("valid_to"),
         "is_current",
     )
+
+
+@query(
+    "funnel_stages",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS c_ts
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS p_ts
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1
+    )
+    SELECT v.user_id,
+           epoch_us(v_ts) // 1000000 AS view_ts,
+           epoch_us(c_ts) // 1000000 AS click_ts,
+           epoch_us(p_ts) // 1000000 AS purchase_ts,
+           CAST(1 + (c_ts IS NOT NULL)::INT + (p_ts IS NOT NULL)::INT AS INTEGER) AS stage
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): per user, the
+    first view, the first click AFTER that view, the first purchase AFTER
+    that click, and the stage reached. Each stage is a conditional min —
+    three aggregations all keyed on user_id, so after the first exchange
+    the remaining joins and aggs are co-partitioned (no extra shuffles
+    under AQE exchange reuse)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("v_ts")))
+    c = (ev.filter(F.col("event_type") == "click").join(v, "user_id")
+         .filter(F.col("ts") >= F.col("v_ts"))
+         .groupBy("user_id").agg(F.min("ts").alias("c_ts")))
+    p = (ev.filter(F.col("event_type") == "purchase").join(c, "user_id")
+         .filter(F.col("ts") >= F.col("c_ts"))
+         .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+    return (
+        v.join(c, "user_id", "left").join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.expr("unix_micros(v_ts) div 1000000").alias("view_ts"),
+            F.expr("unix_micros(c_ts) div 1000000").alias("click_ts"),
+            F.expr("unix_micros(p_ts) div 1000000").alias("purchase_ts"),
+            (F.lit(1)
+             + F.col("c_ts").isNotNull().cast("int")
+             + F.col("p_ts").isNotNull().cast("int")).cast("int").alias("stage"),
+        )
+    )

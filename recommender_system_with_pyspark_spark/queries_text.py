@@ -859,3 +859,30 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 50)
     )
+
+
+@query(
+    "stratified_fixed_k",
+    oracle="""
+    WITH b AS (
+        SELECT event_id, event_type,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(('0x' || substr(md5(event_id || ':5'), 1, 8)) AS BIGINT),
+                            event_id) AS rn
+        FROM events
+    )
+    SELECT event_id, event_type FROM b WHERE rn <= 50
+    """,
+)
+def stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 50 events per event_type, chosen by content hash — the
+    deterministic eval-subset draw (same 50 on every engine/run). One
+    shuffle on the stratum; the md5-bucket order is the cross-engine
+    contract."""
+    from .operators import sampling as SA
+
+    ev = load_table(spark, sf_dir, "events")
+    return SA.stratified_fixed_k(ev, "event_type", "event_id", k=50, seed=5).select(
+        "event_id", "event_type"
+    )

@@ -118,3 +118,19 @@ def test_pack_sequences_invariants(spark):
         assert n_windows <= floor * 1.25 + 8
     finally:
         packed.unpersist()
+
+
+def test_stratified_fixed_k_exact_and_stable(spark):
+    from recommender_system_with_pyspark_spark.operators.sampling import stratified_fixed_k
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)], "id long, grp string")
+    s1 = stratified_fixed_k(df, "grp", "id", k=10, seed=3)
+    assert {r.grp: r.n for r in s1.groupBy("grp").count()
+            .withColumnRenamed("count", "n").collect()} == {"a": 10, "b": 10}
+    # same rows under a different partitioning
+    s2 = stratified_fixed_k(df.repartition(7), "grp", "id", k=10, seed=3)
+    assert sorted(r.id for r in s1.collect()) == sorted(r.id for r in s2.collect())
+    # k larger than the stratum keeps everything
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "id long, grp string")
+    assert stratified_fixed_k(tiny, "grp", "id", k=10).count() == 2
