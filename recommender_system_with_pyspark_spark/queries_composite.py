@@ -430,3 +430,112 @@ def pagerank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = er.union(er.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     pr = pagerank(sym, iterations=5, damping=0.85)
     return pr.select(F.col("node").cast("long").alias("node"), F.round("rank", 6).alias("rank"))
+
+
+@query(
+    "top_revenue_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 6))) AS r
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(CAST(r AS DOUBLE), 2) AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE r = (SELECT max(r) FROM rev)
+    """,
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (revenue view + scalar-subquery max): quarterly
+    supplier revenue, keep the supplier(s) tied at the maximum. The max is
+    a one-row broadcast joined back on EXACT decimal equality (a double
+    sum would make 'equals the max' partition-order-dependent — the
+    decimal accumulation is what makes the tie set deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(18,6)")).alias("r")
+        )
+    )
+    mx = rev.agg(F.max("r").alias("mr"))
+    return (
+        rev.join(F.broadcast(mx), rev.r == mx.mr)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name",
+                F.round(F.col("r").cast("double"), 2).alias("total_revenue"))
+    )
+
+
+@query(
+    "sole_late_supplier",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM l l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+)
+def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS → left-semi, NOT EXISTS → left-anti):
+    suppliers who were the ONLY late shipper (>60 days after order date)
+    in a multi-supplier finished order. Both correlated subqueries become
+    key-joins against the SAME pre-joined lineitem slice, so all three
+    passes share one exchange on l_orderkey; the supplier dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    l = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+    )
+    late = l.filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+    other_supp = l.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    sole_late = (
+        late.join(
+            other_supp,
+            (late.l_orderkey == other_supp.ok) & (late.l_suppkey != other_supp.sk),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (late.l_orderkey == other_late.ok) & (late.l_suppkey != other_late.sk),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(supp), sole_late.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
