@@ -126,3 +126,50 @@ def test_q7_shape_single_fact_shuffle_chain(spark, sf_tiny):
 
     df = QUERIES["nation_trade_volume"](spark, sf_tiny)
     E.assert_plan(df, broadcast_join=True, max_shuffles=3)
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The engine's answer to skew WITHOUT manual salting: AQE detects the
+    oversized shuffle partition at runtime and splits it (skew=true in the
+    finalized adaptive plan). salted_join stays the manual fallback for
+    skew AQE can't see (e.g. post-filter explosions)."""
+    from pyspark.sql import functions as F
+
+    saved = {k: spark.conf.get(k, None) for k in [
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]}
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        # one hot key (~200k rows) + 99 cold keys (~100 rows each)
+        big = spark.range(200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        ).union(
+            spark.range(9_900).select((F.col("id") % 99 + 1).alias("k"),
+                                      F.col("id").alias("v"))
+        )
+        dim = spark.range(100).select(F.col("id").alias("k"),
+                                      F.concat(F.lit("d"), F.col("id")).alias("name"))
+        joined = big.join(dim, "k")
+        # execute THIS queryExecution (count() would plan a separate query
+        # and leave this adaptive plan unfinalized)
+        qe = joined._jdf.queryExecution()
+        assert qe.executedPlan().execute().count() == 209_900
+        plan = qe.executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
