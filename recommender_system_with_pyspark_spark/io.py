@@ -168,3 +168,59 @@ def write_sorted_parquet(
 def save_model(model, path: str) -> None:
     """ML model sink (S6 — `bgrfunctions.py:228,262,298,328,360`)."""
     model.write().overwrite().save(path)
+
+
+def zorder_key(x, y, x_min: float, x_max: float, y_min: float, y_max: float,
+               bits: int = 12):
+    """Morton (Z-order) key: both dimensions min/max-scaled to ``bits``-bit
+    integers, then bit-interleaved — pure codegen shift/mask expressions.
+    Linear scaling keeps it cheap (two scalar aggregates, no global sort);
+    heavy skew in a dimension degrades its share of the curve — switch the
+    scaling to quantile cut points if that matters."""
+    from pyspark.sql import functions as F
+
+    def scaled(c, lo, hi):
+        span = (hi - lo) or 1.0
+        v = F.floor((c.cast("double") - F.lit(float(lo))) / F.lit(float(span))
+                    * ((1 << bits) - 1)).cast("long")
+        return F.greatest(F.lit(0), F.least(v, F.lit((1 << bits) - 1)))
+
+    xs, ys = scaled(x, x_min, x_max), scaled(y, y_min, y_max)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(xs, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(ys, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    mode: str = "overwrite",
+    target_partitions: int | None = None,
+    bits: int = 12,
+) -> None:
+    """Two-dimensional layout-for-skipping sink: rows clustered along a
+    Morton curve over (col_x, col_y), so every parquet row group covers a
+    small RECTANGLE of the 2-D key space and selective predicates on
+    EITHER column skip most row groups. ``write_sorted_parquet`` is the
+    better layout when one column dominates the workload's filters;
+    Z-order is the trade when both matter (ranges are ~√(selectivity) per
+    dim instead of full-width on the second column). One pass: two scalar
+    min/max aggregates, a range shuffle on the z-key, in-partition sort."""
+    from pyspark.sql import functions as F
+
+    lo_x, hi_x, lo_y, hi_y = df.agg(
+        F.min(F.col(col_x).cast("double")), F.max(F.col(col_x).cast("double")),
+        F.min(F.col(col_y).cast("double")), F.max(F.col(col_y).cast("double")),
+    ).first()
+    z = zorder_key(F.col(col_x), F.col(col_y), lo_x, hi_x, lo_y, hi_y, bits)
+    out = df.withColumn("_z", z)
+    out = (out.repartitionByRange(target_partitions, "_z") if target_partitions
+           else out.repartitionByRange("_z"))
+    out.sortWithinPartitions("_z").drop("_z").write.mode(mode).parquet(path)

@@ -120,3 +120,40 @@ def test_sorted_parquet_rowgroups_enable_skipping(spark, sf_small, tmp_path):
     probe = spark.read.parquet(srt).filter(F.col("user_id") == 7)
     assert "user_id" in pushed_filters(probe)
     assert probe.count() == ev.filter("user_id = 7").count()
+
+
+def test_zorder_rowgroups_skip_on_both_dims(spark, sf_small, tmp_path):
+    """Z-order layout: row-group min/max rectangles are narrow on BOTH
+    dimensions, where a single-column sort leaves the second column's
+    ranges spanning ~the full domain."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from recommender_system_with_pyspark_spark.io import (
+        load_table, write_sorted_parquet, write_zorder_parquet,
+    )
+
+    ev = load_table(spark, sf_small, "events").select("event_id", "user_id", "value")
+    srt, zo = str(tmp_path / "sorted"), str(tmp_path / "zorder")
+    write_sorted_parquet(ev, srt, ["user_id"], target_partitions=8)
+    write_zorder_parquet(ev, zo, "user_id", "value", target_partitions=8)
+
+    def mean_cover(path, col):
+        spans = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(cols[col]).statistics
+                spans.append((float(st.min), float(st.max)))
+        lo = min(a for a, _ in spans)
+        hi = max(b for _, b in spans)
+        return sum(b - a for a, b in spans) / ((hi - lo) * len(spans))
+
+    # single-column sort: user_id narrow, value ~full-width per row group
+    assert mean_cover(srt, "user_id") < 0.4
+    assert mean_cover(srt, "value") > 0.6
+    # z-order: BOTH dimensions substantially narrowed
+    assert mean_cover(zo, "user_id") < 0.45
+    assert mean_cover(zo, "value") < 0.45
