@@ -674,3 +674,53 @@ def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
         F.round(F.corr("l_quantity", "l_tax"), 6).alias("corr_qty_tax"),
     )
+
+
+@query(
+    "column_profile",
+    oracle="""
+    SELECT 'o_totalprice' AS col,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) - count(o_totalprice) AS BIGINT) AS nulls,
+           CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+           round(min(o_totalprice), 2) AS min_v,
+           round(max(o_totalprice), 2) AS max_v,
+           round(avg(o_totalprice), 6) AS mean_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           round(min(o_custkey), 2), round(max(o_custkey), 2),
+           round(avg(o_custkey), 6)
+    FROM orders
+    """,
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary (count / nulls / distinct / min / max / mean
+    per column) in ONE scan: per-column aggregates computed side by side,
+    then unpivoted to a row per column — the profile-before-you-train op.
+    count(DISTINCT a), count(DISTINCT b) in one aggregate expands to
+    Spark's multi-distinct plan; for 100 TB profiles switch to
+    approx_count_distinct and drop the expand."""
+    orders = load_table(spark, sf_dir, "orders")
+    prof = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("nulls_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 6).alias("mean_price"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("nulls_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.round(F.min("o_custkey").cast("double"), 2).alias("min_cust"),
+        F.round(F.max("o_custkey").cast("double"), 2).alias("max_cust"),
+        F.round(F.avg("o_custkey"), 6).alias("mean_cust"),
+    )
+    return prof.selectExpr(
+        """stack(2,
+            'o_totalprice', n, nulls_price, nd_price, min_price, max_price, mean_price,
+            'o_custkey',    n, nulls_cust,  nd_cust,  min_cust,  max_cust,  mean_cust
+        ) AS (col, n, nulls, n_distinct, min_v, max_v, mean_v)"""
+    )

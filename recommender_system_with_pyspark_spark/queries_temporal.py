@@ -429,3 +429,69 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
              + F.col("p_ts").isNotNull().cast("int")).cast("int").alias("stage"),
         )
     )
+
+
+@query(
+    "rolling_7d_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18, 6)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                       RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 2) AS spend_7d
+    FROM orders
+    """,
+)
+def rolling_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (vs running_total's ROWS frame): per
+    customer, spend over the trailing 7 days INCLUDING equal-timestamp
+    peers — range frames are defined on the ORDER VALUE, so ties share one
+    frame and no tiebreak column is needed (that's the semantic difference
+    from rows frames, and why the decimal cast matters: every engine must
+    sum the same tie set exactly). Spark's rangeBetween needs a numeric
+    order key → seconds since epoch."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double"), 2
+        ).alias("spend_7d"),
+    )
+
+
+@query(
+    "zscore_outliers",
+    oracle="""
+    WITH st AS (
+        SELECT event_type,
+               avg(value) AS mu,
+               stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, round(value, 2) AS value,
+           round((value - mu) / sigma, 4) AS zscore
+    FROM events e JOIN st USING (event_type)
+    WHERE abs((value - mu) / sigma) > 3
+    """,
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flags (|z| > 3) — the parametric sibling of
+    the IQR band filter: one aggregate for (μ, σ) per group, broadcast back,
+    pure-projection scoring. At 100 TB the stats side is group-cardinality
+    sized (tiny), the fact side is never shuffled."""
+    ev = load_table(spark, sf_dir, "events")
+    st = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", F.round("value", 2).alias("value"),
+                F.round(z, 4).alias("zscore"))
+    )
