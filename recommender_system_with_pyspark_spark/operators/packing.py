@@ -100,3 +100,45 @@ def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
             F.avg(F.least(F.col("window_tokens"), F.lit(budget)) / F.lit(float(budget))), 4
         ).alias("mean_fill"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Overlapping context-window chunking: each document becomes
+    ⌈(n_tokens - chunk)/stride⌉+1 chunks of ``chunk_tokens`` tokens starting
+    every ``stride`` tokens (the standard train-example windowing; overlap =
+    chunk - stride). Pure sequence/slice/explode projection — no UDF, no
+    shuffle; output order and ids are deterministic: (doc_id, chunk_idx,
+    chunk_text, n_tokens)."""
+    from .text import _bind, tokens
+
+    starts = lambda toks: F.sequence(  # noqa: E731
+        F.lit(0),
+        F.greatest(
+            F.ceil((F.size(toks) - chunk_tokens) / stride).cast("long"), F.lit(0)
+        ),
+    )
+    chunks = _bind(
+        tokens(text_col),
+        lambda toks: F.transform(
+            starts(toks),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.array_join(
+                    F.slice(toks, i * stride + 1, chunk_tokens), " "
+                ).alias("chunk_text"),
+                F.least(
+                    F.size(toks) - i * stride, F.lit(chunk_tokens)
+                ).cast("int").alias("n_tokens"),
+            ),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("_c"))
+        .select(id_col, "_c.chunk_idx", "_c.chunk_text", "_c.n_tokens")
+    )

@@ -724,3 +724,38 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             'o_custkey',    n, nulls_cust,  nd_cust,  min_cust,  max_cust,  mean_cust
         ) AS (col, n, nulls, n_distinct, min_v, max_v, mean_v)"""
     )
+
+
+@query(
+    "lateral_top_nations",
+    oracle="""
+    SELECT r_name, n_name, n_cust
+    FROM region r, LATERAL (
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+        WHERE n_regionkey = r.r_regionkey
+        GROUP BY n_name
+        ORDER BY n_cust DESC, n_name
+        LIMIT 2
+    ) x
+    """,
+)
+def lateral_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (SQL-surface form of per-group top-k):
+    for each region, its two most-populous nations. Catalyst decorrelates
+    the lateral limit into the same window/rank plan topk_per_group builds
+    by hand — proof the declarative form carries no penalty."""
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("_lat_region")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    return spark.sql("""
+        SELECT r_name, n_name, n_cust
+        FROM _lat_region r, LATERAL (
+            SELECT n_name, count(*) AS n_cust
+            FROM _lat_nation JOIN _lat_customer ON c_nationkey = n_nationkey
+            WHERE n_regionkey = r.r_regionkey
+            GROUP BY n_name
+            ORDER BY n_cust DESC, n_name
+            LIMIT 2
+        ) x
+    """)

@@ -886,3 +886,38 @@ def stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.stratified_fixed_k(ev, "event_type", "event_id", k=50, seed=5).select(
         "event_id", "event_type"
     )
+
+
+@query(
+    "chunk_documents",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ), c AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, greatest(CAST(ceil((len(toks) - 64) / 32.0) AS BIGINT), 0) + 1),
+                   i -> struct_pack(
+                       chunk_idx := i,
+                       chunk_text := array_to_string(list_slice(toks, i * 32 + 1, i * 32 + 64), ' '),
+                       n_tokens := least(len(toks) - i * 32, 64)))) AS ch
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(ch.chunk_idx AS INTEGER) AS chunk_idx,
+           ch.chunk_text,
+           CAST(ch.n_tokens AS INTEGER) AS n_tokens
+    FROM c
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (64-token chunks, stride 32 → 50% overlap):
+    every document explodes into deterministic train-example windows as a
+    pure sequence/slice projection — no UDF, no shuffle, linear at 100 TB.
+    The companion to sequence_packing (chunk long docs down, pack short
+    ones up)."""
+    from .operators.packing import chunk_documents as chunker
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunker(docs, "text", "doc_id", chunk_tokens=64, stride=32)

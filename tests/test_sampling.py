@@ -134,3 +134,24 @@ def test_stratified_fixed_k_exact_and_stable(spark):
     # k larger than the stratum keeps everything
     tiny = spark.createDataFrame([(1, "x"), (2, "x")], "id long, grp string")
     assert stratified_fixed_k(tiny, "grp", "id", k=10).count() == 2
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from recommender_system_with_pyspark_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(100))  # 100 tokens
+    df = spark.createDataFrame([(1, text), (2, "short doc")], "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=64, stride=32)
+    chunks = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # 100 tokens, chunk 64, stride 32 -> ceil((100-64)/32)+1 = 3 chunks
+    assert sorted(i for d, i in chunks if d == 1) == [0, 1, 2]
+    assert chunks[(1, 0)].n_tokens == 64
+    assert chunks[(1, 2)].n_tokens == 100 - 2 * 32  # tail chunk
+    # 50% overlap: second half of chunk 0 == first half of chunk 1
+    c0, c1 = chunks[(1, 0)].chunk_text.split(), chunks[(1, 1)].chunk_text.split()
+    assert c0[32:] == c1[:32]
+    # short doc -> single whole-doc chunk
+    assert chunks[(2, 0)].n_tokens == 2 and chunks[(2, 0)].chunk_text == "short doc"
+    # every token covered
+    assert set(text.split()) == {t for (d, _), r in chunks.items() if d == 1
+                                 for t in r.chunk_text.split()}
