@@ -46,3 +46,4 @@ def load_all_queries() -> None:
     from . import queries_streaming  # noqa: F401
     from . import queries_temporal  # noqa: F401
     from . import queries_composite  # noqa: F401
+    from . import queries_tpch_shapes  # noqa: F401
