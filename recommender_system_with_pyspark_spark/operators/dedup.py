@@ -266,6 +266,8 @@ def simhash_near_dup(
     id_col: str = "doc_id",
     max_hamming: int | None = None,
     bands: int = 4,
+    bits: int = 64,
+    hash_expr=None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs with banded blocking.
 
@@ -285,10 +287,12 @@ def simhash_near_dup(
     """
     if max_hamming is None:
         max_hamming = bands - 1
-    sigs = simhash_signatures(df, text_col, id_col, "simhash").select(
+    if bits % bands:
+        raise ValueError(f"bands={bands} must divide bits={bits}")
+    sigs = simhash_signatures(df, text_col, id_col, "simhash", bits, hash_expr).select(
         F.col(id_col).alias("_id"), "simhash"
     )
-    width = 64 // bands
+    width = bits // bands
     banded = sigs.select(
         "_id",
         "simhash",

@@ -15,7 +15,7 @@ All are embarrassingly parallel projections — no shuffle, scale linearly.
 
 from __future__ import annotations
 
-from collections.abc import Mapping, Sequence
+from collections.abc import Callable, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -249,14 +249,26 @@ def add_fingerprint(
     return df.withColumn(out_col, F.md5(normalized))
 
 
+def md5_hash60(col: Column) -> Column:
+    """Engine-portable 60-bit token hash: the first 15 hex chars of md5,
+    parsed as an integer. md5 is bit-identical across Spark and DuckDB
+    (unlike xxhash64), and 60 bits always fit a signed long — the hash to
+    use when a signature must be reproducible outside Spark."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "simhash",
     bits: int = 64,
+    hash_expr: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
-    """64-bit SimHash signatures keyed by ``id_col`` only: (id, simhash).
+    """``bits``-wide SimHash signatures keyed by ``id_col`` only:
+    (id, simhash). ``hash_expr`` defaults to xxhash64 (fastest, JVM-side);
+    pass :func:`md5_hash60` with ``bits<=60`` for a signature reproducible
+    in any engine with md5.
 
     Per document: hash each distinct token (xxhash64), then for each bit
     position take the sign of sum(+1/-1). Implemented as explode →
@@ -265,9 +277,10 @@ def simhash_signatures(
     never rides the shuffle (the dedup module's scale rule: shuffle hashes,
     not bodies). Documents with zero tokens produce no signature row.
     """
+    hasher = hash_expr if hash_expr is not None else F.xxhash64
     toks = F.array_distinct(tokens(text_col))
     hashed = df.select(id_col, F.explode(toks).alias("_tok")).withColumn(
-        "_h", F.xxhash64(F.col("_tok"))
+        "_h", hasher(F.col("_tok"))
     )
     bit_sums = [
         F.sum(

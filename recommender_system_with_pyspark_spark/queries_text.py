@@ -263,9 +263,63 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("simhash_near_dup")  # xxhash64-specific → rows-only check
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64) near-dup pairs with banded blocking (4×16-bit bands):
-    pigeonhole guarantees recall for Hamming < 4 without a cross join."""
+    pigeonhole guarantees recall for Hamming < 4 without a cross join.
+    xxhash64 (the fast JVM hash) isn't reproducible in DuckDB, so this
+    entry is rows-only; `simhash_portable_near_dup` is the hash-matched
+    twin on the md5-derived signature."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_near_dup(docs, "text", "doc_id", max_hamming=3, bands=4)
+
+
+def _simhash_portable_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    """Exact all-pairs SimHash in DuckDB SQL over the md5-60-bit token
+    hash: unnest distinct tokens → per-bit ±1 sums → sign bits → popcount
+    of XOR. With bands > max_hamming on the Spark side, banded recall is
+    total, so banded output == this quadratic ground truth."""
+    bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)" for i in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, (('0x' || substr(md5(tok), 1, 15))::UBIGINT)::BIGINT AS h
+        FROM toks
+    ),
+    sums AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM hashed GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {sig_terms} AS s FROM sums)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+    """
+
+
+@query("simhash_portable_near_dup", oracle=_simhash_portable_oracle(60, 3))
+def simhash_portable_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs on the engine-portable md5-derived 60-bit
+    signature (4×15-bit bands, max Hamming 3 < bands → pigeonhole recall
+    is total), hash-matched against exact all-pairs SimHash recomputed
+    from scratch in SQL. Same banded plan as `simhash_near_dup` — only
+    the token hash differs (md5 costs ~2× xxhash64; pay it when the
+    signature must be reproducible outside Spark, e.g. cross-engine
+    dedup ledgers)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup(
+        docs, "text", "doc_id", max_hamming=3, bands=4, bits=60, hash_expr=X.md5_hash60
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 # ---------------------------------------------------------------------------
