@@ -31,6 +31,7 @@ def pack_sequences(
     token_count_col: str = "n_tokens",
     budget: int = 2048,
     n_groups: int = 64,
+    group_hash=None,
 ) -> DataFrame:
     """Assign each document to a context window of at most ``budget`` tokens
     using first-fit-decreasing within deterministic hash groups.
@@ -78,10 +79,11 @@ def pack_sequences(
             }
         )
 
+    hasher = group_hash if group_hash is not None else F.xxhash64
     base = df.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(token_count_col).cast("int").alias("_n"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).cast("int").alias("_g"),
+        F.pmod(hasher(F.col(id_col)), F.lit(n_groups)).cast("int").alias("_g"),
     )
     return base.groupBy("_g").applyInPandas(pack, PACK_SCHEMA)
 

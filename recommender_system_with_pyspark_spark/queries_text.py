@@ -678,21 +678,80 @@ def training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sequence_packing")  # FFD bin assignment is not SQL-expressible → rows-only
+def _ffd_packing_oracle(budget: int = 128, n_groups: int = 16) -> str:
+    """First-fit-decreasing re-run from scratch in DuckDB: a recursive CTE
+    walks each group's documents in (tokens DESC, id) order carrying two
+    list columns of per-bin state (remaining capacity, token total) —
+    first-fit is list_position over a lambda, the update is 1-based
+    INCLUSIVE list slicing. Recursion depth = largest group's doc count.
+    Groups use the md5-60-bit hash of the id string (same on both
+    engines); xxhash64 grouping stays the in-engine fast path."""
+    return f"""
+    WITH RECURSIVE
+    docs0 AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n,
+               ((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT
+                 % {n_groups})::INT) AS g
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n, g,
+               row_number() OVER (PARTITION BY g ORDER BY n DESC, doc_id) AS rk
+        FROM docs0
+    ),
+    gcounts AS (SELECT g, count(*) AS cnt FROM ranked GROUP BY g),
+    pack(g, step, caps, toks) AS (
+        SELECT g, 0::BIGINT, []::BIGINT[], []::BIGINT[] FROM gcounts
+        UNION ALL
+        SELECT p.g, p.step + 1,
+               CASE WHEN r.n >= {budget} THEN list_append(p.caps, 0::BIGINT)
+                    WHEN fit.idx IS NULL THEN list_append(p.caps, {budget}::BIGINT - r.n)
+                    ELSE p.caps[1:fit.idx - 1] || [p.caps[fit.idx] - r.n] || p.caps[fit.idx + 1:]
+               END,
+               CASE WHEN r.n >= {budget} OR fit.idx IS NULL THEN list_append(p.toks, r.n)
+                    ELSE p.toks[1:fit.idx - 1] || [p.toks[fit.idx] + r.n] || p.toks[fit.idx + 1:]
+               END
+        FROM pack p
+        JOIN ranked r ON r.g = p.g AND r.rk = p.step + 1
+        CROSS JOIN LATERAL (
+            SELECT CASE WHEN r.n < {budget}
+                        THEN list_position(list_transform(p.caps, c -> c >= r.n), true)
+                   END AS idx) fit
+    ),
+    final AS (
+        SELECT p.g, p.toks FROM pack p JOIN gcounts c ON p.g = c.g AND p.step = c.cnt
+    ),
+    windows AS (SELECT g, unnest(toks) AS wtoks FROM final)
+    SELECT w.g AS pack_group,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(any_value(c.cnt) AS BIGINT) AS n_docs,
+           round(avg(least(wtoks, {budget})::DOUBLE / {budget}::DOUBLE), 4) AS mean_fill
+    FROM windows w JOIN gcounts c ON w.g = c.g
+    GROUP BY w.g
+    """
+
+
+@query("sequence_packing", oracle=_ffd_packing_oracle(budget=128, n_groups=16))
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: documents first-fit-decreasing into
     128-token windows inside deterministic hash groups (Arrow-batched
     applyInPandas; parallelism = groups, packing state never leaves the
-    task). Invariants (every doc packed exactly once, no window over
-    budget, fill rate vs the theoretical floor) are pytest-enforced;
-    output here is the per-group accounting."""
+    task). Grouping here uses the engine-portable md5-60-bit id hash so
+    the ENTIRE packing — group assignment, FFD bin walk, per-group fill
+    accounting — hash-matches an independent FFD re-run as a DuckDB
+    recursive CTE. Invariants (every doc packed exactly once, no window
+    over budget, fill floor) are additionally pytest-enforced."""
     from .operators import packing as P
 
     docs = load_table(spark, sf_dir, "documents")
     with_counts = docs.select(
         "doc_id", F.size(X.tokens("text")).alias("n_tokens")
     )
-    packed = P.pack_sequences(with_counts, "doc_id", "n_tokens", budget=128, n_groups=16)
+    packed = P.pack_sequences(
+        with_counts, "doc_id", "n_tokens", budget=128, n_groups=16,
+        group_hash=lambda c: X.md5_hash60(c.cast("string")),
+    )
     return P.packing_stats(packed, budget=128).orderBy("pack_group")
 
 
