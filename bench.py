@@ -58,18 +58,23 @@ def main() -> None:
     qs = e.queries()
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
         # best-of-N: single-JVM timings on shared hosts swing 30%+ run to
         # run (neighbor load, page cache); the minimum is the steady-state
         # cost of the PLAN, which is what this benchmark tracks
-        for _ in range(max(1, repeats)):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(max(1, repeats)):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # one broken query must not sink the suite
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -81,6 +86,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

@@ -74,15 +74,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             raise ValueError(f"table {name!r} at {sf_dir} missing columns {sorted(missing)}")
         actual = {f.name: f.dataType for f in df.schema.fields}
         for field in expected.fields:
-            if (
-                field.dataType.typeName() == "timestamp"
-                and actual.get(field.name) is not None
-                and actual[field.name].typeName() == "long"
-            ):
+            if field.dataType.typeName() != "timestamp" or actual.get(field.name) is None:
+                continue
+            if actual[field.name].typeName() == "long":
                 df = df.withColumn(
                     field.name,
                     F.timestamp_micros(F.expr(f"{field.name} div 1000")),
                 )
+            elif actual[field.name].typeName() == "timestamp_ntz":
+                # TESTDATA parquet stores naive microsecond timestamps; with
+                # inferTimestampNTZ (Spark 3.4+ default) they surface as
+                # TIMESTAMP_NTZ, which unix_micros()/datetime arithmetic
+                # reject. Normalize to TIMESTAMP — the session timezone is
+                # pinned to UTC, so the wall-clock is reinterpreted as the
+                # same instant DuckDB's epoch() assumes.
+                df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -682,10 +682,14 @@ def _ffd_packing_oracle(budget: int = 128, n_groups: int = 16) -> str:
     """First-fit-decreasing re-run from scratch in DuckDB: a recursive CTE
     walks each group's documents in (tokens DESC, id) order carrying two
     list columns of per-bin state (remaining capacity, token total) —
-    first-fit is list_position over a lambda, the update is 1-based
-    INCLUSIVE list slicing. Recursion depth = largest group's doc count.
-    Groups use the md5-60-bit hash of the id string (same on both
-    engines); xxhash64 grouping stays the in-engine fast path."""
+    first-fit is list_position over a lambda, the update rebuilds the list
+    with a positional list_transform over list_zip (NEVER a slice with a
+    computed bound: DuckDB 1.0's recursive-CTE executor re-expands computed
+    slice bounds exponentially in the iteration count). ``list_position``
+    not-found is normalized with NULLIF(…, 0) — 1.0 returns 0, later
+    versions NULL. Recursion depth = largest group's doc count. Groups use
+    the md5-60-bit hash of the id string (same on both engines); xxhash64
+    grouping stays the in-engine fast path."""
     return f"""
     WITH RECURSIVE
     docs0 AS (
@@ -704,20 +708,27 @@ def _ffd_packing_oracle(budget: int = 128, n_groups: int = 16) -> str:
     pack(g, step, caps, toks) AS (
         SELECT g, 0::BIGINT, []::BIGINT[], []::BIGINT[] FROM gcounts
         UNION ALL
-        SELECT p.g, p.step + 1,
-               CASE WHEN r.n >= {budget} THEN list_append(p.caps, 0::BIGINT)
-                    WHEN fit.idx IS NULL THEN list_append(p.caps, {budget}::BIGINT - r.n)
-                    ELSE p.caps[1:fit.idx - 1] || [p.caps[fit.idx] - r.n] || p.caps[fit.idx + 1:]
+        SELECT g, step + 1,
+               CASE WHEN n >= {budget} THEN list_append(caps, 0::BIGINT)
+                    WHEN idx IS NULL THEN list_append(caps, {budget}::BIGINT - n)
+                    ELSE list_transform(list_zip(caps, range(1, len(caps) + 1)),
+                                        z -> CASE WHEN z[2] = idx THEN z[1] - n
+                                             ELSE z[1] END)
                END,
-               CASE WHEN r.n >= {budget} OR fit.idx IS NULL THEN list_append(p.toks, r.n)
-                    ELSE p.toks[1:fit.idx - 1] || [p.toks[fit.idx] + r.n] || p.toks[fit.idx + 1:]
+               CASE WHEN n >= {budget} OR idx IS NULL THEN list_append(toks, n)
+                    ELSE list_transform(list_zip(toks, range(1, len(toks) + 1)),
+                                        z -> CASE WHEN z[2] = idx THEN z[1] + n
+                                             ELSE z[1] END)
                END
-        FROM pack p
-        JOIN ranked r ON r.g = p.g AND r.rk = p.step + 1
-        CROSS JOIN LATERAL (
-            SELECT CASE WHEN r.n < {budget}
-                        THEN list_position(list_transform(p.caps, c -> c >= r.n), true)
-                   END AS idx) fit
+        FROM (
+            SELECT p.g, p.step, p.caps, p.toks, r.n,
+                   CASE WHEN r.n < {budget}
+                        THEN NULLIF(list_position(
+                                 list_transform(p.caps, c -> c >= r.n), true), 0)
+                   END AS idx
+            FROM pack p
+            JOIN ranked r ON r.g = p.g AND r.rk = p.step + 1
+        )
     ),
     final AS (
         SELECT p.g, p.toks FROM pack p JOIN gcounts c ON p.g = c.g AND p.step = c.cnt

@@ -25,27 +25,26 @@ from ..schemas import EVENTS
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet directory (one-file directory =
-    one micro-batch; real deployments point this at Kafka). Handles the
-    TIMESTAMP(NANOS) storage the same way io.load_table does."""
-    import pyspark.sql.types as T
+    one micro-batch; real deployments point this at Kafka).
 
+    The on-disk ``ts`` physical type has varied across TESTDATA generations
+    (TIMESTAMP(NANOS) → nanos-as-long, naive micros → TIMESTAMP_NTZ), so the
+    stream schema is taken from the parquet footer via a batch probe and the
+    column is normalized to TIMESTAMP exactly like ``io.load_table``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanos-as-long
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    schema = spark.read.parquet(path).schema
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType.typeName()
+    if ts_type == "long":  # nanos-as-long
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour",
