@@ -1,0 +1,85 @@
+"""Distribution-drift monitoring (north-star extension: a training-data
+pipeline needs to detect when an incoming batch stopped looking like the
+corpus the model was trained on).
+
+Population Stability Index over fixed equal-width buckets:
+
+    PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+
+summed over buckets observed in either cohort, with Laplace-smoothed bucket
+shares — share_b = (count_b + 1) / (n_cohort + n_buckets) — so a bucket
+empty on one side contributes a finite penalty instead of ±inf. Rule of
+thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25 action needed.
+
+Scale shape: ONE pass for the global value range (2-number aggregate,
+broadcast back), ONE partial-aggregating groupBy over (group, bucket) with
+conditional counts — the shuffle carries at most |groups|·|buckets| rows,
+never the fact table. No UDFs, no driver collects, no windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bucketize(value: Column, vmin: Column, vmax: Column, n_buckets: int) -> Column:
+    """Equal-width bucket index in [0, n_buckets): floor(n·(v−min)/width),
+    with v == max clamped into the last bucket. Pure expression — identical
+    arithmetic is reproducible in any engine (the DuckDB oracles reuse it
+    verbatim)."""
+    width = (vmax - vmin) / F.lit(float(n_buckets))
+    raw = F.floor((value - vmin) / width).cast("int")
+    return F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw))
+
+
+def population_stability(
+    df: DataFrame,
+    value_col: str,
+    cohort_col: str,
+    baseline: str,
+    current: str,
+    group_col: str,
+    n_buckets: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-``group_col`` PSI of ``value_col`` between the rows where
+    ``cohort_col == baseline`` (p) and ``cohort_col == current`` (q); rows
+    in neither cohort are ignored. Returns
+    (``group_col``, psi, n_baseline, n_current)."""
+    rng = df.agg(
+        F.min(value_col).cast("double").alias("_vmin"),
+        F.max(value_col).cast("double").alias("_vmax"),
+    )
+    bucketed = (
+        df.filter(F.col(cohort_col).isin(baseline, current))
+        .crossJoin(F.broadcast(rng))
+        .select(
+            F.col(group_col),
+            F.col(cohort_col).alias("_cohort"),
+            bucketize(
+                F.col(value_col).cast("double"), F.col("_vmin"), F.col("_vmax"), n_buckets
+            ).alias("_bucket"),
+        )
+    )
+    is_p = (F.col("_cohort") == baseline).cast("long")
+    counts = bucketed.groupBy(group_col, "_bucket").agg(
+        F.sum(is_p).alias("c_p"),
+        F.sum(1 - is_p).alias("c_q"),
+    )
+    totals = counts.groupBy(group_col).agg(
+        F.sum("c_p").alias("tot_p"), F.sum("c_q").alias("tot_q")
+    )
+    sm = F.lit(float(n_buckets))
+    p = (F.col("c_p") + 1) / (F.col("tot_p") + sm)
+    q = (F.col("c_q") + 1) / (F.col("tot_q") + sm)
+    return (
+        counts.join(F.broadcast(totals), group_col)
+        .withColumn("_term", (p - q) * F.log(p / q))
+        .groupBy(group_col)
+        .agg(
+            F.round(F.sum("_term"), round_to).alias("psi"),
+            F.min("tot_p").cast("long").alias("n_baseline"),
+            F.min("tot_q").cast("long").alias("n_current"),
+        )
+    )

@@ -260,3 +260,74 @@ def pivot_sum(
     distinct-values job and keeps output schema deterministic)."""
     g = df.groupBy(group_by).pivot(pivot_col, list(pivot_values) if pivot_values else None)
     return g.agg(F.sum(value_col))
+
+
+def cooccurrence_topk(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Item-to-item co-occurrence recommender ("customers who bought X also
+    bought Y") — the non-ML sibling of the ALS flagship: distinct
+    (basket, item) pairs self-joined within a basket, pair counts, then
+    per-item top-k neighbours by (count DESC, neighbour ASC).
+
+    Scale shape: the self-join shuffles both sides on ``basket_col`` and
+    emits C(lines, 2) pairs per basket — bounded per basket (a retail order
+    has a handful of lines), so output is LINEAR in basket count. The
+    pair-count groupBy combines map-side; the final top-k windows over the
+    pair-count table (items² upper bound, item-degree bound in practice),
+    never the fact table. A degenerate mega-basket (one basket containing
+    half the catalog) should be dropped beforehand — it alone contributes
+    quadratically."""
+    from pyspark.sql import Window
+
+    bi = df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")).distinct()
+    a, b = bi.alias("a"), bi.alias("b")
+    pairs = (
+        a.join(b, (F.col("a._b") == F.col("b._b")) & (F.col("a._i") < F.col("b._i")))
+        .groupBy(F.col("a._i").alias("item"), F.col("b._i").alias("other"))
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+    sym = pairs.union(
+        pairs.select(F.col("other").alias("item"), F.col("item").alias("other"), "n_baskets")
+    )
+    w = Window.partitionBy("item").orderBy(F.col("n_baskets").desc(), F.col("other").asc())
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("item", "other", "n_baskets", "rank")
+    )
+
+
+def key_skew_audit(
+    df: DataFrame,
+    key_col: str,
+    top: int = 20,
+    skew_factor: float = 4.0,
+) -> DataFrame:
+    """Join-key skew diagnostic to run BEFORE a big shuffle join: per-key
+    row counts, each key's share of the table, and a ``skewed`` flag for
+    keys holding more than ``skew_factor`` × the mean per-key count.
+    Feed flagged keys to ``salted_join`` (or let AQE skew-split handle
+    them) instead of discovering the straggler task at hour three.
+
+    One map-side-combining groupBy on the key (the same shuffle the join
+    would do, but carrying ONLY (key, count)); the stats side is a 2-number
+    aggregate broadcast back; top-N returns via TakeOrdered."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.sum("n_rows").alias("_total"), F.avg("n_rows").alias("_mean")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            (F.col("n_rows") > F.lit(skew_factor) * F.col("_mean")).alias("skewed"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(top)
+    )

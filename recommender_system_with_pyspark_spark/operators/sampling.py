@@ -129,3 +129,67 @@ def stratified_fixed_k(
     return df.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= k
     ).drop("_rn")
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int | str = 0,
+    score_col: str = "sample_score",
+    round_to: int = 6,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row draws u ∈ (0, 1] from the md5 of its key and
+    scores s = −ln(u) / w; the k smallest scores are the sample. Inclusion
+    probability is proportional to ``weight_col`` (domain upweighting,
+    quality-weighted corpus draws), yet the selected set is a pure function
+    of (key, seed) — reproducible on any partitioning, any engine, any day,
+    which ``df.sample(weights...)``-style draws are not.
+
+    Plan shape: pure projection + global top-k. Spark executes the
+    orderBy().limit(k) as TakeOrdered (per-partition heaps + driver merge
+    of k·partitions rows) — no full sort, no shuffle of the losers."""
+    u = (hash_bucket(key_col, seed) + F.lit(1.0)) / F.lit(float(_BUCKETS))
+    score = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn(score_col, F.round(score, round_to))
+        .orderBy(F.col(score_col).asc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy per-group corpus selection under a token budget: walk each
+    group's rows best-first (``order_col`` DESC, ``id_col`` ASC tiebreak)
+    and keep rows while the running token total stays within ``budget`` —
+    "fill a 1B-token training mix with the best documents per language".
+
+    Note the greedy prefix rule: a row is kept iff its OWN cumulative sum
+    is <= budget; the walk stops at the first overflow (no skip-and-refill
+    — that would be knapsack, not a prefix, and couldn't be verified by a
+    window-function oracle).
+
+    One shuffle on ``group_col``; the cumulative sum is a running-frame
+    window aggregate — no iteration, no driver state. Skewed groups at
+    100 TB: pre-aggregate candidates per group with a cheap quality floor
+    before ranking."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(order_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = df.withColumn("_cum", F.sum(F.col(token_col).cast("long")).over(w))
+    # min_by over the violating prefix: the first row that overflows caps
+    # everything after it (monotone cumsum ⇒ a simple filter suffices).
+    return run.filter(F.col("_cum") <= budget)

@@ -357,3 +357,69 @@ def scrub_pii(
         .withColumn(f"{out}_n_digits", F.regexp_count(no_email, F.lit(LONG_DIGITS_RE)))
         .withColumn(out, scrubbed)
     )
+
+
+def idf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction by document frequency: explode each
+    document's DISTINCT tokens, count document frequency per token, and
+    keep each document's k rarest tokens (df ASC, token ASC tiebreak) —
+    the IDF-ranking core of TF-IDF keywording without the dense-vector
+    detour (HashingTF/IDF stay the ML-pipeline path in ml/text_features).
+
+    Scale shape: the distinct-token explode is linear in corpus token
+    count; the df groupBy combines map-side and yields a vocabulary-sized
+    table, which broadcast-joins back onto the exploded tokens (vocab ≪
+    corpus — hash-bucket the vocab join instead if that stops being true).
+    The per-doc top-k window shuffles (doc, token, df) triples once."""
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("token")
+    )
+    dfreq = ex.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("token").asc())
+    return (
+        ex.join(F.broadcast(dfreq), "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "token", "df")
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus-LM fluency scoring: fit a unigram language model on the
+    corpus itself (token frequency / corpus size) and score every document
+    by its mean token log-probability — the cheap, trainer-free stand-in
+    for "perplexity filtering" in data-quality pipelines (gibberish and
+    boilerplate both fall in the tails of the mean-logprob distribution).
+
+    Scale shape: one explode pass; the vocabulary aggregate combines
+    map-side into a vocab-sized table joined back by BROADCAST; per-doc
+    term counts shuffle (doc, token-count) pairs once. The corpus total
+    rides along as a broadcast 1-row frame — no driver collect."""
+    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    vocab = ex.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").cast("double").alias("n_total"))
+    per_doc = ex.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_doc.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("int").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * F.log(F.col("tf") / F.col("n_total"))) / F.sum("c"),
+                round_to,
+            ).alias("avg_logprob"),
+        )
+    )

@@ -1,0 +1,254 @@
+"""Round-4 corpus-curation & analytics query surface: keyword extraction,
+corpus-LM quality scoring, co-occurrence recommendations, drift monitoring,
+deterministic weighted sampling, token-budget selection, and join-key skew
+auditing. Every query here is DuckDB-oracle hash-checked.
+
+These extend the reference's recommendation/data-prep domain (SURVEY §2.9
+north-star note): the reference recommends games from ratings
+(`PySpark Scripts/als.py`); `related_parts` is the same product-association
+task done with pure relational co-occurrence, and the corpus ops are what
+its data-cleaning stage (`datacleaning.py`) would need at web scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import load_table
+from .operators import drift as DR
+from .operators import relational as R
+from .operators import sampling as SA
+from .operators import text as X
+from .registry import query
+
+_TOKENS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+@query(
+    "idf_keywords",
+    oracle=f"""
+    WITH ex AS (
+        SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS token
+        FROM documents
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM ex GROUP BY token),
+    ranked AS (
+        SELECT e.doc_id, e.token, d.df,
+               row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.token) AS rank
+        FROM ex e JOIN dfreq d USING (token)
+    )
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, CAST(df AS BIGINT) AS df
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def idf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document's 3 rarest tokens by corpus document-frequency —
+    broadcast vocab join + per-doc top-k window (operators/text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.idf_keywords(docs, "text", "doc_id", k=3)
+
+
+@query(
+    "unigram_logprob",
+    oracle=f"""
+    WITH ex AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS tf FROM ex GROUP BY token),
+    tot AS (SELECT sum(tf)::DOUBLE AS n_total FROM vocab),
+    per_doc AS (SELECT doc_id, token, count(*) AS c FROM ex GROUP BY doc_id, token)
+    SELECT d.doc_id,
+           CAST(sum(d.c) AS INTEGER) AS n_tokens,
+           round(sum(d.c * ln(v.tf / t.n_total)) / sum(d.c), 6) AS avg_logprob
+    FROM per_doc d JOIN vocab v USING (token) CROSS JOIN tot t
+    GROUP BY d.doc_id
+    """,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    unigram LM — perplexity-style quality scoring without a model."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.unigram_logprob(docs, "text", "doc_id", round_to=6)
+
+
+@query(
+    "related_parts",
+    oracle="""
+    WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    pairs AS (
+        SELECT a.i AS item, b.i AS other, count(*) AS n_baskets
+        FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+        GROUP BY a.i, b.i
+    ),
+    sym AS (
+        SELECT item, other, n_baskets FROM pairs
+        UNION ALL
+        SELECT other, item, n_baskets FROM pairs
+    ),
+    ranked AS (
+        SELECT item, other, n_baskets,
+               row_number() OVER (PARTITION BY item
+                                  ORDER BY n_baskets DESC, other) AS rank
+        FROM sym
+    )
+    SELECT CAST(item AS BIGINT) AS item, CAST(other AS BIGINT) AS other,
+           CAST(n_baskets AS BIGINT) AS n_baskets, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Bought-with" co-occurrence top-3 per part from order baskets — the
+    relational sibling of the ALS flagship (operators/relational.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return R.cooccurrence_topk(li, "l_orderkey", "l_partkey", k=3)
+
+
+@query(
+    "psi_value_drift",
+    oracle="""
+    WITH rng AS (
+        SELECT min(value)::DOUBLE AS vmin, max(value)::DOUBLE AS vmax,
+               (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us
+        FROM events
+    ),
+    bucketed AS (
+        SELECT e.event_type,
+               CASE WHEN epoch_us(e.ts) >= r.mid_us THEN 'late' ELSE 'early' END AS cohort,
+               least(9, greatest(0, floor((e.value - r.vmin)
+                     / ((r.vmax - r.vmin) / 10.0))::INT)) AS bucket
+        FROM events e CROSS JOIN rng r
+    ),
+    counts AS (
+        SELECT event_type, bucket,
+               sum(CASE WHEN cohort = 'early' THEN 1 ELSE 0 END) AS c_p,
+               sum(CASE WHEN cohort = 'late' THEN 1 ELSE 0 END) AS c_q
+        FROM bucketed GROUP BY event_type, bucket
+    ),
+    totals AS (
+        SELECT event_type, sum(c_p) AS tot_p, sum(c_q) AS tot_q
+        FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type,
+           round(sum(((c.c_p + 1) / (t.tot_p + 10.0) - (c.c_q + 1) / (t.tot_q + 10.0))
+                 * ln(((c.c_p + 1) / (t.tot_p + 10.0))
+                      / ((c.c_q + 1) / (t.tot_q + 10.0)))), 6) AS psi,
+           CAST(min(t.tot_p) AS BIGINT) AS n_baseline,
+           CAST(min(t.tot_q) AS BIGINT) AS n_current
+    FROM counts c JOIN totals t USING (event_type)
+    GROUP BY c.event_type
+    """,
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of event values, first half of the time
+    range vs second half, per event type (operators/drift.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.agg(
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / F.lit(2))
+        .cast("long")
+        .alias("_mid")
+    )
+    cohorted = ev.crossJoin(F.broadcast(rng)).withColumn(
+        "_cohort",
+        F.when(F.unix_micros("ts") >= F.col("_mid"), "late").otherwise("early"),
+    )
+    return DR.population_stability(
+        cohorted, "value", "_cohort", baseline="early", current="late",
+        group_col="event_type", n_buckets=10,
+    )
+
+
+@query(
+    "weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               round(-ln((('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
+                          + 1.0) / 4294967296.0) / n_chars::DOUBLE, 6) AS sample_score
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, sample_score
+    FROM scored ORDER BY sample_score, doc_id LIMIT 20
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis–Spirakis weighted sample (k=20, weight =
+    document length): −ln(u)/w with u from the md5 of the id, so the drawn
+    set is reproducible across runs, partitionings, and engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return SA.weighted_sample_topk(docs, "doc_id", "n_chars", k=20, seed=0)
+
+
+@query(
+    "token_budget_corpus",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len({_TOKENS_SQL}) AS n_tokens,
+               length(text) AS n_chars,
+               len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is)\\b')) AS sw_hits,
+               length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, n_tokens,
+               round(0.4 * least(n_chars / 500.0, 1.0)
+             + 0.3 * greatest(0.0, 1.0 - (n_punct / greatest(n_chars, 1)::DOUBLE) * 5)
+             + 0.3 * least((sw_hits / greatest(n_tokens, 1)::DOUBLE) * 4, 1.0), 6) AS q
+        FROM t
+    ),
+    run AS (
+        SELECT lang, n_tokens, q,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM scored
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+           round(min(q), 6) AS min_quality_kept
+    FROM run WHERE cum <= 2000
+    GROUP BY lang
+    """,
+)
+def token_budget_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy best-first corpus selection under a 2000-token budget per
+    language: quality-ranked prefix by running token sum
+    (operators/sampling.py token_budget_select)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = X.add_quality_score(docs, "text")
+    scored = scored.select(
+        "doc_id", "lang", F.size(X.tokens("text")).alias("n_tokens"),
+        F.round("quality", 6).alias("q"),
+    )
+    kept = SA.token_budget_select(
+        scored, group_col="lang", order_col="q", id_col="doc_id",
+        token_col="n_tokens", budget=2000,
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_kept"),
+        F.round(F.min("q"), 6).alias("min_quality_kept"),
+    )
+
+
+@query(
+    "join_key_skew",
+    oracle="""
+    WITH counts AS (
+        SELECT o_custkey AS key, count(*) AS n_rows FROM orders GROUP BY o_custkey
+    ),
+    stats AS (SELECT sum(n_rows)::DOUBLE AS total, avg(n_rows) AS mean FROM counts)
+    SELECT CAST(c.key AS BIGINT) AS key, CAST(c.n_rows AS BIGINT) AS n_rows,
+           round(c.n_rows / s.total, 6) AS share,
+           c.n_rows > 4.0 * s.mean AS skewed
+    FROM counts c CROSS JOIN stats s
+    ORDER BY c.n_rows DESC, c.key LIMIT 20
+    """,
+)
+def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew audit of orders.o_custkey: top-20 hottest keys with
+    table share and a skew flag (> 4× mean) — the diagnostic that decides
+    between a plain shuffle join, AQE skew-split, and salted_join."""
+    orders = load_table(spark, sf_dir, "orders")
+    return R.key_skew_audit(orders, "o_custkey", top=20, skew_factor=4.0)

@@ -47,3 +47,4 @@ def load_all_queries() -> None:
     from . import queries_temporal  # noqa: F401
     from . import queries_composite  # noqa: F401
     from . import queries_tpch_shapes  # noqa: F401
+    from . import queries_corpus  # noqa: F401
