@@ -252,3 +252,121 @@ def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     between a plain shuffle join, AQE skew-split, and salted_join."""
     orders = load_table(spark, sf_dir, "orders")
     return R.key_skew_audit(orders, "o_custkey", top=20, skew_factor=4.0)
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               date_trunc('week', e.ts) AS activity_week
+        FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort_week, activity_week) // 7 AS INTEGER) AS week_index,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM activity
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first-seen week,
+    counted once per (cohort, weeks-since-first) they were active in.
+
+    Scale shape: one groupBy(user) for first-seen (user-cardinality
+    output), joined back to events on user_id — at 100 TB the firsts table
+    is users-sized; if that outgrows broadcast, the join co-partitions both
+    sides on user_id, which the subsequent DISTINCT reuses (same key), so
+    the fact table crosses the wire once."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).alias("activity_week"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        F.floor(
+            F.datediff(F.to_date("activity_week"), F.to_date("cohort_week")) / 7
+        ).cast("int").alias("week_index"),
+    ).agg(F.count(F.lit(1)).alias("n_active_users"))
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate), any_value(a.maxd)) AS recency_days,
+               count(*) AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders CROSS JOIN anchor a
+        GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey AS custkey, recency_days, frequency, monetary,
+               ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r,
+               ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+               ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+        FROM per_cust
+    )
+    SELECT CAST(custkey AS BIGINT) AS custkey,
+           CAST(recency_days AS INTEGER) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary,
+           CAST(r AS INTEGER) AS r, CAST(f AS INTEGER) AS f, CAST(m AS INTEGER) AS m,
+           CAST(r * 100 + f * 10 + m AS INTEGER) AS segment
+    FROM scored
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary quartiles
+    (ntile(4), key tiebreak so the quartile cut is total-ordered and
+    engine-reproducible) composed into the classic 3-digit segment code.
+
+    Scale shape: one map-side-combining groupBy(custkey) collapses orders
+    to customer cardinality; the three ntile windows run over that
+    customer table. Global ntile needs a single ordered partition — at
+    100 TB swap ntile for percent_rank over range-partitioned sort or a
+    quantile-summary cut (operators/cleaning.py GK sketch); here the
+    customer table after aggregation is small enough that one-partition
+    windows are the honest plan."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("_maxd"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.to_date(F.min("_maxd")), F.to_date(F.max("o_orderdate")))
+            .cast("int")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    scored = per_cust.select(
+        F.col("o_custkey").alias("custkey"),
+        "recency_days", "frequency", "monetary",
+        F.ntile(4).over(wr).alias("r"),
+        F.ntile(4).over(wf).alias("f"),
+        F.ntile(4).over(wm).alias("m"),
+    )
+    return scored.withColumn(
+        "segment", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int")
+    )

@@ -173,3 +173,58 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_tiny):
+    """At cluster scale, Catalyst injects a runtime BLOOM filter on the
+    fact side of a selective shuffle join (InjectRuntimeFilter): the dim
+    side aggregates bloom_filter_agg(xxhash64(key)) and the fact scan gets
+    a might_contain(...) filter BEFORE the shuffle — rows for orders that
+    can't match never leave the scan stage. The rewrite is gated on a
+    10 GB fact-scan threshold in production (exactly right: the bloom
+    costs a dim pass, so it should only fire when the fact side is big);
+    here the thresholds are lowered to pin that the rule still rewrites
+    our join shapes."""
+    saved = {k: spark.conf.get(k, None) for k in [
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]}
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+        li = load_table(spark, sf_tiny, "lineitem")
+        orders = load_table(spark, sf_tiny, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected on fact side"
+        assert "bloom_filter_agg" in plan, "bloom build side missing"
+        # and the rewrite must not change results
+        got = {r["o_orderpriority"]: r["count"] for r in j.collect()}
+        want = {
+            r["o_orderpriority"]: r["count"]
+            for r in li.join(
+                load_table(spark, sf_tiny, "orders").filter(
+                    F.col("o_orderpriority") == "1-URGENT"
+                ),
+                li.l_orderkey == F.col("o_orderkey"),
+            ).groupBy("o_orderpriority").count().collect()
+        }
+        assert got == want
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
