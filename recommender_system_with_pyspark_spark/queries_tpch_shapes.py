@@ -1,5 +1,10 @@
-"""The remaining classic TPC-H plan shapes (Q2/Q4/Q8/Q9/Q11/Q12/Q13/Q14/
-Q16/Q19/Q20/Q22), adapted to the synthetic star schema's column set.
+"""The remaining classic TPC-H plan shapes (Q2/Q4/Q6/Q8/Q9/Q11/Q12/Q13/
+Q14/Q16/Q19/Q20/Q22), adapted to the synthetic star schema's column set —
+with these, all 22 TPC-H query shapes have an oracle-checked counterpart
+across the query modules (Q1 pricing_summary, Q3 shipping_priority,
+Q5 local_supplier_volume, Q7 nation_trade_volume, Q10 returned_items,
+Q15 top_revenue_supplier, Q17 parts_above_brand_avg, Q18 large_orders,
+Q21 sole_late_supplier).
 
 Each query exists for the PLAN it forces, not the number it returns:
 correlated EXISTS → left-semi with a compound condition, NOT EXISTS →
@@ -516,4 +521,41 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("p_partkey", "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+@query(
+    "forecast_revenue_change",  # TPC-H Q6 shape
+    oracle="""
+    SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the canonical full-scan filter-aggregate: revenue
+    delta if mid-band discounts on small lots had been dropped for one
+    year. No join, no window, ONE partial+final aggregate; every predicate
+    (shipdate range, discount band, quantity cap) pushes to the parquet
+    scan and the sum accumulates in exact DECIMAL so the result is
+    identical on any partitioning/engine. At 100 TB this query is pure
+    scan bandwidth — shipdate partition pruning plus row-group min/max
+    skipping (io.write_sorted_parquet) are the only levers that matter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")),
+                2,
+            ).cast("double").alias("revenue")
+        )
     )

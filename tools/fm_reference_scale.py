@@ -12,7 +12,14 @@ REFSCALE.md for the calibrated ALS parity). This measures THROUGHPUT of
 the identical pipeline shape (one-hot dims ≈ users+items, same grid, same
 trainRatio/seed discipline) at a chosen fraction of the 18.9M-row scale.
 
-Usage: python tools/fm_reference_scale.py [--scale 0.25]
+``--task classifier`` runs the E3 FMClassifier shape instead
+(`fmclas.py:45`, `bgrfunctions.py:238-269`): same one-hot features, label
+binarized at rating < 4 → 0 else 1 (`bgrfunctions.py:24`), grid stepSize
+{0.1,0.01} × factorSize {1,2}, accuracy selection + the reference's
+hard-prediction ROC quirk. Published anchor (`risultati.txt:67-69`):
+acc 0.9179 / roc 0.5389, **283.68 min**.
+
+Usage: python tools/fm_reference_scale.py [--scale 0.25] [--task regressor|classifier]
 """
 
 from __future__ import annotations
@@ -29,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=0.25)
+    ap.add_argument("--task", choices=["regressor", "classifier"], default="regressor")
     args = ap.parse_args()
 
     from pyspark.ml import Pipeline
@@ -36,7 +44,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from recommender_system_with_pyspark_spark.domain import golden
-    from recommender_system_with_pyspark_spark.ml.models import fm_regressor
+    from recommender_system_with_pyspark_spark.ml.models import fm_classifier, fm_regressor
     from recommender_system_with_pyspark_spark.session import get_spark
 
     n = int(golden.REF_N_RATINGS * args.scale)
@@ -56,23 +64,36 @@ def main() -> None:
         OneHotEncoder(inputCols=["UserId", "BGGId"], outputCols=["UserId_onehot", "BGGId_onehot"]),
         VectorAssembler(inputCols=["UserId_onehot", "BGGId_onehot"], outputCol="features"),
     ])
+    if args.task == "classifier":
+        # bgrfunctions.py:24 — buckets: rating < 4 → 0.0 else 1.0
+        label = F.when(F.col("Rating") < 4, F.lit(0.0)).otherwise(F.lit(1.0))
+    else:
+        label = F.col("Rating")
     feats = pipe.fit(ratings).transform(ratings).select(
-        "features", F.col("Rating").alias("label")
+        "features", label.alias("label")
     ).cache()
     rows = feats.count()
     t_prep = time.time() - t0
 
     t1 = time.time()
-    res = fm_regressor(feats, "features", "label")
+    if args.task == "classifier":
+        res = fm_classifier(feats, "features", "label", compat_hard_roc=True)
+    else:
+        res = fm_regressor(feats, "features", "label")
     t_fit = time.time() - t1
 
+    metrics = (
+        {"accuracy": round(res.metrics["accuracy"], 4),
+         "areaUnderROC": round(res.metrics["areaUnderROC"], 4)}
+        if args.task == "classifier"
+        else {"rmse": round(res.metrics["rmse"], 4), "r2": round(res.metrics["r2"], 4)}
+    )
     out = {
-        "metric": "fm_reference_scale",
+        "metric": f"fm_{args.task}_reference_scale",
         "scale": args.scale,
         "rows": rows,
         "onehot_dim": n_users + n_items,
-        "rmse": round(res.metrics["rmse"], 4),
-        "r2": round(res.metrics["r2"], 4),
+        **metrics,
         "best_params": {
             "stepSize": res.model.getOrDefault("stepSize"),
             "factorSize": res.model.getOrDefault("factorSize"),
@@ -80,7 +101,7 @@ def main() -> None:
         "prep_sec": round(t_prep, 1),
         "fit_sec": round(t_fit, 1),
         "total_min": round((time.time() - t0) / 60, 2),
-        "reference_min_at_full_scale": 121.99,
+        "reference_min_at_full_scale": 283.68 if args.task == "classifier" else 121.99,
     }
     print(json.dumps(out))
 
