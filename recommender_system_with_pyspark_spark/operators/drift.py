@@ -67,15 +67,22 @@ def population_stability(
         F.sum(is_p).alias("c_p"),
         F.sum(1 - is_p).alias("c_q"),
     )
-    totals = counts.groupBy(group_col).agg(
-        F.sum("c_p").alias("tot_p"), F.sum("c_q").alias("tot_q")
+    # Cohort totals via a per-group window, NOT a groupBy + join back: a
+    # second aggregate over `counts` would re-execute the whole scan+agg
+    # subtree (no plan reuse across the self-reference), doubling the work
+    # and the shuffles. The window costs one reshuffle of the tiny counts
+    # table and leaves it partitioned by group for the final aggregate.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col)
+    with_tot = counts.withColumn("tot_p", F.sum("c_p").over(w)).withColumn(
+        "tot_q", F.sum("c_q").over(w)
     )
     sm = F.lit(float(n_buckets))
     p = (F.col("c_p") + 1) / (F.col("tot_p") + sm)
     q = (F.col("c_q") + 1) / (F.col("tot_q") + sm)
     return (
-        counts.join(F.broadcast(totals), group_col)
-        .withColumn("_term", (p - q) * F.log(p / q))
+        with_tot.withColumn("_term", (p - q) * F.log(p / q))
         .groupBy(group_col)
         .agg(
             F.round(F.sum("_term"), round_to).alias("psi"),

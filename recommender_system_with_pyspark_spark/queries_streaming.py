@@ -270,3 +270,105 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     ).select("click_id", "purchase_id")
     return run_to_memory_sink(joined, "append")
+
+
+@query(
+    "stream_drift_monitor",
+    oracle="""
+    WITH rng AS (
+        SELECT min(value)::DOUBLE AS vmin, max(value)::DOUBLE AS vmax,
+               (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us
+        FROM events
+    ),
+    bucketed AS (
+        SELECT e.event_type,
+               CASE WHEN epoch_us(e.ts) >= r.mid_us THEN 'late' ELSE 'early' END AS cohort,
+               least(9, greatest(0, floor((e.value - r.vmin)
+                     / ((r.vmax - r.vmin) / 10.0))::INT)) AS bucket
+        FROM events e CROSS JOIN rng r
+    ),
+    counts AS (
+        SELECT event_type, bucket,
+               sum(CASE WHEN cohort = 'early' THEN 1 ELSE 0 END) AS c_p,
+               sum(CASE WHEN cohort = 'late' THEN 1 ELSE 0 END) AS c_q
+        FROM bucketed GROUP BY event_type, bucket
+    ),
+    totals AS (
+        SELECT event_type, sum(c_p) AS tot_p, sum(c_q) AS tot_q
+        FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type,
+           round(sum(((c.c_p + 1) / (t.tot_p + 10.0) - (c.c_q + 1) / (t.tot_q + 10.0))
+                 * ln(((c.c_p + 1) / (t.tot_p + 10.0))
+                      / ((c.c_q + 1) / (t.tot_q + 10.0)))), 6) AS psi,
+           CAST(min(t.tot_p) AS BIGINT) AS n_baseline,
+           CAST(min(t.tot_q) AS BIGINT) AS n_current
+    FROM counts c JOIN totals t USING (event_type)
+    GROUP BY c.event_type
+    """,
+)
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Population Stability Index: the current cohort's bucket
+    counts come from a Structured Streaming aggregation (stream-static
+    join against the broadcast batch range, groupBy(event_type, bucket)
+    in complete mode, availableNow), the baseline cohort from a batch
+    pass; the PSI arithmetic joins the two count tables. Hash-matches the
+    all-batch PSI SQL — the streaming plan computes identical bucket
+    counts on bounded input. In production the baseline is a frozen
+    training-corpus distribution and the stream side emits one PSI row
+    per micro-batch via foreachBatch; bucket edges MUST be frozen with
+    the baseline (a streaming min/max would redefine the histogram
+    mid-flight)."""
+    from .operators.drift import bucketize
+
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min("value").cast("double").alias("_vmin"),
+        F.max("value").cast("double").alias("_vmax"),
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / F.lit(2))
+        .cast("long")
+        .alias("_mid"),
+    )
+    bucket_of = lambda df: bucketize(  # noqa: E731
+        F.col("value").cast("double"), F.col("_vmin"), F.col("_vmax"), 10
+    )
+
+    baseline = (
+        ev.crossJoin(F.broadcast(rng))
+        .filter(F.unix_micros("ts") < F.col("_mid"))
+        .select("event_type", bucket_of(ev).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("c_p"))
+    )
+    stream = (
+        stream_events(spark, sf_dir)
+        .crossJoin(rng)  # stream-static join; the static side is tiny
+        .filter(F.unix_micros("ts") >= F.col("_mid"))
+        .select("event_type", bucket_of(None).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("c_q"))
+    )
+    current = run_to_memory_sink(stream, "complete")
+
+    both = baseline.join(current, ["event_type", "bucket"], "full").select(
+        "event_type",
+        "bucket",
+        F.coalesce("c_p", F.lit(0)).alias("c_p"),
+        F.coalesce("c_q", F.lit(0)).alias("c_q"),
+    )
+    totals = both.groupBy("event_type").agg(
+        F.sum("c_p").alias("tot_p"), F.sum("c_q").alias("tot_q")
+    )
+    sm = F.lit(10.0)
+    p = (F.col("c_p") + 1) / (F.col("tot_p") + sm)
+    q = (F.col("c_q") + 1) / (F.col("tot_q") + sm)
+    return (
+        both.join(F.broadcast(totals), "event_type")
+        .withColumn("_term", (p - q) * F.log(p / q))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("_term"), 6).alias("psi"),
+            F.min("tot_p").cast("long").alias("n_baseline"),
+            F.min("tot_q").cast("long").alias("n_current"),
+        )
+    )

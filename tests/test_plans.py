@@ -228,3 +228,37 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_tiny):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_weighted_sample_is_takeordered(spark, sf_tiny):
+    """A-ES weighted sampling must plan as TakeOrdered (per-partition
+    heaps), never a global sort of the candidate set."""
+    from recommender_system_with_pyspark_spark.operators.sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf_tiny, "documents").select("doc_id", "n_chars")
+    q = weighted_sample_topk(docs, "doc_id", "n_chars", k=10)
+    assert "TakeOrderedAndProject" in E.executed_plan(q)
+
+
+def test_idf_keywords_broadcasts_vocab(spark, sf_tiny):
+    """The document-frequency table is vocabulary-sized and must come back
+    to the exploded tokens as a BROADCAST join, not a shuffle join."""
+    from recommender_system_with_pyspark_spark.operators.text import idf_keywords
+
+    docs = load_table(spark, sf_tiny, "documents")
+    q = idf_keywords(docs, "text", "doc_id", k=3)
+    assert E.uses_broadcast_join(q)
+
+
+def test_psi_shuffles_only_bucket_rows(spark, sf_tiny):
+    """PSI's shuffles must carry (group, bucket)-grained rows, never the
+    fact table: range agg + counts agg + totals agg + final agg, with the
+    totals join BROADCAST."""
+    from recommender_system_with_pyspark_spark.operators.drift import population_stability
+
+    ev = load_table(spark, sf_tiny, "events")
+    cohorted = ev.withColumn(
+        "cohort", F.when(F.col("event_id") % 2 == 0, "a").otherwise("b")
+    )
+    q = population_stability(cohorted, "value", "cohort", "a", "b", "event_type")
+    assert E.shuffle_count(q) <= 4
