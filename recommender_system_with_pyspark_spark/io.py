@@ -230,3 +230,53 @@ def write_zorder_parquet(
     out = (out.repartitionByRange(target_partitions, "_z") if target_partitions
            else out.repartitionByRange("_z"))
     out.sortWithinPartitions("_z").drop("_z").write.mode(mode).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files of ~``target_file_bytes`` each,
+    optionally restoring a sort layout while at it. Streaming sinks and
+    over-parallel writers leave thousands of KB-sized files; at 100 TB
+    that's millions of footer reads and NameNode/listing pressure before
+    the first byte of data — periodic compaction is table maintenance,
+    same as OPTIMIZE in lakehouse formats.
+
+    Sizing reads the real on-disk bytes from the file index (no data
+    scan); the rewrite is ONE pass — a round-robin repartition (or range
+    repartition when ``sort_cols`` keeps skipping-friendly layout).
+    Returns the target file count."""
+    import math
+
+    df = spark.read.parquet(src_path)
+    total = _dir_bytes(spark, src_path)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        out = out.sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode(mode).parquet(dst_path)
+    return n_files
+
+
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes of data files under ``path`` via the Hadoop FileSystem
+    API (works on HDFS/S3A/local alike; no data scan)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    total = 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            total += f.getLen()
+    return total

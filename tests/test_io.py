@@ -157,3 +157,62 @@ def test_zorder_rowgroups_skip_on_both_dims(spark, sf_small, tmp_path):
     # z-order: BOTH dimensions substantially narrowed
     assert mean_cover(zo, "user_id") < 0.45
     assert mean_cover(zo, "value") < 0.45
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Appending files with an evolved schema (new column) must stay
+    readable: mergeSchema unions the footers and back-fills nulls — the
+    lakehouse-style additive evolution path for long-lived 100 TB tables."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.range(5).select(F.col("id"), F.lit("a").alias("v1")).write.parquet(p)
+    spark.range(5, 8).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2")
+    ).write.mode("append").parquet(p)
+    got = spark.read.option("mergeSchema", True).parquet(p)
+    assert set(got.columns) == {"id", "v1", "v2"}
+    assert got.count() == 8
+    assert got.filter(F.col("v2").isNull()).count() == 5  # old files back-fill
+
+
+def test_compact_parquet_hits_target_file_count(spark, tmp_path):
+    """compact_parquet must rewrite a fragmented directory into
+    ceil(bytes/target) files, preserving every row."""
+    import glob
+
+    from recommender_system_with_pyspark_spark.io import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    spark.range(50_000).repartition(64).write.parquet(src)  # 64 tiny files
+    n_src = len(glob.glob(f"{src}/*.parquet"))
+    assert n_src == 64
+    target = compact_parquet(spark, src, dst, target_file_bytes=200 * 1024)
+    n_dst = len(glob.glob(f"{dst}/*.parquet"))
+    assert n_dst == target < n_src
+    assert spark.read.parquet(dst).count() == 50_000
+
+
+def test_compact_parquet_sorted_layout(spark, tmp_path):
+    """With sort_cols the compaction also restores range layout: each
+    output file covers a disjoint id range (skipping-friendly)."""
+    import glob
+
+    from recommender_system_with_pyspark_spark.io import compact_parquet
+
+    src = str(tmp_path / "frag2")
+    dst = str(tmp_path / "compact2")
+    spark.range(20_000).repartition(32).write.parquet(src)
+    compact_parquet(spark, src, dst, target_file_bytes=150 * 1024, sort_cols=["id"])
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in glob.glob(f"{dst}/*.parquet"):
+        t = pq.read_table(f, columns=["id"])
+        if t.num_rows:
+            ids = t.column("id").to_pylist()
+            ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint
