@@ -87,3 +87,54 @@ def recommend_top_items(
     return exploded.join(F.broadcast(part), "item_id", "left").select(
         "user_id", "item_id", "score", "rank", "p_name"
     )
+
+
+def item_factor_neighbors(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    rank: int = 8,
+    max_iter: int = 5,
+    reg_param: float = 0.1,
+    seed: int = 1,
+    n_query_items: int = 20,
+) -> DataFrame:
+    """"Related items" from the ALS latent space: fit the flagship model,
+    take ``model.itemFactors`` (items × rank), and return each query
+    item's k nearest items by cosine over the factor vectors — the
+    item-item companion of recommendForAllUsers (the reference's user
+    pipeline never exposes this, but every production recommender pairs
+    user-personalized rows with an item-detail "similar games" rail).
+
+    Deterministic for a fixed seed (ALS is seeded; ties break on item id),
+    but factor values are solver outputs — no SQL oracle, invariants are
+    pytest-enforced. The factor table is items × rank (tiny next to the
+    ratings), so the brute-force cosine with a broadcast query side is the
+    honest plan; at catalog scale swap in similarity.lsh_topk/ivf_topk
+    over the same vectors.
+
+    Returns (item_id, neighbor_id, sim, rank, p_name of neighbor)."""
+    from pyspark.ml.recommendation import ALS
+
+    from .operators.similarity import cosine_topk
+
+    ratings = implicit_ratings(spark, sf_dir).cache()
+    pruned = prune_sparse_entities(ratings, "item_id", "user_id", 2, 2)
+    als = ALS(
+        rank=rank, maxIter=max_iter, regParam=reg_param,
+        userCol="user_id", itemCol="item_id", ratingCol="rating",
+        coldStartStrategy="drop", seed=seed,
+    )
+    factors = als.fit(pruned).itemFactors.select(
+        F.col("id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    queries = factors.orderBy("vec_id").limit(n_query_items)
+    out = cosine_topk(queries, factors, "vec_id", "embedding", k=k, exclude_self=True)
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("neighbor_id"), "p_name"
+    )
+    return (
+        out.withColumnRenamed("query_id", "item_id")
+        .join(F.broadcast(part), "neighbor_id", "left")
+        .select("item_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank", "p_name")
+    )

@@ -352,3 +352,13 @@ def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.select(
         "event_id", F.round("value", 2).alias("value"), "decile", "width_bin"
     )
+
+
+@query("als_item_neighbors")  # solver-output factors → rows-only
+def als_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item "related games" rail from ALS latent factors: cosine
+    top-5 per query item over model.itemFactors (flagship.py). Seeded and
+    tie-broken → deterministic; invariants in test_flagship.py."""
+    from .flagship import item_factor_neighbors
+
+    return item_factor_neighbors(spark, sf_dir, k=5, max_iter=5)

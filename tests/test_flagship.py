@@ -32,3 +32,30 @@ def test_implicit_ratings_shape(spark, sf_tiny):
     assert set(r.columns) == {"user_id", "item_id", "rating"}
     # one row per (user, item) pair
     assert r.groupBy("user_id", "item_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_item_factor_neighbors_invariants(spark, sf_tiny):
+    from recommender_system_with_pyspark_spark.flagship import item_factor_neighbors
+
+    out = item_factor_neighbors(spark, sf_tiny, k=3, max_iter=3, n_query_items=8)
+    rows = out.collect()
+    by_item = {}
+    for r in rows:
+        assert r["item_id"] != r["neighbor_id"]  # self excluded
+        assert -1.0001 <= r["sim"] <= 1.0001
+        by_item.setdefault(r["item_id"], []).append(r)
+    assert 0 < len(by_item) <= 8
+    for item, nbrs in by_item.items():
+        assert len(nbrs) <= 3
+        sims = [n["sim"] for n in sorted(nbrs, key=lambda n: n["rank"])]
+        assert sims == sorted(sims, reverse=True)  # rank follows sim desc
+
+
+def test_item_factor_neighbors_deterministic(spark, sf_tiny):
+    from recommender_system_with_pyspark_spark.flagship import item_factor_neighbors
+
+    a = item_factor_neighbors(spark, sf_tiny, k=3, max_iter=3, n_query_items=5)
+    b = item_factor_neighbors(spark, sf_tiny, k=3, max_iter=3, n_query_items=5)
+    ka = sorted((r["item_id"], r["rank"], r["neighbor_id"]) for r in a.collect())
+    kb = sorted((r["item_id"], r["rank"], r["neighbor_id"]) for r in b.collect())
+    assert ka == kb
