@@ -423,3 +423,91 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bigram-LM fluency scoring with add-k smoothing — the next step up
+    from :func:`unigram_logprob` (word order starts to matter: shuffled
+    boilerplate keeps its unigram score but craters here):
+
+        P(w2 | w1) = (c(w1 w2) + k) / (c(w1·) + k·V)
+
+    scored as the mean bigram log-prob per document. Vocabulary size V and
+    both count tables come from the corpus itself.
+
+    Scale shape: ONE explode into (doc, w1, w2) pairs via a posexplode
+    self-zip (arrays_zip of the token array with itself shifted — pure
+    codegen, no window over the exploded rows); bigram and unigram count
+    tables aggregate map-side; both join back BROADCAST (bigram vocab ≪
+    corpus under Zipf; hash-partition the join if a corpus breaks that)."""
+    toks = tokens(text_col)
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    unigram_ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_size = df.select(F.explode(tokens(text_col)).alias("t")).agg(
+        F.countDistinct("t").cast("double").alias("v")
+    )
+    per_doc = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    kk = F.lit(float(k_smooth))
+    return (
+        per_doc.join(F.broadcast(bigrams), ["w1", "w2"])
+        .join(F.broadcast(unigram_ctx), "w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("int").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("c") * F.log((F.col("c12") + kk) / (F.col("c1") + kk * F.col("v"))))
+                / F.sum("c"),
+                round_to,
+            ).alias("avg_bigram_logprob"),
+        )
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_tokens: int | None = None,
+) -> DataFrame:
+    """Posting-list build — the search/attribution primitive over a corpus:
+    one row per token with document frequency and the SORTED posting list
+    of containing doc ids. ``top_tokens`` keeps only the most frequent
+    tokens (df DESC, token ASC) to bound output for exploratory use.
+
+    Scale shape: distinct-token explode → ONE groupBy(token) holding
+    sort_array(collect_list(id)) — postings build map-side per token.
+    Posting lists for stopword-grade tokens approach corpus cardinality;
+    at 100 TB cap them (slice after sort) or shard hot tokens by
+    (token, id-bucket) before the aggregate."""
+    ex = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("token")
+    )
+    idx = ex.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sort_array(F.collect_list(id_col)).alias("postings"),
+    )
+    if top_tokens is not None:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("df").desc(), F.col("token").asc())
+        idx = idx.withColumn("_rk", F.row_number().over(w)).filter(
+            F.col("_rk") <= top_tokens
+        ).drop("_rk")
+    return idx

@@ -370,3 +370,67 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "segment", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int")
     )
+
+
+@query(
+    "bigram_logprob",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+    pairs AS (
+        SELECT doc_id,
+               unnest(t[1:len(t) - 1]) AS w1,
+               unnest(t[2:len(t)]) AS w2
+        FROM toks WHERE len(t) >= 2
+    ),
+    bigrams AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+    ctx AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+    vocab AS (
+        SELECT count(DISTINCT tok)::DOUBLE AS v
+        FROM (SELECT unnest(t) AS tok FROM toks)
+    ),
+    per_doc AS (
+        SELECT doc_id, w1, w2, count(*) AS c FROM pairs GROUP BY doc_id, w1, w2
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.c) AS INTEGER) AS n_bigrams,
+           round(sum(d.c * ln((b.c12 + 0.5) / (x.c1 + 0.5 * vv.v))) / sum(d.c), 6)
+               AS avg_bigram_logprob
+    FROM per_doc d
+    JOIN bigrams b USING (w1, w2)
+    JOIN ctx x USING (w1)
+    CROSS JOIN vocab vv
+    GROUP BY d.doc_id
+    """,
+)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-k-smoothed bigram-LM mean log-probability per document — the
+    word-order-aware quality score (operators/text.py bigram_logprob)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.bigram_logprob(docs, "text", "doc_id", k_smooth=0.5)
+
+
+@query(
+    "inverted_index_top100",
+    oracle=f"""
+    WITH ex AS (
+        SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS token
+        FROM documents
+    ),
+    idx AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS df,
+               to_json(list_sort(list(doc_id))) AS postings_json
+        FROM ex GROUP BY token
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY df DESC, token) AS rk FROM idx
+    )
+    SELECT token, df, postings_json FROM ranked WHERE rk <= 100
+    """,
+)
+def inverted_index_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting lists for the corpus's 100 most frequent tokens, lists
+    JSON-serialized for engine-portable comparison
+    (operators/text.py inverted_index)."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = X.inverted_index(docs, "text", "doc_id", top_tokens=100)
+    return idx.select("token", "df", F.to_json("postings").alias("postings_json"))

@@ -107,3 +107,27 @@ def test_unigram_logprob_bounds(spark, sf_small):
     n_total = docs.select(F.sum(F.size(X.tokens("text")))).first()[0]
     floor = math.log(1.0 / n_total)
     assert all(r["avg_logprob"] > floor for r in rows)
+
+
+def test_bigram_logprob_penalizes_shuffled_text(spark):
+    """Word order must matter: a corpus of one repeated fluent sentence
+    scores its in-order doc higher than a token-shuffled twin (same
+    unigram profile)."""
+    fluent = "the cat sat on the mat " * 5
+    shuffled = "mat the on sat the cat " * 5
+    corpus = [(i, fluent) for i in range(20)] + [(100, fluent), (101, shuffled)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_bigram_logprob"]
+           for r in X.bigram_logprob(df, "text", "doc_id").collect()}
+    assert got[100] > got[101]
+
+
+def test_inverted_index_postings_sorted_and_complete(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    idx = X.inverted_index(docs, "text", "doc_id", top_tokens=10)
+    rows = idx.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["df"] == len(r["postings"])
+        assert r["postings"] == sorted(r["postings"])
+        assert len(set(r["postings"])) == len(r["postings"])  # distinct docs
