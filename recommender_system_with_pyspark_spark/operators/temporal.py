@@ -216,3 +216,61 @@ def date_parts(df: DataFrame, ts_col: str, prefix: str = "") -> DataFrame:
             f"{prefix}hour": F.hour(t),
         }
     )
+
+
+def resample_timeseries(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    fill: str = "ffill",
+) -> DataFrame:
+    """Regularize an irregular event stream onto a fixed time grid per key:
+    build the complete [min, max] bucket sequence for EACH key, left-join
+    the per-bucket aggregates, zero-fill counts, and forward-fill values
+    (``fill='ffill'``; ``'zero'``/``'none'`` for the alternatives) — the
+    resample step every monitoring/forecasting pipeline runs before
+    modeling, done without a driver-side date loop.
+
+    Scale shape: the grid is |keys| × |buckets| — generated by
+    sequence()+explode from a per-key (min, max) AGGREGATE, so the fact
+    table is never carried; per-bucket aggregates combine map-side; the
+    grid join and the forward-fill window share the key partitioning (one
+    shuffle each). Dense keys at 100 TB: bound the grid with an explicit
+    time range filter first."""
+    from pyspark.sql import Window
+
+    bucketed = df.select(
+        F.col(key_col).alias("key"),
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+        F.col(value_col).alias("v"),
+    )
+    agg = bucketed.groupBy("key", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("v"), 2).alias("total"),
+    )
+    spans = bucketed.groupBy("key").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        "key",
+        F.explode(F.sequence("lo", "hi", F.expr(f"INTERVAL {step}"))).alias("bucket"),
+    )
+    out = grid.join(agg, ["key", "bucket"], "left").withColumn(
+        "n_events", F.coalesce("n_events", F.lit(0))
+    )
+    if fill == "ffill":
+        w = (
+            Window.partitionBy("key")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn("filled_total", F.last("total", ignorenulls=True).over(w))
+    elif fill == "zero":
+        out = out.withColumn("filled_total", F.coalesce("total", F.lit(0.0)))
+    elif fill == "none":
+        out = out.withColumn("filled_total", F.col("total"))
+    else:
+        raise ValueError(f"unknown fill mode {fill!r}")
+    return out

@@ -495,3 +495,124 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", F.round("value", 2).alias("value"),
                 F.round(z, 4).alias("zscore"))
     )
+
+
+@query(
+    "resample_hourly_ffill",
+    oracle="""
+    WITH bucketed AS (
+        SELECT event_type AS key, date_trunc('hour', ts) AS bucket, value AS v
+        FROM events
+    ),
+    agg AS (
+        SELECT key, bucket, CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(v), 2) AS total
+        FROM bucketed GROUP BY key, bucket
+    ),
+    spans AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi FROM bucketed GROUP BY key),
+    grid AS (
+        SELECT key, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+        FROM spans
+    )
+    SELECT g.key AS event_type,
+           epoch(g.bucket)::BIGINT AS hour_start,
+           coalesce(a.n_events, 0) AS n_events,
+           a.total,
+           last_value(a.total IGNORE NULLS) OVER (
+               PARTITION BY g.key ORDER BY g.bucket ROWS UNBOUNDED PRECEDING
+           ) AS filled_total
+    FROM grid g LEFT JOIN agg a USING (key, bucket)
+    """,
+)
+def resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of the event stream per event type: complete time
+    grid, zero-filled counts, forward-filled totals
+    (operators/temporal.py resample_timeseries)."""
+    from .operators.temporal import resample_timeseries
+
+    ev = load_table(spark, sf_dir, "events")
+    out = resample_timeseries(ev, "event_type", "ts", "value", step="1 hour")
+    return out.select(
+        F.col("key").alias("event_type"),
+        F.unix_timestamp("bucket").alias("hour_start"),
+        "n_events",
+        "total",
+        "filled_total",
+    )
+
+
+@query(
+    "session_paths",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+    ),
+    paths AS (
+        SELECT user_id, sid,
+               array_to_string(list(event_type ORDER BY ts, event_id)[1:3], '>') AS path
+        FROM sess GROUP BY user_id, sid
+    ),
+    counted AS (
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM paths GROUP BY path
+    )
+    SELECT path, n_sessions,
+           CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INTEGER) AS rank
+    FROM counted
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session opening paths (first 3 event types per 30-min-gap
+    session) — the product-analytics "how do sessions start" query.
+    Sessionization reuses the lag+cumsum pattern (one user_id shuffle);
+    the per-session path is array_sort over (ts, event_id, type) structs →
+    slice(3) → join('>') — no second window over the exploded rows; path
+    counting aggregates map-side; final top-20 is TakeOrdered."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn(
+            "new_s",
+            (
+                F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+                > 1_800_000_000
+            ).cast("int"),
+        )
+        .withColumn(
+            "sid",
+            F.sum(F.coalesce(F.col("new_s"), F.lit(0))).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    paths = sess.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    1,
+                    3,
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    win = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(win))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
