@@ -1045,3 +1045,36 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunker(docs, "text", "doc_id", chunk_tokens=64, stride=32)
+
+
+@query("ann_recall_report")  # measures approx-vs-exact inside Spark → rows-only
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of both ANN paths against the exact brute-force answer on
+    the SAME queries — the self-measuring companion to ann_lsh_topk /
+    ann_ivf_topk (approximate operators should ship with their accuracy
+    number, not just their speed). Seeded LSH planes / k-means cells and
+    tie-broken rankings make the report deterministic. One row per
+    method: (method, k, n_queries, recall)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    k = 5
+
+    exact = S.cosine_topk(queries, emb, "vec_id", "embedding", k=k)
+    truth = exact.select("query_id", F.col("neighbor_id").alias("true_id"))
+
+    lsh = S.lsh_topk(queries, emb, "vec_id", "embedding", k=k)
+    ivf = S.ivf_topk(queries, emb, "vec_id", "embedding", k=k, n_cells=8, n_probe=3)
+
+    n_q = queries.count()
+    rows = []
+    for method, approx in (("lsh", lsh), ("ivf", ivf)):
+        hit_count = (
+            truth.join(
+                approx.withColumnRenamed("query_id", "q2"),
+                (F.col("query_id") == F.col("q2"))
+                & (F.col("true_id") == F.col("neighbor_id")),
+                "inner",
+            ).count()
+        )
+        rows.append((method, k, n_q, round(hit_count / (k * n_q), 4)))
+    return spark.createDataFrame(rows, "method string, k int, n_queries long, recall double")
