@@ -42,18 +42,27 @@ def population_stability(
     group_col: str,
     n_buckets: int = 10,
     round_to: int = 6,
+    range_cols_present: bool = False,
 ) -> DataFrame:
     """Per-``group_col`` PSI of ``value_col`` between the rows where
     ``cohort_col == baseline`` (p) and ``cohort_col == current`` (q); rows
     in neither cohort are ignored. Returns
-    (``group_col``, psi, n_baseline, n_current)."""
-    rng = df.agg(
-        F.min(value_col).cast("double").alias("_vmin"),
-        F.max(value_col).cast("double").alias("_vmax"),
-    )
+    (``group_col``, psi, n_baseline, n_current).
+
+    ``range_cols_present``: the input already carries ``_vmin``/``_vmax``
+    columns (double) from a range the caller aggregated anyway — skip the
+    internal min/max pass (every extra pass over a 100 TB fact is a real
+    scan)."""
+    if range_cols_present:
+        with_range = df
+    else:
+        rng = df.agg(
+            F.min(value_col).cast("double").alias("_vmin"),
+            F.max(value_col).cast("double").alias("_vmax"),
+        )
+        with_range = df.crossJoin(F.broadcast(rng))
     bucketed = (
-        df.filter(F.col(cohort_col).isin(baseline, current))
-        .crossJoin(F.broadcast(rng))
+        with_range.filter(F.col(cohort_col).isin(baseline, current))
         .select(
             F.col(group_col),
             F.col(cohort_col).alias("_cohort"),

@@ -290,9 +290,18 @@ def cooccurrence_topk(
         .groupBy(F.col("a._i").alias("item"), F.col("b._i").alias("other"))
         .agg(F.count(F.lit(1)).alias("n_baskets"))
     )
-    sym = pairs.union(
-        pairs.select(F.col("other").alias("item"), F.col("item").alias("other"), "n_baskets")
-    )
+    # Symmetrize by EXPLODING each pair into both directions, not
+    # pairs.union(pairs.swapped): a self-referenced DataFrame re-executes
+    # its whole subtree (the basket self-join would run twice).
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("item"), F.col("other")),
+                F.struct(F.col("other").alias("item"), F.col("item").alias("other")),
+            )
+        ).alias("_p"),
+        "n_baskets",
+    ).select(F.col("_p.item").alias("item"), F.col("_p.other").alias("other"), "n_baskets")
     w = Window.partitionBy("item").orderBy(F.col("n_baskets").desc(), F.col("other").asc())
     return (
         sym.withColumn("rank", F.row_number().over(w))

@@ -457,12 +457,18 @@ def bigram_logprob(
         ).alias("bg"),
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
-    bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    unigram_ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # Aggregate to per-doc bigram counts FIRST and derive the corpus count
+    # tables from that — referencing the raw pair explode three times
+    # (bigrams, context, per-doc) would re-execute the explode subtree
+    # three times. per_doc is the one big aggregate; everything downstream
+    # of it is (bigram-vocab)-sized. The persist bounds the explode to one
+    # execution across the two per_doc consumers.
+    per_doc = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("c")).persist()
+    bigrams = per_doc.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
+    unigram_ctx = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab_size = df.select(F.explode(tokens(text_col)).alias("t")).agg(
         F.countDistinct("t").cast("double").alias("v")
     )
-    per_doc = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     kk = F.lit(float(k_smooth))
     return (
         per_doc.join(F.broadcast(bigrams), ["w1", "w2"])

@@ -143,10 +143,14 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of event values, first half of the time
     range vs second half, per event type (operators/drift.py)."""
     ev = load_table(spark, sf_dir, "events")
+    # ONE global aggregate serves both the cohort midpoint and the bucket
+    # range (passed through range_df) — three separate scans otherwise.
     rng = ev.agg(
         ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / F.lit(2))
         .cast("long")
-        .alias("_mid")
+        .alias("_mid"),
+        F.min("value").cast("double").alias("_vmin"),
+        F.max("value").cast("double").alias("_vmax"),
     )
     cohorted = ev.crossJoin(F.broadcast(rng)).withColumn(
         "_cohort",
@@ -154,7 +158,7 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return DR.population_stability(
         cohorted, "value", "_cohort", baseline="early", current="late",
-        group_col="event_type", n_buckets=10,
+        group_col="event_type", n_buckets=10, range_cols_present=True,
     )
 
 
@@ -434,3 +438,41 @@ def inverted_index_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     idx = X.inverted_index(docs, "text", "doc_id", top_tokens=100)
     return idx.select("token", "df", F.to_json("postings").alias("postings_json"))
+
+
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+@query(
+    "bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text),
+                '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+')) AS INTEGER)
+               AS n_bpe_tokens,
+           round(len(regexp_extract_all(lower(text),
+                '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+'))
+                 / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)::DOUBLE, 6)
+               AS bpe_per_word
+    FROM documents
+    """,
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-shaped token counting: a GPT-2-style pre-tokenizer regex
+    (contraction suffixes | space-prefixed letter runs | digit runs |
+    punctuation runs) counted next to the whitespace count — the budget
+    estimator for context-window packing when the real tokenizer isn't in
+    the engine (the regex piece-count upper-bounds BPE's merge output).
+    Pattern is RE2-and-Java-regex portable, so the count is reproducible
+    outside Spark. Pure regexp_count projection — no explode, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    n_bpe = F.regexp_count(lowered, F.lit(_BPE_RE)).cast("int")
+    n_ws = F.size(X.tokens("text")).cast("int")
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(n_bpe / F.greatest(n_ws, F.lit(1)), 6).alias("bpe_per_word"),
+    )
