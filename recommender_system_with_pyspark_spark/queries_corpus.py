@@ -476,3 +476,87 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bpe.alias("n_bpe_tokens"),
         F.round(n_bpe / F.greatest(n_ws, F.lit(1)), 6).alias("bpe_per_word"),
     )
+
+
+@query(
+    "mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.event_id, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type)
+    SELECT d.event_id, d.event_type,
+           round(d.value, 6) AS value,
+           round(0.6744897501960817 * (d.value - d.med) / m.mad, 4) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE abs(0.6744897501960817 * (d.value - d.med) / m.mad) > 3.5
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-Absolute-Deviation robust outliers (|modified z| > 3.5,
+    Iglewicz–Hoaglin 0.6745 consistency constant) — the heavy-tail-safe
+    sibling of the IQR band and z-score filters: one exact-median
+    aggregate per group, deviations joined back BROADCAST (group-cardinality
+    stats), a second tiny median aggregate, then a pure-projection score.
+    The fact table is scanned twice but never shuffled. At 100 TB swap the
+    exact medians for approx_percentile and keep the same shape."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    z = F.lit(0.6744897501960817) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .withColumn("robust_z", F.round(z, 4))
+        .filter(F.abs(z) > 3.5)
+        .select("event_id", "event_type", F.round("value", 6).alias("value"), "robust_z")
+    )
+
+
+@query(
+    "lang_vocab_overlap",
+    oracle=f"""
+    WITH v AS (
+        SELECT lang, list_distinct(flatten(list({_TOKENS_SQL}))) AS vocab
+        FROM documents GROUP BY lang
+    )
+    SELECT a.lang AS lang_a, b.lang AS lang_b,
+           CAST(len(list_intersect(a.vocab, b.vocab)) AS BIGINT) AS shared,
+           round(len(list_intersect(a.vocab, b.vocab))::DOUBLE
+                 / greatest(len(a.vocab) + len(b.vocab)
+                            - len(list_intersect(a.vocab, b.vocab)), 1), 6) AS jaccard
+    FROM v a JOIN v b ON a.lang < b.lang
+    """,
+)
+def lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between language partitions of the
+    corpus — the contamination/mislabeling diagnostic (two 'languages'
+    sharing most of their vocabulary means the lang-ID column lies).
+    Vocab sets build as distinct (lang, token) pairs (map-side combine);
+    the pair comparison joins vocab-sized rows, never documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("lang", F.explode(F.array_distinct(X.tokens("text"))).alias("token"))
+        .distinct()
+        .groupBy("lang")
+        .agg(F.collect_set("token").alias("vocab"))
+    )
+    a = vocab.select(F.col("lang").alias("lang_a"), F.col("vocab").alias("va"))
+    b = vocab.select(F.col("lang").alias("lang_b"), F.col("vocab").alias("vb"))
+    inter = F.size(F.array_intersect("va", "vb"))
+    union = F.size("va") + F.size("vb") - inter
+    return (
+        a.join(b, F.col("lang_a") < F.col("lang_b"))
+        .select(
+            "lang_a", "lang_b",
+            inter.cast("long").alias("shared"),
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+    )
