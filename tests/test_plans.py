@@ -262,3 +262,15 @@ def test_psi_shuffles_only_bucket_rows(spark, sf_tiny):
     )
     q = population_stability(cohorted, "value", "cohort", "a", "b", "event_type")
     assert E.shuffle_count(q) <= 4
+
+
+def test_cooccurrence_symmetrize_does_not_reexecute_pairs(spark, sf_tiny):
+    """Symmetrizing pair counts must EXPLODE each row into both directions,
+    not union the subtree with its swap — the union form re-executes the
+    basket self-join twice. Budget: distinct + self-join + pair agg + the
+    top-k window (≤ 5 exchanges; the union regression costs 7+)."""
+    from recommender_system_with_pyspark_spark.operators.relational import cooccurrence_topk
+
+    li = load_table(spark, sf_tiny, "lineitem")
+    q = cooccurrence_topk(li, "l_orderkey", "l_partkey", k=3)
+    assert E.shuffle_count(q) <= 5
