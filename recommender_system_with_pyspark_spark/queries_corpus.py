@@ -1,7 +1,10 @@
 """Round-4 corpus-curation & analytics query surface: keyword extraction,
-corpus-LM quality scoring, co-occurrence recommendations, drift monitoring,
-deterministic weighted sampling, token-budget selection, and join-key skew
-auditing. Every query here is DuckDB-oracle hash-checked.
+corpus-LM quality scoring (unigram + bigram), co-occurrence
+recommendations, drift monitoring (PSI), deterministic weighted sampling,
+token-budget selection, join-key skew auditing, cohort retention, RFM
+segmentation, MAD robust outliers, cross-language vocabulary overlap, and
+tokenizer-shaped (BPE-ish) token counting. Every query here is
+DuckDB-oracle hash-checked.
 
 These extend the reference's recommendation/data-prep domain (SURVEY §2.9
 north-star note): the reference recommends games from ratings
