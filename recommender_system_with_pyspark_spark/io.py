@@ -253,6 +253,16 @@ def compact_parquet(
     repartition when ``sort_cols`` keeps skipping-friendly layout).
     Returns the target file count."""
     import math
+    import os
+
+    if os.path.abspath(src_path) == os.path.abspath(dst_path):
+        # mode='overwrite' truncates dst before the lazy read of src runs —
+        # in-place compaction would destroy the very data being compacted.
+        # Write to a sibling temp dir and rename, or use a different dst.
+        raise ValueError(
+            f"compact_parquet: dst_path must differ from src_path ({src_path!r}); "
+            "an overwrite sink truncates the source before the read executes"
+        )
 
     df = spark.read.parquet(src_path)
     total = _dir_bytes(spark, src_path)

@@ -27,10 +27,14 @@ def bucketize(value: Column, vmin: Column, vmax: Column, n_buckets: int) -> Colu
     """Equal-width bucket index in [0, n_buckets): floor(n·(v−min)/width),
     with v == max clamped into the last bucket. Pure expression — identical
     arithmetic is reproducible in any engine (the DuckDB oracles reuse it
-    verbatim)."""
+    verbatim). A constant column (vmax == vmin → width 0) puts every row
+    in bucket 0 explicitly rather than leaving engine-dependent null/±inf
+    clamping to decide."""
     width = (vmax - vmin) / F.lit(float(n_buckets))
     raw = F.floor((value - vmin) / width).cast("int")
-    return F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw))
+    return F.when(vmax == vmin, F.lit(0)).otherwise(
+        F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw))
+    )
 
 
 def population_stability(
@@ -56,11 +60,14 @@ def population_stability(
     if range_cols_present:
         with_range = df
     else:
-        rng = df.agg(
+        # Range over the two cohorts ONLY — rows in neither cohort must not
+        # stretch the buckets (they are ignored everywhere else too).
+        coh = df.filter(F.col(cohort_col).isin(baseline, current))
+        rng = coh.agg(
             F.min(value_col).cast("double").alias("_vmin"),
             F.max(value_col).cast("double").alias("_vmax"),
         )
-        with_range = df.crossJoin(F.broadcast(rng))
+        with_range = coh.crossJoin(F.broadcast(rng))
     bucketed = (
         with_range.filter(F.col(cohort_col).isin(baseline, current))
         .select(

@@ -150,11 +150,17 @@ def weighted_sample_topk(
 
     Plan shape: pure projection + global top-k. Spark executes the
     orderBy().limit(k) as TakeOrdered (per-partition heaps + driver merge
-    of k·partitions rows) — no full sort, no shuffle of the losers."""
+    of k·partitions rows) — no full sort, no shuffle of the losers.
+
+    Weights must be > 0 (A-ES is undefined otherwise): non-positive or
+    null weights are filtered out before scoring — without the filter a
+    negative weight yields a negative score that sorts first and silently
+    dominates every draw."""
     u = (hash_bucket(key_col, seed) + F.lit(1.0)) / F.lit(float(_BUCKETS))
     score = -F.log(u) / F.col(weight_col).cast("double")
     return (
-        df.withColumn(score_col, F.round(score, round_to))
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn(score_col, F.round(score, round_to))
         .orderBy(F.col(score_col).asc(), F.col(key_col).asc())
         .limit(k)
     )

@@ -238,12 +238,18 @@ def resample_timeseries(
     table is never carried; per-bucket aggregates combine map-side; the
     grid join and the forward-fill window share the key partitioning (one
     shuffle each). Dense keys at 100 TB: bound the grid with an explicit
-    time range filter first."""
+    time range filter first.
+
+    Bucketing uses ``F.window(ts, step).start`` — epoch-aligned tumbling
+    windows — so the bucket grid and the sequence() step agree for ANY
+    step ('15 minutes', '1 day', ...), not just '1 hour'. (A hard-coded
+    date_trunc('hour') here once silently dropped most events for
+    non-hour steps: the aggregate buckets missed the stepped grid.)"""
     from pyspark.sql import Window
 
     bucketed = df.select(
         F.col(key_col).alias("key"),
-        F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+        F.window(F.col(ts_col), step).getField("start").alias("bucket"),
         F.col(value_col).alias("v"),
     )
     agg = bucketed.groupBy("key", "bucket").agg(

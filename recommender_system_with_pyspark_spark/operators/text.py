@@ -461,9 +461,17 @@ def bigram_logprob(
     # tables from that — referencing the raw pair explode three times
     # (bigrams, context, per-doc) would re-execute the explode subtree
     # three times. per_doc is the one big aggregate; everything downstream
-    # of it is (bigram-vocab)-sized. The persist bounds the explode to one
-    # execution across the two per_doc consumers.
-    per_doc = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("c")).persist()
+    # of it is (bigram-vocab)-sized. The eager localCheckpoint bounds the
+    # explode to one execution across the two per_doc consumers WITHOUT a
+    # persist(): cached plans leak in the CacheManager until an explicit
+    # unpersist (which a lazy-returning function has no safe place to
+    # call), while checkpoint blocks are reclaimed by the ContextCleaner
+    # as soon as the caller drops the result.
+    per_doc = (
+        pairs.groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     bigrams = per_doc.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
     unigram_ctx = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab_size = df.select(F.explode(tokens(text_col)).alias("t")).agg(

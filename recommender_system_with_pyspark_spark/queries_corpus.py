@@ -172,7 +172,7 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, n_chars,
                round(-ln((('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
                           + 1.0) / 4294967296.0) / n_chars::DOUBLE, 6) AS sample_score
-        FROM documents
+        FROM documents WHERE n_chars::DOUBLE > 0
     )
     SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, sample_score
     FROM scored ORDER BY sample_score, doc_id LIMIT 20

@@ -39,6 +39,39 @@ def test_psi_disjoint_cohorts_is_large(spark):
     assert out[0]["psi"] > 1.0
 
 
+def test_psi_range_ignores_rows_outside_cohorts(spark):
+    """An extreme value in a third cohort must not stretch the buckets:
+    PSI with and without the stray row is identical (ADVICE r4)."""
+    rows = [(i, "a", float(i % 7), "p" if i % 2 == 0 else "q") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double, cohort string")
+    stray = spark.createDataFrame(
+        [(999, "a", 1e12, "neither")], "id long, grp string, v double, cohort string"
+    )
+    clean = DR.population_stability(df, "v", "cohort", "p", "q", "grp").collect()
+    dirty = DR.population_stability(df.unionByName(stray), "v", "cohort", "p", "q", "grp").collect()
+    assert clean[0]["psi"] == dirty[0]["psi"]
+
+
+def test_psi_constant_column_is_finite_zero(spark):
+    """vmax == vmin (zero bucket width) puts every row in bucket 0 —
+    identical one-bucket distributions ⇒ PSI exactly 0, not null/NaN."""
+    rows = [(i, "a", 5.0, "p" if i % 2 == 0 else "q") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double, cohort string")
+    out = DR.population_stability(df, "v", "cohort", "p", "q", "grp").collect()
+    assert out[0]["psi"] == 0.0
+
+
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    """A-ES is undefined for w <= 0; such rows (and null weights) must be
+    excluded, not allowed to sort first with negative scores (ADVICE r4)."""
+    rows = [(i, float(i % 5) + 1.0) for i in range(50)]
+    rows += [(100, -5.0), (101, 0.0), (102, None)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = {r["id"] for r in SA.weighted_sample_topk(df, "id", "w", k=10, seed=3).collect()}
+    assert got.isdisjoint({100, 101, 102})
+    assert len(got) == 10
+
+
 def test_weighted_sample_deterministic_under_repartition(spark, sf_small):
     docs = load_table(spark, sf_small, "documents").select("doc_id", "n_chars")
     a = SA.weighted_sample_topk(docs, "doc_id", "n_chars", k=15, seed=0)

@@ -216,3 +216,18 @@ def test_compact_parquet_sorted_layout(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2  # disjoint
+
+
+def test_compact_parquet_rejects_in_place_overwrite(spark, tmp_path):
+    """dst == src with an overwrite sink would truncate the source before
+    the lazy read runs — must raise instead of destroying data (ADVICE r4)."""
+    import pytest
+
+    from recommender_system_with_pyspark_spark.io import compact_parquet
+
+    src = str(tmp_path / "t")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="dst_path must differ"):
+        compact_parquet(spark, src, src)
+    # source intact
+    assert spark.read.parquet(src).count() == 10

@@ -158,3 +158,35 @@ def test_scd2_build_intervals(spark):
     # one is_current per key; both window passes share ONE exchange
     assert hist.filter("is_current").count() == 2
     assert shuffle_count(scd2_build(df, "user_id", "attr", "ts", order_col="eid")) == 1
+
+
+def test_resample_nonhour_step_keeps_every_event(spark):
+    """step='1 day' must bucket onto the same daily grid the sequence()
+    steps over — a hard-coded hour truncation once made most events miss
+    the grid join and silently vanish (ADVICE r4). Every event lands in
+    exactly one bucket and the totals reconcile."""
+    from recommender_system_with_pyspark_spark.operators.temporal import resample_timeseries
+
+    t0 = dt.datetime(2024, 1, 1, 6, 30, 0)  # off-midnight on purpose
+    rows = [("k", t0 + dt.timedelta(hours=7 * i), 1.0) for i in range(12)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+
+    out = resample_timeseries(df, "key", "ts", "value", step="1 day").collect()
+    assert sum(r["n_events"] for r in out) == 12
+    assert sum(r["total"] or 0.0 for r in out) == 12.0
+    # daily grid: consecutive buckets 24h apart, all at midnight-aligned
+    # epoch multiples of the step
+    buckets = sorted(r["bucket"] for r in out)
+    assert all((b2 - b1) == dt.timedelta(days=1) for b1, b2 in zip(buckets, buckets[1:]))
+    assert all(b.hour == 0 and b.minute == 0 for b in buckets)
+
+
+def test_resample_quarter_hour_step(spark):
+    from recommender_system_with_pyspark_spark.operators.temporal import resample_timeseries
+
+    t0 = dt.datetime(2024, 1, 1, 0, 7, 0)
+    rows = [("k", t0 + dt.timedelta(minutes=10 * i), 2.0) for i in range(9)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    out = resample_timeseries(df, "key", "ts", "value", step="15 minutes").collect()
+    assert sum(r["n_events"] for r in out) == 9
+    assert all(b["bucket"].minute % 15 == 0 for b in out)
