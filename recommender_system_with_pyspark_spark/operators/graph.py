@@ -29,11 +29,23 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """(node, component) — component = the minimum node id reachable from
     ``node`` over undirected ``edges``. Isolated nodes (absent from edges)
-    are the caller's concern: every node appearing in edges is labeled."""
+    are the caller's concern: every node appearing in edges is labeled.
+
+    Each round's labels are materialized with an EAGER localCheckpoint
+    (default every round) before the convergence check: the check is an
+    action, and without per-round materialization every round's action
+    re-executed the whole un-truncated join chain since the last
+    checkpoint — O(rounds²) join work in total (the r4 sweep's slowest
+    query at toy scale). Eager checkpointing makes each round cost
+    exactly one join+aggregate over materialized inputs, blocks are
+    reclaimed by the ContextCleaner as old rounds are dropped, and the
+    returned frame is a plain scan of the final round. Raising
+    ``checkpoint_every`` re-introduces recompute between checkpoints —
+    only worth it when rounds are cheaper than the checkpoint write."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -57,7 +69,7 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
         if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=False)
+            new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
