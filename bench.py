@@ -35,6 +35,13 @@ HEADLINE = [
     "embedding_near_dup",     # cosine near-dup pairs
     "stream_tumbling_counts", # structured streaming window agg
     "als_recommend",          # ALS train + top-k recommend
+    # round-2+ surface (added r5 so regressions on the newer operators are
+    # tracked round-over-round; the original 17 stay first and comparable)
+    "dedup_clusters",         # near-dup pairs -> connected components
+    "bigram_logprob",         # bigram-LM fluency scoring
+    "session_paths",          # sessionized event-path mining
+    "cohort_retention",       # cohort x age retention triangle
+    "scd2_history",           # slowly-changing-dimension intervals
 ]
 
 
