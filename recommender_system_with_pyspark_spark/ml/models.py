@@ -240,8 +240,14 @@ def decision_tree(df: DataFrame, features_col: str = "features", label_col: str 
 
 def random_forest(df: DataFrame, features_col: str = "features", label_col: str = "label",
                   seed: int = 1, compat_hard_roc: bool = False,
-                  num_trees: int = 30) -> FitResult:
-    """M16 — RandomForestClassifier, numTrees=30 (`bgrfunctions.py:337-366`)."""
+                  num_trees: int = 30,
+                  min_info_gains: tuple[float, ...] = (0.0, 0.01)) -> FitResult:
+    """M16 — RandomForestClassifier, numTrees=30 (`bgrfunctions.py:337-366`).
+
+    As with :func:`decision_tree`, the reference's grid uses
+    minInfoGain∈{20,30} (`bgrfunctions.py:347`) — impossible thresholds
+    that forbid every split. Default grid here is sane; pass (20, 30) for
+    parity-with-the-bug experiments."""
     from pyspark.ml.classification import RandomForestClassifier
     from pyspark.ml.tuning import ParamGridBuilder
 
@@ -251,7 +257,7 @@ def random_forest(df: DataFrame, features_col: str = "features", label_col: str 
     grid = (
         ParamGridBuilder()
         .addGrid(rf.maxDepth, [5, 10])
-        .addGrid(rf.minInfoGain, [0.0, 0.01])
+        .addGrid(rf.minInfoGain, list(min_info_gains))
         .build()
     )
     return _classification_fit(rf, df, grid, label_col, seed, compat_hard_roc)

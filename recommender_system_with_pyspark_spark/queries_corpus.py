@@ -563,3 +563,59 @@ def lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
         )
     )
+
+
+@query(
+    "csv_roundtrip_acctbal",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal,
+           round(avg(c_acctbal), 6) AS avg_acctbal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def csv_roundtrip_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSV source/sink compat path (S1/S2/S4) exercised end-to-end:
+    customer columns go out through the CSV sink and come back through the
+    explicit-schema CSV scan (`io.read_csv` — no inference pass), then a
+    grouped aggregate runs on the CSV-read frame. The oracle aggregates
+    the original parquet directly, so a hash match proves the round-trip
+    is value-lossless (Java's shortest-round-trip double formatting on
+    write, exact parse on read).
+
+    The compat pieces, cited: the reference reads its corpus as
+    inferSchema CSV (`als.py:21-22`, `datacleaning.py:26`) and writes
+    results as coalesce(1) CSV (`datacleaning.py:30,98`). Here the scan
+    carries an explicit StructType (an inference pass is a full extra
+    read at 100 TB) and the write stays parallel (no coalesce(1): one
+    task serializing a distributed write is the documented anti-pattern
+    `io.write_csv(single_file=True)` exists to reproduce, not to use)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from . import io as IO
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long"),
+        F.col("c_nationkey").cast("long"),
+        F.col("c_acctbal").cast("double"),
+    )
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scratch = os.path.join(
+        repo_root, "spark-warehouse",
+        f"csv_compat_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    IO.write_csv(cust, scratch)
+    schema = T.StructType([
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_nationkey", T.LongType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+    ])
+    back = IO.read_csv(spark, scratch, schema=schema)
+    return back.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+    )

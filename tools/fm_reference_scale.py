@@ -19,7 +19,17 @@ binarized at rating < 4 → 0 else 1 (`bgrfunctions.py:24`), grid stepSize
 hard-prediction ROC quirk. Published anchor (`risultati.txt:67-69`):
 acc 0.9179 / roc 0.5389, **283.68 min**.
 
-Usage: python tools/fm_reference_scale.py [--scale 0.25] [--task regressor|classifier]
+``--task dectree`` / ``--task randforest`` run the E3 tree-model shapes
+(`bgrfunctions.py:306-366`): same one-hot features + binarized label,
+TVS grid maxDepth {5,10} × minInfoGain {20,30} — the reference's actual
+(degenerate) grid: info gain is ≤ 1, so minInfoGain ≥ 20 forbids every
+split and the stump predicts the majority class (acc ≈ base rate,
+hard-ROC = 0.5 exactly — PDF p.32 Tables 7-8). Published anchors:
+DecisionTree acc 0.91 / roc 0.5, **74.91 min**; RandomForest (numTrees
+30) acc 0.92 / roc 0.5, **61.52 min**.
+
+Usage: python tools/fm_reference_scale.py [--scale 0.25]
+         [--task regressor|classifier|dectree|randforest]
 """
 
 from __future__ import annotations
@@ -36,7 +46,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=0.25)
-    ap.add_argument("--task", choices=["regressor", "classifier"], default="regressor")
+    ap.add_argument("--task", choices=["regressor", "classifier", "dectree", "randforest"],
+                    default="regressor")
     args = ap.parse_args()
 
     from pyspark.ml import Pipeline
@@ -44,7 +55,12 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from recommender_system_with_pyspark_spark.domain import golden
-    from recommender_system_with_pyspark_spark.ml.models import fm_classifier, fm_regressor
+    from recommender_system_with_pyspark_spark.ml.models import (
+        decision_tree,
+        fm_classifier,
+        fm_regressor,
+        random_forest,
+    )
     from recommender_system_with_pyspark_spark.session import get_spark
 
     n = int(golden.REF_N_RATINGS * args.scale)
@@ -64,7 +80,8 @@ def main() -> None:
         OneHotEncoder(inputCols=["UserId", "BGGId"], outputCols=["UserId_onehot", "BGGId_onehot"]),
         VectorAssembler(inputCols=["UserId_onehot", "BGGId_onehot"], outputCol="features"),
     ])
-    if args.task == "classifier":
+    is_classification = args.task in ("classifier", "dectree", "randforest")
+    if is_classification:
         # bgrfunctions.py:24 — buckets: rating < 4 → 0.0 else 1.0
         label = F.when(F.col("Rating") < 4, F.lit(0.0)).otherwise(F.lit(1.0))
     else:
@@ -78,6 +95,14 @@ def main() -> None:
     t1 = time.time()
     if args.task == "classifier":
         res = fm_classifier(feats, "features", "label", compat_hard_roc=True)
+    elif args.task == "dectree":
+        # bgrfunctions.py:319-322 — the reference's degenerate grid, verbatim
+        res = decision_tree(feats, "features", "label", compat_hard_roc=True,
+                            min_info_gains=(20.0, 30.0))
+    elif args.task == "randforest":
+        # bgrfunctions.py:347 — same grid, numTrees=30
+        res = random_forest(feats, "features", "label", compat_hard_roc=True,
+                            num_trees=30, min_info_gains=(20.0, 30.0))
     else:
         res = fm_regressor(feats, "features", "label")
     t_fit = time.time() - t1
@@ -85,23 +110,34 @@ def main() -> None:
     metrics = (
         {"accuracy": round(res.metrics["accuracy"], 4),
          "areaUnderROC": round(res.metrics["areaUnderROC"], 4)}
-        if args.task == "classifier"
+        if is_classification
         else {"rmse": round(res.metrics["rmse"], 4), "r2": round(res.metrics["r2"], 4)}
     )
+    if args.task in ("dectree", "randforest"):
+        best_params = {
+            "maxDepth": res.model.getOrDefault("maxDepth"),
+            "minInfoGain": res.model.getOrDefault("minInfoGain"),
+        }
+    else:
+        best_params = {
+            "stepSize": res.model.getOrDefault("stepSize"),
+            "factorSize": res.model.getOrDefault("factorSize"),
+        }
+    anchors = {"regressor": 121.99, "classifier": 283.68,
+               "dectree": 74.91, "randforest": 61.52}
     out = {
-        "metric": f"fm_{args.task}_reference_scale",
+        "metric": f"{args.task}_reference_scale"
+        if args.task in ("dectree", "randforest")
+        else f"fm_{args.task}_reference_scale",
         "scale": args.scale,
         "rows": rows,
         "onehot_dim": n_users + n_items,
         **metrics,
-        "best_params": {
-            "stepSize": res.model.getOrDefault("stepSize"),
-            "factorSize": res.model.getOrDefault("factorSize"),
-        },
+        "best_params": best_params,
         "prep_sec": round(t_prep, 1),
         "fit_sec": round(t_fit, 1),
         "total_min": round((time.time() - t0) / 60, 2),
-        "reference_min_at_full_scale": 283.68 if args.task == "classifier" else 121.99,
+        "reference_min_at_full_scale": anchors[args.task],
     }
     print(json.dumps(out))
 
