@@ -218,17 +218,26 @@ def logistic_regression(df: DataFrame, features_col: str = "features", label_col
 
 def decision_tree(df: DataFrame, features_col: str = "features", label_col: str = "label",
                   seed: int = 1, compat_hard_roc: bool = False,
-                  min_info_gains: tuple[float, ...] = (0.0, 0.01)) -> FitResult:
+                  min_info_gains: tuple[float, ...] = (0.0, 0.01),
+                  max_bins: int | None = None) -> FitResult:
     """M15 — DecisionTreeClassifier (`bgrfunctions.py:306-334`).
 
     NB the reference's grid uses minInfoGain∈{20,30} — info gain is ≤ 1, so
     those thresholds forbid every split and the tree degenerates
     (ROC≈0.5, PDF p.32). Default grid here is sane; pass (20, 30) for
-    parity-with-the-bug experiments."""
+    parity-with-the-bug experiments.
+
+    ``max_bins``: Spark's default 32 candidate bins per continuous feature
+    are pure overhead on BINARY (one-hot) features — the only candidate
+    threshold is between 0 and 1, so ``max_bins=2`` shrinks every node's
+    DTStatsAggregator 16× with an identical fitted model. Set it whenever
+    the assembled features are one-hot."""
     from pyspark.ml.classification import DecisionTreeClassifier
     from pyspark.ml.tuning import ParamGridBuilder
 
     dt = DecisionTreeClassifier(featuresCol=features_col, labelCol=label_col, seed=seed)
+    if max_bins is not None:
+        dt.setMaxBins(max_bins)
     grid = (
         ParamGridBuilder()
         .addGrid(dt.maxDepth, [5, 10])
@@ -241,7 +250,8 @@ def decision_tree(df: DataFrame, features_col: str = "features", label_col: str 
 def random_forest(df: DataFrame, features_col: str = "features", label_col: str = "label",
                   seed: int = 1, compat_hard_roc: bool = False,
                   num_trees: int = 30,
-                  min_info_gains: tuple[float, ...] = (0.0, 0.01)) -> FitResult:
+                  min_info_gains: tuple[float, ...] = (0.0, 0.01),
+                  max_bins: int | None = None) -> FitResult:
     """M16 — RandomForestClassifier, numTrees=30 (`bgrfunctions.py:337-366`).
 
     As with :func:`decision_tree`, the reference's grid uses
@@ -254,6 +264,8 @@ def random_forest(df: DataFrame, features_col: str = "features", label_col: str 
     rf = RandomForestClassifier(
         featuresCol=features_col, labelCol=label_col, seed=seed, numTrees=num_trees
     )
+    if max_bins is not None:
+        rf.setMaxBins(max_bins)
     grid = (
         ParamGridBuilder()
         .addGrid(rf.maxDepth, [5, 10])

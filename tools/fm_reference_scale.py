@@ -48,6 +48,10 @@ def main() -> None:
     ap.add_argument("--scale", type=float, default=0.25)
     ap.add_argument("--task", choices=["regressor", "classifier", "dectree", "randforest"],
                     default="regressor")
+    ap.add_argument("--binary-bins", action="store_true",
+                    help="trees only: maxBins=2 (model-identical on one-hot "
+                         "features, 16x smaller node stats — the engine-side "
+                         "optimization the reference's default-bins run lacks)")
     args = ap.parse_args()
 
     from pyspark.ml import Pipeline
@@ -69,7 +73,16 @@ def main() -> None:
     head_items = max(100, int(golden.REF_HEAD_ITEMS * args.scale))
 
     spark = get_spark(app_name="fm-reference-scale",
-                      extra_conf={"spark.driver.memory": "48g"})
+                      extra_conf={
+                          "spark.driver.memory": "48g",
+                          # Java 17's GCLocker can fail allocations under the
+                          # concurrent per-task DTStatsAggregator pressure of
+                          # wide one-hot tree fits ("Retried waiting for
+                          # GCLocker too often") — raise the retry budget.
+                          "spark.driver.extraJavaOptions":
+                              "-XX:+UnlockDiagnosticVMOptions "
+                              "-XX:GCLockerRetryAllocationCount=100",
+                      })
     t0 = time.time()
     ratings, _games = golden.synthetic_bgg_corpus(
         spark, n_ratings=n, n_users=n_users, n_items=n_items, head_items=head_items
@@ -98,11 +111,13 @@ def main() -> None:
     elif args.task == "dectree":
         # bgrfunctions.py:319-322 — the reference's degenerate grid, verbatim
         res = decision_tree(feats, "features", "label", compat_hard_roc=True,
-                            min_info_gains=(20.0, 30.0))
+                            min_info_gains=(20.0, 30.0),
+                            max_bins=2 if args.binary_bins else None)
     elif args.task == "randforest":
         # bgrfunctions.py:347 — same grid, numTrees=30
         res = random_forest(feats, "features", "label", compat_hard_roc=True,
-                            num_trees=30, min_info_gains=(20.0, 30.0))
+                            num_trees=30, min_info_gains=(20.0, 30.0),
+                            max_bins=2 if args.binary_bins else None)
     else:
         res = fm_regressor(feats, "features", "label")
     t_fit = time.time() - t1
@@ -129,6 +144,7 @@ def main() -> None:
         "metric": f"{args.task}_reference_scale"
         if args.task in ("dectree", "randforest")
         else f"fm_{args.task}_reference_scale",
+        **({"binary_bins": True} if args.binary_bins else {}),
         "scale": args.scale,
         "rows": rows,
         "onehot_dim": n_users + n_items,
