@@ -230,8 +230,11 @@ def decision_tree(df: DataFrame, features_col: str = "features", label_col: str 
     ``max_bins``: Spark's default 32 candidate bins per continuous feature
     are pure overhead on BINARY (one-hot) features — the only candidate
     threshold is between 0 and 1, so ``max_bins=2`` shrinks every node's
-    DTStatsAggregator 16× with an identical fitted model. Set it whenever
-    the assembled features are one-hot."""
+    DTStatsAggregator 16× with an identical fitted model. Measured at
+    reference scale (REFSCALE.md): −33% on the 30-tree forest (stats
+    allocation/merge dominates there), ~no change for a single tree
+    (dominated by MLlib's dense per-row binned conversion, which is
+    rows × dims regardless of bins)."""
     from pyspark.ml.classification import DecisionTreeClassifier
     from pyspark.ml.tuning import ParamGridBuilder
 
