@@ -251,3 +251,40 @@ def equal_width_bins(
         .when(x >= hi, F.lit(n_bins + 1))
         .otherwise(body),
     )
+
+
+def robust_scale(
+    df: DataFrame,
+    columns: Sequence[str],
+    round_to: int | None = None,
+) -> DataFrame:
+    """Median/IQR scaling: (x − median) / (Q3 − Q1), with EXACT
+    linear-interpolation percentiles (`percentile`, the same definition as
+    ANSI percentile_cont / DuckDB quantile_cont — so an oracle can restate
+    it verbatim). MLlib's RobustScaler computes the same transform from
+    approxQuantile sketches; this native form is the deterministic,
+    engine-portable twin (the ML pipeline form stays available for vector
+    columns).
+
+    Scale shape: ONE aggregate pass for all columns' three quantiles (exact
+    percentile is a two-stage sort-based aggregate; for 100 TB swap in
+    approx_percentile and accept sketch error), broadcast back as a 1-row
+    frame. A constant column (IQR 0) scales to null rather than ±inf.
+    """
+    stats = df.agg(
+        *[
+            F.percentile(F.col(c).cast("double"), F.lit(q)).alias(f"_{tag}_{c}")
+            for c in columns
+            for tag, q in (("q1", 0.25), ("med", 0.5), ("q3", 0.75))
+        ]
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    for c in columns:
+        iqr = F.col(f"_q3_{c}") - F.col(f"_q1_{c}")
+        scaled = F.when(
+            iqr > 0, (F.col(c).cast("double") - F.col(f"_med_{c}")) / iqr
+        )
+        if round_to is not None:
+            scaled = F.round(scaled, round_to)
+        out = out.withColumn(f"{c}_scaled", scaled)
+    return out.drop(*[f"_{tag}_{c}" for c in columns for tag in ("q1", "med", "q3")])

@@ -1,0 +1,121 @@
+"""Declarative data-quality audits (north-star extension: a 100 TB
+training-data pipeline gates every ingest batch on constraint checks —
+completeness, uniqueness, referential integrity, domain/range membership —
+the way Deequ/dbt-tests do, and the reference does by hand with
+`isNull().sum()`-style pandas audits (`datacleaning.py:34-44`,
+`functions.py:61-74` find_missing_values).
+
+Scale shape: every per-table check compiles to ONE conditional aggregate
+over a single scan — N checks on a table cost one pass total, not N.
+`count(distinct)` for uniqueness rides the same pass (Spark plans it as an
+expand + two-stage aggregate; the expand multiplies rows only by the number
+of DISTINCT groups, here 1). Referential checks are a broadcast-anti-join
+aggregate: the parent's key set is deduplicated map-side and broadcast, so
+the child (the 100 TB side) is never shuffled. Results are tiny
+(one row per check) — the unpivot to rows happens on a 1-row frame.
+
+No UDFs, no collects; every expression is ANSI-portable so the DuckDB
+oracles state the same checks as scalar subqueries.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RESULT_COLS = ("check", "violations", "total")
+
+
+@dataclass(frozen=True)
+class Check:
+    """One named constraint: ``violated`` is a boolean expression that is
+    true on rows breaking the constraint."""
+
+    name: str
+    violated: Column
+
+
+def not_null(col: str) -> Check:
+    return Check(f"not_null:{col}", F.col(col).isNull())
+
+
+def in_range(col: str, lo: float, hi: float) -> Check:
+    """Violated when outside [lo, hi] (nulls count as violations — an
+    unknown value cannot be shown to satisfy the constraint)."""
+    c = F.col(col)
+    return Check(f"in_range:{col}", ~c.between(F.lit(lo), F.lit(hi)) | c.isNull())
+
+
+def accepted_values(col: str, values: Sequence[str]) -> Check:
+    c = F.col(col)
+    return Check(f"accepted_values:{col}", ~c.isin(list(values)) | c.isNull())
+
+
+def matches(col: str, pattern: str) -> Check:
+    """Violated when the column does not rlike the anchored pattern."""
+    c = F.col(col)
+    return Check(f"matches:{col}", ~c.rlike(pattern) | c.isNull())
+
+
+def table_audit(df: DataFrame, table: str, checks: Sequence[Check],
+                unique: Sequence[str] = ()) -> DataFrame:
+    """All row-level checks plus optional key-uniqueness in ONE aggregate
+    pass; returns (check, violations, total) rows.
+
+    Uniqueness counts rows minus distinct keys (0 ⇔ the key is unique);
+    it shares the same scan as the conditional counters.
+    """
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for ck in checks:
+        aggs.append(
+            F.sum(F.when(ck.violated, 1).otherwise(0)).alias(f"_v_{ck.name}")
+        )
+    if unique:
+        aggs.append(F.count_distinct(*[F.col(c) for c in unique]).alias("_ndistinct"))
+    row = df.agg(*aggs)
+
+    out = []
+    for ck in checks:
+        out.append(
+            row.select(
+                F.lit(f"{table}.{ck.name}").alias("check"),
+                F.col(f"_v_{ck.name}").cast("long").alias("violations"),
+                F.col("_total").cast("long").alias("total"),
+            )
+        )
+    if unique:
+        out.append(
+            row.select(
+                F.lit(f"{table}.unique:{','.join(unique)}").alias("check"),
+                (F.col("_total") - F.col("_ndistinct")).cast("long").alias("violations"),
+                F.col("_total").cast("long").alias("total"),
+            )
+        )
+    return reduce(DataFrame.unionByName, out)
+
+
+def referential_audit(child: DataFrame, child_key: str,
+                      parent: DataFrame, parent_key: str,
+                      name: str) -> DataFrame:
+    """Orphan-count check: child rows whose key has no parent row.
+
+    The parent key set is distinct-ed and broadcast, so the child side is a
+    scan + map-side anti join + aggregate — zero shuffles of the fact.
+    """
+    parents = F.broadcast(parent.select(F.col(parent_key).alias(child_key)).distinct())
+    orphans = child.join(parents, on=child_key, how="left_anti")
+    return (
+        child.agg(F.count(F.lit(1)).cast("long").alias("total"))
+        .crossJoin(orphans.agg(F.count(F.lit(1)).cast("long").alias("violations")))
+        .select(F.lit(name).alias("check"), "violations", "total")
+    )
+
+
+def audit_suite(parts: Sequence[DataFrame]) -> DataFrame:
+    """Union per-table audits into one small report, flagged pass/fail."""
+    report = reduce(DataFrame.unionByName, parts)
+    return report.withColumn("passed", F.col("violations") == 0)

@@ -340,3 +340,26 @@ def key_skew_audit(
         .orderBy(F.col("n_rows").desc(), F.col("key").asc())
         .limit(top)
     )
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Exact φ-heavy-hitters: values occurring in MORE than n/k rows
+    (φ = 1/k), with count and share. Misra–Gries/count-min give the same
+    set approximately in one pass at unbounded cardinality; this exact
+    form is a partial-aggregating groupBy (shuffle carries one row per
+    distinct value) + a broadcast of the scalar total — right whenever
+    the distinct-value count is far below the row count, which is the
+    heavy-hitter regime by definition. The n/k threshold guarantees at
+    most k−1 output rows regardless of input size.
+    """
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    counts = df.groupBy(F.col(col)).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k > F.col("_n"))
+        .select(
+            col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("_n"), 6).alias("share"),
+        )
+    )

@@ -568,3 +568,91 @@ def quantize_int8(
     # per-element transform would re-run the max|x| reduction PER ELEMENT
     q = _bind(scale, lambda s: F.transform(dv, lambda x: F.round(x * s).cast("int")))
     return df.withColumn(scale_col, scale).withColumn(out_col, q)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    seed: int = 1,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs, EXACT by construction:
+    KMeans cells over unit-normalized vectors + a triangle-inequality bound
+    that prunes cell pairs which provably cannot contain a qualifying pair.
+
+    On unit vectors cos(a,b) >= t  <=>  ||a-b|| <= sqrt(2-2t), so a pair
+    spanning cells (i, j) can exist only if
+
+        d(c_i, c_j) <= r_i + r_j + sqrt(2-2t)
+
+    (r = max member distance to its centroid). Cell pairs failing the bound
+    are dropped BEFORE any pair join; survivors get the exact cosine check.
+    Output therefore EQUALS all-pairs brute force (the exact SQL oracle
+    attaches — no tuning-to-recall), while at 100 TB the pair join touches
+    only surviving blocks: with tight clusters and a high threshold that is
+    O(k) diagonal blocks instead of O(k^2), on top of the O(n^2) -> blocked
+    reduction. The cell-pair table is k^2 rows max (k is small), broadcast;
+    the members table is shuffled once per side of the block join, keyed by
+    cell — never all-pairs.
+
+    Same task as the reference's content dedup would need at corpus scale
+    (`datacleaning.py` drops exact-duplicate rows; this is the embedding-
+    space generalization). Exactness margin: radii/distances accumulate in
+    float64; the bound gets a 1e-9 slack so a last-ulp underestimate cannot
+    drop a true pair.
+    """
+    import math
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    eps_d = math.sqrt(max(0.0, 2.0 - 2.0 * threshold)) + 1e-9
+
+    base = _as_double(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")), "_v"
+    ).withColumn("_n", _norm(F.col("_v")))
+    unit = base.withColumn(
+        "_u", F.transform(F.col("_v"), lambda x: x / F.col("_n"))
+    )
+    km_in = unit.withColumn("_vec", array_to_vector("_u"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_vec", predictionCol="_cell").fit(km_in)
+    members = model.transform(km_in).select("_id", "_v", "_n", "_u", "_cell")
+
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    centers_df = df.sparkSession.createDataFrame(centers, "cell int, center array<double>")
+
+    radii = (
+        members.join(F.broadcast(centers_df), members["_cell"] == centers_df["cell"])
+        .select("_cell", _euclid(F.col("_u"), F.col("center")).alias("_d"))
+        .groupBy("_cell")
+        .agg(F.max("_d").alias("radius"))
+    )
+    cells = F.broadcast(
+        centers_df.join(radii, centers_df["cell"] == radii["_cell"]).select("cell", "center", "radius")
+    )
+    ca = cells.select(F.col("cell").alias("ca"), F.col("center").alias("cca"), F.col("radius").alias("ra"))
+    cb = cells.select(F.col("cell").alias("cb"), F.col("center").alias("ccb"), F.col("radius").alias("rb"))
+    # k x k driver-tiny frame; the bound keeps only blocks that can matter.
+    # BOTH orientations of a surviving cross-cell block are kept (no ca<=cb
+    # filter): the global id_a < id_b filter below says nothing about which
+    # CELL holds the smaller id, so exactly one orientation emits each pair.
+    cell_pairs = F.broadcast(
+        ca.crossJoin(cb)
+        .filter(_euclid(F.col("cca"), F.col("ccb")) <= F.col("ra") + F.col("rb") + F.lit(eps_d))
+        .select("ca", "cb")
+    )
+
+    left = members.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+                          F.col("_n").alias("_na"), F.col("_cell").alias("ca"))
+    right = members.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+                           F.col("_n").alias("_nb"), F.col("_cell").alias("cb"))
+    return (
+        left.join(cell_pairs, "ca")
+        .join(right, "cb")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

@@ -280,3 +280,32 @@ def resample_timeseries(
     else:
         raise ValueError(f"unknown fill mode {fill!r}")
     return out
+
+
+def per_group_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group least-squares linear trend: slope, intercept, R² and n of
+    y over x within each group, via the ANSI regr_* aggregates (Spark and
+    any SQL oracle engine implement the same closed-form moments, so the
+    results hash-match after rounding away accumulation-order ulps).
+
+    One partial-aggregating groupBy — the shuffle carries the per-group
+    moment tuples, never the fact rows. The classic "fit a tiny model per
+    key" shape (demand trend per product, activity trend per cohort) that
+    needs no MLlib and no Python.
+    """
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.round(F.regr_slope(y, x), round_to).alias("slope"),
+            F.round(F.regr_intercept(y, x), round_to).alias("intercept"),
+            F.round(F.regr_r2(y, x), round_to).alias("r2"),
+            F.regr_count(y, x).cast("long").alias("n"),
+        )
+    )

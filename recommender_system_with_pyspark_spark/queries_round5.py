@@ -1,0 +1,276 @@
+"""Round-5 query surface: declarative data-quality audits, per-group
+linear trends, exact robust scaling, exact heavy hitters, a JSONL
+source/sink round-trip, and exact cluster-pruned semantic dedup. Every
+query here is DuckDB-oracle hash-checked.
+
+These widen the engine past the reference's hand-rolled pandas audits
+(`datacleaning.py:34-44` null scans, `functions.py:61-74`
+find_missing_values) into the constraint-gating / trend-monitoring /
+semantic-dedup operations a 100 TB training-data pipeline runs on every
+ingest batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import load_table
+from .operators import quality as Q
+from .operators import similarity as S
+from .operators.cleaning import robust_scale
+from .operators.relational import heavy_hitters
+from .operators.temporal import per_group_trend
+from .registry import query
+
+
+@query(
+    "dq_audit",
+    oracle="""
+    SELECT 'customer.not_null:c_name' AS check,
+           CAST(count(*) FILTER (c_name IS NULL) AS BIGINT) AS violations,
+           CAST(count(*) AS BIGINT) AS total,
+           count(*) FILTER (c_name IS NULL) = 0 AS passed
+    FROM customer
+    UNION ALL
+    SELECT 'customer.in_range:c_acctbal',
+           CAST(count(*) FILTER (c_acctbal IS NULL OR c_acctbal NOT BETWEEN 0 AND 10000) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           count(*) FILTER (c_acctbal IS NULL OR c_acctbal NOT BETWEEN 0 AND 10000) = 0
+    FROM customer
+    UNION ALL
+    SELECT 'customer.accepted_values:c_mktsegment',
+           CAST(count(*) FILTER (c_mktsegment IS NULL OR c_mktsegment NOT IN
+               ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           count(*) FILTER (c_mktsegment IS NULL OR c_mktsegment NOT IN
+               ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')) = 0
+    FROM customer
+    UNION ALL
+    SELECT 'customer.unique:c_custkey',
+           CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           count(*) - count(DISTINCT c_custkey) = 0
+    FROM customer
+    UNION ALL
+    SELECT 'documents.not_null:text',
+           CAST(count(*) FILTER (text IS NULL) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           count(*) FILTER (text IS NULL) = 0
+    FROM documents
+    UNION ALL
+    SELECT 'documents.matches:lang',
+           CAST(count(*) FILTER (lang IS NULL OR NOT regexp_matches(lang, '^[a-z]{2}$')) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           count(*) FILTER (lang IS NULL OR NOT regexp_matches(lang, '^[a-z]{2}$')) = 0
+    FROM documents
+    UNION ALL
+    SELECT 'orders.custkey_in_customer',
+           CAST((SELECT count(*) FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                 ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           (SELECT count(*) FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+            ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) = 0
+    UNION ALL
+    SELECT 'lineitem.orderkey_in_orders',
+           CAST((SELECT count(*) FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                 ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           (SELECT count(*) FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+            ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) = 0
+    """,
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style ingest gate over three tables: completeness, range,
+    accepted values, regex shape, key uniqueness, and two referential
+    checks — all row-level checks on a table share ONE aggregate pass,
+    referential checks broadcast the deduped parent key set so the child
+    is never shuffled (operators/quality.py)."""
+    cust = load_table(spark, sf_dir, "customer")
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return Q.audit_suite([
+        Q.table_audit(
+            cust, "customer",
+            checks=[
+                Q.not_null("c_name"),
+                Q.in_range("c_acctbal", 0, 10000),
+                Q.accepted_values("c_mktsegment", [
+                    "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+                ]),
+            ],
+            unique=["c_custkey"],
+        ),
+        Q.table_audit(docs, "documents", checks=[
+            Q.not_null("text"), Q.matches("lang", "^[a-z]{2}$"),
+        ]),
+        Q.referential_audit(orders, "o_custkey", cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey",
+                            "orders.custkey_in_customer"),
+        Q.referential_audit(lineitem, "l_orderkey", orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey",
+                            "lineitem.orderkey_in_orders"),
+    ])
+
+
+@query(
+    "revenue_trend_by_nation",
+    oracle="""
+    WITH daily AS (
+        SELECT n.n_name,
+               date_diff('day', DATE '1970-01-01', o.o_orderdate::DATE) AS day_idx,
+               round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT n_name,
+           round(regr_slope(revenue, day_idx), 6) AS slope,
+           round(regr_intercept(revenue, day_idx), 2) AS intercept,
+           round(regr_r2(revenue, day_idx), 6) AS r2,
+           CAST(regr_count(revenue, day_idx) AS BIGINT) AS n
+    FROM daily GROUP BY n_name
+    """,
+)
+def revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is each nation's daily order revenue trending up or down? Daily
+    pre-aggregation (rounded to pin sum order), then the closed-form
+    regr_* moments per nation — tiny-model-per-key without MLlib
+    (operators/temporal.py per_group_trend). Both joins broadcast the
+    dims; the only wide shuffle is the (nation, day) aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    daily = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                    orders["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+        .groupBy(
+            "n_name",
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("day_idx"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    trend = per_group_trend(daily, ["n_name"], "day_idx", "revenue", round_to=6)
+    return trend.withColumn("intercept", F.round("intercept", 2))
+
+
+@query(
+    "robust_scaled_acctbal",
+    oracle="""
+    WITH s AS (
+        SELECT quantile_cont(c_acctbal, 0.25) AS q1,
+               quantile_cont(c_acctbal, 0.5) AS med,
+               quantile_cont(c_acctbal, 0.75) AS q3
+        FROM customer
+    )
+    SELECT c.c_custkey,
+           round(c.c_acctbal, 2) AS c_acctbal,
+           round((c.c_acctbal - s.med) / (s.q3 - s.q1), 6) AS c_acctbal_scaled
+    FROM customer c CROSS JOIN s
+    """,
+)
+def robust_scaled_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling of account balances with EXACT
+    linear-interpolation percentiles — the engine-portable twin of
+    MLlib's sketch-based RobustScaler (operators/cleaning.robust_scale).
+    One aggregate pass for the three quantiles, broadcast back."""
+    cust = load_table(spark, sf_dir, "customer")
+    scaled = robust_scale(cust.select("c_custkey", "c_acctbal"), ["c_acctbal"], round_to=6)
+    return scaled.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_acctbal_scaled",
+    )
+
+
+@query(
+    "heavy_hitter_events",
+    oracle="""
+    WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS cnt,
+           round(count(*)::DOUBLE / t.n, 6) AS share
+    FROM events e CROSS JOIN t
+    GROUP BY e.event_type, t.n
+    HAVING count(*) * 5 > t.n
+    """,
+)
+def heavy_hitter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact φ=1/5 heavy hitters over the event stream: event types with
+    strictly more than 20% share (operators/relational.heavy_hitters).
+    groupBy carries one row per distinct type; the total is a broadcast
+    scalar. ≤4 output rows by construction at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    return heavy_hitters(events, "event_type", k=5)
+
+
+@query(
+    "jsonl_roundtrip_docs",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS total_len,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents GROUP BY lang
+    """,
+)
+def jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSONL source/sink path (io.read_json) exercised end-to-end:
+    documents go out as line-delimited JSON and come back through an
+    explicit-schema scan (inference is a full extra read at 100 TB),
+    then a per-language aggregate runs on the JSON-read frame. The
+    oracle aggregates the original parquet, so a hash match proves the
+    round-trip preserves every string byte (JSON escaping included) and
+    every integer exactly."""
+    from pyspark.sql import types as T
+
+    from . import io as IO
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long"), "text", "lang", F.col("n_chars").cast("long")
+    )
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scratch = os.path.join(
+        repo_root, "spark-warehouse",
+        f"jsonl_compat_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    docs.write.mode("overwrite").json(scratch)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    back = IO.read_json(spark, scratch, schema=schema)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.length("text")).cast("long").alias("total_len"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
+@query(
+    "semantic_dedup",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs, EXACT by construction:
+    KMeans cells over unit vectors + a triangle-inequality bound prunes
+    cell-pair blocks that provably cannot hold a qualifying pair; the
+    exact cosine check runs only inside surviving blocks. Output equals
+    all-pairs brute force (hence the exact SQL oracle — no
+    tuning-to-recall), while the pair join never goes all-pairs
+    (operators/similarity.semantic_dedup_pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup_pairs(emb, "vec_id", "embedding",
+                                  threshold=0.45, n_cells=8, seed=1)
