@@ -163,3 +163,67 @@ def dedup_clusters(
             "cluster_size",
         )
     )
+
+
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle census of an undirected graph (edges as distinct
+    src < dst pairs): nodes, edges, wedges (open 2-paths), triangles, and
+    global clustering coefficient 3·Δ/wedges.
+
+    Degree-ordered node-iterator (the MapReduce-era standard — Suri &
+    Vassilvitskii's "Counting triangles and the curse of the last
+    reducer"): orient every edge from the (degree, id)-SMALLER endpoint to
+    the larger, list wedges only at each edge's smaller endpoint, then
+    semi-join wedges against oriented edges. Orientation bounds per-node
+    oriented out-degree by O(sqrt(m)) on any graph, so no reducer sees a
+    hub's full neighborhood — the skew-killer that makes this survive a
+    100 TB power-law graph where naive wedge listing dies on the last
+    reducer. Every join is an equi-join on node ids; each triangle is
+    counted exactly once (its (deg,id)-minimum vertex lists the wedge).
+
+    A plain SQL oracle can count the same triangles with id-ordered
+    3-way joins — orientation changes the execution shape, not the set.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    deg = (
+        e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    ed = e.join(da, "a").join(db, "b")
+    # orient by the (degree, id) total order; carry the head's order key so
+    # wedge endpoints can be ordered without re-joining degrees
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lo_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    w1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    w2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedges = w1.join(w2, "u").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"], "left_semi")
+
+    n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    n_wedge = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    counts = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).crossJoin(
+        deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    return (
+        counts.crossJoin(n_wedge).crossJoin(n_tri)
+        .select(
+            "n_nodes", "n_edges", "n_wedges", "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.greatest(F.col("n_wedges"), F.lit(1)), 6
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -309,3 +309,77 @@ def per_group_trend(
             F.regr_count(y, x).cast("long").alias("n"),
         )
     )
+
+
+def cdc_apply(
+    cdc: DataFrame,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Materialize a CDC changelog (insert/update/delete rows with a
+    per-key sequence) into current state: latest-wins per key, then drop
+    keys whose final operation is a delete.
+
+    ONE shuffle keyed by the entity key; the row_number window rides the
+    same exchange (sort within partitions, no second exchange). This is
+    the batch twin of what a streaming upsert sink does continuously, and
+    the core of Delta/Hudi-style MERGE-based ingestion at 100 TB — the
+    changelog is never joined against the (much larger) base snapshot
+    here; composing with `relational.merge_upsert` applies the result to
+    a snapshot with the base table's single shuffle.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in seq_cols]
+    )
+    return (
+        cdc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col(op_col) != delete_op)
+        .drop("_rn")
+    )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("click", "view"),
+) -> DataFrame:
+    """Last-touch marketing attribution: for every conversion event, the
+    user's most recent STRICTLY-PRECEDING touch event (click/view), or
+    null for organic conversions.
+
+    One window over (user, ts, id) with a ROWS frame ending at 1
+    PRECEDING — `last(..., ignorenulls)` of a conditional struct picks
+    the latest touch without a self-join, so the events table is shuffled
+    once by user. The (ts, id) compound ordering makes same-timestamp
+    rows deterministic on any engine.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col(type_col).isin(list(touch_types)),
+            F.struct(F.col(id_col), F.col(type_col)),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.withColumn("_touch", touch)
+        .filter(F.col(type_col) == conversion_type)
+        .select(
+            F.col(id_col).alias("conversion_id"),
+            F.col(user_col),
+            F.col(ts_col),
+            F.col("_touch")[id_col].alias("touch_id"),
+            F.col("_touch")[type_col].alias("touch_type"),
+        )
+    )

@@ -274,3 +274,142 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semantic_dedup_pairs(emb, "vec_id", "embedding",
                                   threshold=0.45, n_cells=8, seed=1)
+
+
+@query(
+    "part_triangles",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, a.l_orderkey
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (
+        SELECT pa, pb FROM pairs GROUP BY pa, pb
+        HAVING count(DISTINCT l_orderkey) >= 2
+    ),
+    deg AS (
+        SELECT n, count(*) AS d FROM (
+            SELECT pa AS n FROM e UNION ALL SELECT pb FROM e
+        ) GROUP BY n
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                      JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS n_triangles,
+           round(3.0 * (SELECT count(*)
+                        FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                                  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+                 / greatest((SELECT sum(d * (d - 1) / 2) FROM deg), 1), 6) AS clustering_coeff
+    """,
+)
+def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts bought
+    together in ≥2 orders): how clique-y are baskets? Spark side runs the
+    degree-ordered node-iterator (per-node oriented out-degree bounded by
+    O(√m) — no last-reducer hub blowup; operators/graph.triangle_stats);
+    the oracle counts the same set with plain id-ordered 3-way joins."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count_distinct("l_orderkey").alias("_s"))
+        .filter(F.col("_s") >= 2)
+        .select("pa", "pb")
+    )
+    from .operators.graph import triangle_stats
+
+    return triangle_stats(edges, "pa", "pb")
+
+
+@query(
+    "cdc_current_state",
+    oracle="""
+    WITH cdc AS (
+        SELECT o_orderkey, 1 AS seq, 'I' AS op, round(o_totalprice, 2) AS totalprice,
+               o_orderpriority FROM orders
+        UNION ALL
+        SELECT o_orderkey, 2, 'U',
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)), 2) AS DOUBLE),
+               o_orderpriority
+        FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_orderkey, 3, 'D', NULL, NULL FROM orders WHERE o_orderstatus = 'P'
+    ),
+    latest AS (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        FROM cdc
+    )
+    SELECT o_orderkey, CAST(seq AS INTEGER) AS seq, op, totalprice, o_orderpriority
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog materialization (latest-wins per key, deletes drop
+    the key): a deterministic I/U/D changelog is derived from orders
+    (every order inserted, 'F' orders later updated, 'P' orders deleted),
+    then `temporal.cdc_apply` reduces it to current state in ONE
+    key-shuffle — the window rides the same exchange, and the changelog
+    is never joined against a base snapshot."""
+    from .operators.temporal import cdc_apply
+
+    o = load_table(spark, sf_dir, "orders")
+    ins = o.select(
+        "o_orderkey", F.lit(1).alias("seq"), F.lit("I").alias("op"),
+        F.round("o_totalprice", 2).alias("totalprice"), "o_orderpriority",
+    )
+    upd = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.lit(2).alias("seq"), F.lit("U").alias("op"),
+        # decimal-exact +10%: double*1.1 manufactures half-cent ties that
+        # engines round differently; DECIMAL multiplication is exact
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)") * F.lit(1.1).cast("decimal(3,1)"), 2
+        ).cast("double").alias("totalprice"),
+        "o_orderpriority",
+    )
+    dele = o.filter(F.col("o_orderstatus") == "P").select(
+        "o_orderkey", F.lit(3).alias("seq"), F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("totalprice"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+    )
+    cdc = ins.unionByName(upd).unionByName(dele)
+    return cdc_apply(cdc, ["o_orderkey"], ["seq"], op_col="op", delete_op="D")
+
+
+@query(
+    "last_touch_attribution",
+    oracle="""
+    WITH w AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type IN ('click', 'view') THEN event_id END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_id,
+               last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+        FROM events
+    )
+    SELECT event_id AS conversion_id, user_id, ts, touch_id, touch_type
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def last_touch_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's most
+    recent strictly-preceding click/view (null = organic). One window
+    over a single user-keyed shuffle — no self-join
+    (operators/temporal.last_touch_attribution); (ts, event_id) compound
+    ordering pins same-timestamp determinism on any engine."""
+    from .operators.temporal import last_touch_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return last_touch_attribution(
+        ev, "user_id", "ts", "event_id", "event_type",
+        conversion_type="purchase", touch_types=("click", "view"),
+    )

@@ -74,3 +74,26 @@ def test_connected_components_no_cross_round_recompute(spark):
     plan = formatted_plan(out)
     assert "ExistingRDD" in plan
     assert shuffle_count(out) == 0
+
+
+def test_triangle_stats_k4_and_path(spark):
+    from recommender_system_with_pyspark_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    row = triangle_stats(spark.createDataFrame(k4, "src long, dst long")).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
+    assert row["n_wedges"] == 12 and row["clustering_coeff"] == 1.0
+
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    row = triangle_stats(path).collect()[0]
+    assert row["n_triangles"] == 0 and row["n_wedges"] == 2
+
+
+def test_triangle_stats_hub_with_one_closure(spark):
+    from recommender_system_with_pyspark_spark.operators.graph import triangle_stats
+
+    # star hub 0 with 10 spokes + one spoke-spoke edge -> exactly 1 triangle,
+    # found regardless of which endpoint the degree orientation picks
+    edges = [(0, i) for i in range(1, 11)] + [(3, 7)]
+    row = triangle_stats(spark.createDataFrame(edges, "src long, dst long")).collect()[0]
+    assert row["n_triangles"] == 1

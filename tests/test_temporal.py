@@ -190,3 +190,42 @@ def test_resample_quarter_hour_step(spark):
     out = resample_timeseries(df, "key", "ts", "value", step="15 minutes").collect()
     assert sum(r["n_events"] for r in out) == 9
     assert all(b["bucket"].minute % 15 == 0 for b in out)
+
+
+def test_cdc_apply_latest_wins_and_deletes(spark):
+    from recommender_system_with_pyspark_spark.operators.temporal import cdc_apply
+
+    cdc = spark.createDataFrame(
+        [
+            (1, 1, "I", 10.0), (1, 2, "U", 11.0),          # update wins
+            (2, 1, "I", 20.0), (2, 3, "D", None), (2, 2, "U", 21.0),  # delete is latest
+            (3, 5, "I", 30.0),                               # plain insert
+        ],
+        "k long, seq int, op string, v double",
+    )
+    out = {r["k"]: r for r in cdc_apply(cdc, ["k"], ["seq"]).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["op"] == "U" and out[1]["v"] == 11.0
+    assert out[3]["v"] == 30.0
+
+
+def test_last_touch_attribution_organic_and_ties(spark):
+    import datetime
+
+    from recommender_system_with_pyspark_spark.operators.temporal import (
+        last_touch_attribution,
+    )
+
+    t = datetime.datetime(2024, 1, 1)
+    s = datetime.timedelta(seconds=1)
+    rows = [
+        (1, t, 10, "view"), (1, t + s, 11, "click"), (1, t + 2 * s, 12, "purchase"),
+        (2, t, 20, "purchase"),                       # organic: no prior touch
+        (3, t, 30, "view"), (3, t, 31, "purchase"),   # same ts: id order decides
+        (3, t, 32, "click"),                          # later id -> NOT attributed
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    out = {r["conversion_id"]: r for r in last_touch_attribution(ev).collect()}
+    assert out[12]["touch_id"] == 11 and out[12]["touch_type"] == "click"
+    assert out[20]["touch_id"] is None
+    assert out[31]["touch_id"] == 30  # only the id-earlier same-ts view counts
