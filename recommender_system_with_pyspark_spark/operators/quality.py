@@ -78,24 +78,23 @@ def table_audit(df: DataFrame, table: str, checks: Sequence[Check],
         aggs.append(F.count_distinct(*[F.col(c) for c in unique]).alias("_ndistinct"))
     row = df.agg(*aggs)
 
-    out = []
+    # unpivot via stack (a generator over the ONE aggregate row) — a union
+    # of per-check selects would repeat the aggregate subtree per branch
+    # (Catalyst does not CSE across union branches), turning "one pass"
+    # into one scan per check
+    pairs: list[Column] = []
     for ck in checks:
-        out.append(
-            row.select(
-                F.lit(f"{table}.{ck.name}").alias("check"),
-                F.col(f"_v_{ck.name}").cast("long").alias("violations"),
-                F.col("_total").cast("long").alias("total"),
-            )
-        )
+        pairs += [F.lit(f"{table}.{ck.name}"), F.col(f"_v_{ck.name}").cast("long")]
     if unique:
-        out.append(
-            row.select(
-                F.lit(f"{table}.unique:{','.join(unique)}").alias("check"),
-                (F.col("_total") - F.col("_ndistinct")).cast("long").alias("violations"),
-                F.col("_total").cast("long").alias("total"),
-            )
-        )
-    return reduce(DataFrame.unionByName, out)
+        pairs += [
+            F.lit(f"{table}.unique:{','.join(unique)}"),
+            (F.col("_total") - F.col("_ndistinct")).cast("long"),
+        ]
+    n = len(checks) + (1 if unique else 0)
+    return row.select(
+        F.stack(F.lit(n), *pairs).alias("check", "violations"),
+        F.col("_total").cast("long").alias("total"),
+    )
 
 
 def referential_audit(child: DataFrame, child_key: str,
