@@ -525,3 +525,119 @@ def inverted_index(
             F.col("_rk") <= top_tokens
         ).drop("_rk")
     return idx
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """BM25 ranked retrieval for a fixed term set (the Lucene-style idf:
+    ln(1 + (N − df + 0.5)/(df + 0.5))):
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+
+    Scale shape: one explode → (doc, term) partial-agg count restricted to
+    the query terms BEFORE the shuffle (the filter is pushed under the
+    aggregate, so the shuffle carries only matching postings); df and the
+    corpus-wide (N, avgdl) are tiny aggregates broadcast back. Top-k is
+    TakeOrdered, not a global sort. All double math is plain IEEE ops an
+    oracle engine reproduces; the score is rounded to kill ulps.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"),
+    )
+    dl = docs.select(F.col(id_col), F.size(tokens(F.col(text_col))).cast("double").alias("dl"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, id_col)  # per-doc lengths are corpus-sized: equi-join, never broadcast
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), round_to).alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "score")
+    )
+
+
+def crossdoc_ngram_overlap(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Cross-document duplicated-n-gram audit — the distributed
+    approximation of exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): for every document, how
+    many of its positional n-gram starts are n-grams that also occur in
+    at least one OTHER document, and the resulting duplication ratio.
+
+    Scale shape: positional n-grams are md5-hashed (128-bit — collisions
+    negligible) so the gram groupBy and the join back shuffle 16-byte
+    keys, never text. Per-gram doc counts use the (gram → distinct docs)
+    aggregate; a document's own internal repeats do NOT mark it
+    duplicated (distinct-doc count must exceed 1). Documents shorter than
+    n tokens yield zero positions and are reported with ratio 0.
+    """
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    grams = (
+        toks.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    # sequence(1, 0) is DESCENDING in Spark, not empty — docs
+                    # shorter than n tokens must yield an empty position list
+                    F.when(
+                        F.size("_t") >= n,
+                        F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("_t", i, n))),
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+    gram_docs = grams.groupBy("gram").agg(
+        F.count_distinct(F.col(id_col)).alias("_nd")
+    )
+    flagged = grams.join(gram_docs, "gram").withColumn(
+        "_dup", (F.col("_nd") > 1).cast("int")
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum("_dup").cast("long").alias("dup_grams"),
+    )
+    ids = docs.select(id_col)
+    return (
+        ids.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+            F.round(
+                F.coalesce(F.col("dup_grams") / F.greatest(F.col("n_grams"), F.lit(1)), F.lit(0.0)),
+                round_to,
+            ).alias("dup_ratio"),
+        )
+    )

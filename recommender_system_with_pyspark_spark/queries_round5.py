@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from .io import load_table
 from .operators import quality as Q
 from .operators import similarity as S
+from .operators import text as X
 from .operators.cleaning import robust_scale
 from .operators.relational import heavy_hitters
 from .operators.temporal import per_group_trend
@@ -413,3 +414,84 @@ def last_touch_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", "event_id", "event_type",
         conversion_type="purchase", touch_types=("click", "view"),
     )
+
+
+@query(
+    "bm25_search",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('join', 'hash', 'filter') GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (
+        SELECT count(*)::DOUBLE AS n_docs,
+               avg(len(string_split_regex(trim(lower(text)), '\\s+'))) AS avgdl
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, len(string_split_regex(trim(lower(text)), '\\s+'))::DOUBLE AS dl
+        FROM documents
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               round(sum(
+                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+               ), 6) AS score
+        FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id ASC LIMIT 20
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the query {join, hash, filter} (k1=1.2, b=0.75,
+    Lucene idf). Postings are filtered to the query terms BEFORE the
+    (doc, term) aggregate's shuffle; df and corpus stats broadcast back;
+    per-doc lengths join as a doc-keyed equi-join; top-k is TakeOrdered
+    (operators/text.bm25_rank)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.bm25_rank(docs, ["join", "hash", "filter"], "text", "doc_id", k=20)
+
+
+@query(
+    "crossdoc_ngram_overlap",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               md5(array_to_string(t[i:i+7], ' ')) AS gram
+        FROM toks, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS r(i)
+    ),
+    gd AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM grams GROUP BY gram),
+    per_doc AS (
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(count(*) FILTER (gd.nd > 1) AS BIGINT) AS dup_grams
+        FROM grams g JOIN gd USING (gram) GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_grams, 0) AS n_grams,
+           COALESCE(p.dup_grams, 0) AS dup_grams,
+           round(COALESCE(p.dup_grams / greatest(p.n_grams, 1), 0.0), 6) AS dup_ratio
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def crossdoc_ngram_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-8-gram audit (distributed approximation of
+    exact-substring dedup, Lee et al. 2022): which fraction of each doc's
+    positional 8-grams also appears in ANOTHER document. Positional grams
+    are md5-hashed so the gram aggregate and join-back shuffle 16-byte
+    keys, never text (operators/text.crossdoc_ngram_overlap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.crossdoc_ngram_overlap(docs, n=8, text_col="text", id_col="doc_id")

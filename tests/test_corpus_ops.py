@@ -164,3 +164,50 @@ def test_inverted_index_postings_sorted_and_complete(spark, sf_small):
         assert r["df"] == len(r["postings"])
         assert r["postings"] == sorted(r["postings"])
         assert len(set(r["postings"])) == len(r["postings"])  # distinct docs
+
+
+def test_bm25_tf_monotone_and_missing_terms(spark):
+    from recommender_system_with_pyspark_spark.operators.text import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat cat dog mouse"),
+            (2, "cat dog bird fish tree"),
+            (3, "bird fish tree rock sand"),   # no query terms at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["score"] for r in bm25_rank(docs, ["cat"], k=10).collect()}
+    assert 3 not in out                       # zero-match docs don't appear
+    assert out[1] > out[2] > 0                # higher tf, same dl -> higher score
+
+
+def test_bm25_length_normalization(spark):
+    from recommender_system_with_pyspark_spark.operators.text import bm25_rank
+
+    docs = spark.createDataFrame(
+        [(1, "cat " * 1 + "x " * 3), (2, "cat " + "x " * 30)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["score"] for r in bm25_rank(docs, ["cat"], k=10).collect()}
+    assert out[1] > out[2]                    # same tf, longer doc scores lower
+
+
+def test_crossdoc_ngram_overlap_flags_shared_not_internal(spark):
+    from recommender_system_with_pyspark_spark.operators.text import crossdoc_ngram_overlap
+
+    shared = "a b c d e f g h"               # exactly one 8-gram
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique1 tail1 tail2"),
+            (2, "lead1 lead2 " + shared),      # shares the 8-gram with doc 1
+            (3, "p q r s t u v w " + "p q r s t u v w"),  # internal repeat only
+            (4, "too short"),                  # < 8 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in crossdoc_ngram_overlap(docs, n=8).collect()}
+    assert out[1]["dup_grams"] >= 1 and out[2]["dup_grams"] >= 1
+    # doc 3's repeat is within ONE doc: distinct-doc count stays 1
+    assert out[3]["dup_grams"] == 0 and out[3]["n_grams"] == 9
+    assert out[4]["n_grams"] == 0 and out[4]["dup_ratio"] == 0.0
