@@ -42,6 +42,11 @@ HEADLINE = [
     "session_paths",          # sessionized event-path mining
     "cohort_retention",       # cohort x age retention triangle
     "scd2_history",           # slowly-changing-dimension intervals
+    # round-5 surface
+    "dq_audit",               # one-pass-per-table constraint gate
+    "bm25_search",            # ranked retrieval
+    "part_triangles",         # degree-ordered triangle census
+    "semantic_dedup",         # cluster-pruned exact embedding dedup
 ]
 
 

@@ -612,7 +612,9 @@ def semantic_dedup_pairs(
 
     base = _as_double(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")), "_v"
-    ).withColumn("_n", _norm(F.col("_v")))
+    ).withColumn("_n", F.greatest(_norm(F.col("_v")), F.lit(1e-30)))
+    # zero vectors normalize to the origin (norm floored, not divided by 0);
+    # they land in some cell and can never reach any cosine threshold
     unit = base.withColumn(
         "_u", F.transform(F.col("_v"), lambda x: x / F.col("_n"))
     )

@@ -322,6 +322,10 @@ def cdc_apply(
     per-key sequence) into current state: latest-wins per key, then drop
     keys whose final operation is a delete.
 
+    ``seq_cols`` must totally order each key's changes (a CDC source's
+    LSN/offset does); with ties the surviving row would be
+    partition-order-dependent, so add the source's tiebreaker column.
+
     ONE shuffle keyed by the entity key; the row_number window rides the
     same exchange (sort within partitions, no second exchange). This is
     the batch twin of what a streaming upsert sink does continuously, and
