@@ -372,3 +372,33 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tot_q").cast("long").alias("n_current"),
         )
     )
+
+
+@query(
+    "stream_enrich_static",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 2) AS total
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment — the canonical "join the firehose against
+    a dimension" pattern: the event stream is broadcast-joined per
+    micro-batch against the static customer dim (no state store, no
+    watermark needed — the static side is re-resolvable every batch), then
+    aggregated per (segment, event_type) in complete mode. At 100 TB the
+    static side ships once per executor as a broadcast; the stream is
+    never shuffled for the join itself. Hash-matches the batch SQL join —
+    identical declarative plan, two execution modes."""
+    ev = stream_events(spark, sf_dir)
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    enriched = ev.join(cust, ev["user_id"] == F.col("c_custkey"))
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    return run_to_memory_sink(agg, "complete")
