@@ -815,7 +815,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_clusters",
     oracle="""
-    WITH RECURSIVE s AS (
+    WITH RECURSIVE s AS MATERIALIZED (
         SELECT doc_id,
                list_distinct(
                  list_transform(
@@ -825,13 +825,16 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS toks
         FROM documents
     ),
-    pairs AS (
+    -- MATERIALIZED is load-bearing: DuckDB 1.0 inlines CTEs, so the
+    -- recursive reach step would otherwise recompute the QUADRATIC pairs
+    -- scan on every iteration round (~12 min/round at sf0.1)
+    pairs AS MATERIALIZED (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
               / greatest(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)), 1) >= 0.5
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT id_a AS a, id_b AS b FROM pairs
         UNION SELECT id_b, id_a FROM pairs
     ),
