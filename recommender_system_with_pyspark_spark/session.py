@@ -53,6 +53,11 @@ def get_spark(
         # TESTDATA events.parquet stores TIMESTAMP(NANOS); read as long,
         # io.load_table converts to microsecond timestamps.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # local-mode single JVM: spark-submit's 1g default heap OOMs a
+        # long-lived session running many queries back-to-back (memory-sink
+        # tables from streaming runs + broadcast cleanup lag). Only honored
+        # at JVM launch — a no-op via getOrCreate on a live session.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if master is not None:
         builder = builder.master(master)
