@@ -66,6 +66,14 @@ def main() -> None:
     # JVM/codegen warmup so per-query numbers reflect steady state
     for t in ("lineitem", "documents", "embeddings", "events"):
         load_table(spark, sf_dir, t).count()
+    # MLlib/BLAS JIT warmup: als_recommend's first fit otherwise pays
+    # ~5-15s of one-time class-load + JIT that is not plan cost
+    from pyspark.ml.recommendation import ALS as _ALS
+
+    _warm = spark.createDataFrame(
+        [(i % 5, i % 7, float(i % 3)) for i in range(50)], "user int, item int, rating float"
+    )
+    _ALS(maxIter=1, rank=2, userCol="user", itemCol="item", ratingCol="rating", seed=1).fit(_warm)
 
     qs = e.queries()
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))

@@ -184,6 +184,9 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     A plain SQL oracle can count the same triangles with id-ordered
     3-way joins — orientation changes the execution shape, not the set.
     """
+    # the edge list feeds four subtrees (degrees, orientation, wedge sides,
+    # closure); ReusedExchange already shares the shuffled edge scan between
+    # them — an explicit persist() was measured and bought nothing
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     deg = (
         e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
