@@ -184,9 +184,14 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     A plain SQL oracle can count the same triangles with id-ordered
     3-way joins — orientation changes the execution shape, not the set.
     """
-    # the edge list feeds four subtrees (degrees, orientation, wedge sides,
-    # closure); ReusedExchange already shares the shuffled edge scan between
-    # them — an explicit persist() was measured and bought nothing
+    # e/deg/oriented each feed multiple consumers projecting different
+    # columns, so exchange reuse does not fire and subtrees re-execute.
+    # Persisting them IN the operator was measured 4× SLOWER cold at sf0.1
+    # (InMemoryRelation loses stats → worse join strategies, and block
+    # materialization costs more than the recompute) — so materialization
+    # policy is the CALLER's: persist `edges` before calling when its
+    # derivation is expensive (the registered query's co-purchase self-join
+    # recomputes in ~1 s; a 100 TB caller would checkpoint it).
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     deg = (
         e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
