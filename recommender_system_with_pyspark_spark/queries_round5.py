@@ -495,3 +495,100 @@ def crossdoc_ngram_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, never text (operators/text.crossdoc_ngram_overlap)."""
     docs = load_table(spark, sf_dir, "documents")
     return X.crossdoc_ngram_overlap(docs, n=8, text_col="text", id_col="doc_id")
+
+
+@query(
+    "bucketed_join_sales",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS net_revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def bucketed_join_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-side physical-layout lever exercised end-to-end: orders
+    and lineitem are written as bucketed tables on the join key (same
+    bucket count), then joined WITHOUT a join-side exchange — the
+    co-location strategy for repeatedly-joined 100 TB facts
+    (`io.write_bucketed`; the no-shuffle property is machine-asserted in
+    `test_io.py::test_bucketed_join_no_shuffle`). The oracle aggregates
+    the original parquet, so a hash match proves the bucketed round-trip
+    is lossless AND the bucketed plan computes the same join."""
+    import os
+
+    from . import io as IO
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.join(repo_root, "spark-warehouse", f"bucketed_{sf_tag}")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
+    )
+    IO.write_bucketed(orders, f"bq_orders_{sf_tag}", "o_orderkey", 8,
+                      path=os.path.join(base, "orders"))
+    IO.write_bucketed(li, f"bq_lineitem_{sf_tag}", "o_orderkey", 8,
+                      path=os.path.join(base, "lineitem"))
+    a = spark.table(f"bq_orders_{sf_tag}")
+    b = spark.table(f"bq_lineitem_{sf_tag}")
+    return (
+        a.join(b, "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("net_revenue"),
+        )
+    )
+
+
+@query(
+    "sketch_accuracy",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           round(quantile_cont(value, 0.5), 6) AS exact_p50,
+           true AS hll_within_3rsd,
+           true AS quantile_within_eps
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-sketch accuracy CONTRACT, oracle-enforced: per event
+    type, the exact distinct-user count and exact median, plus booleans
+    asserting that Spark's HLL++ estimate (rsd=0.05) lands within 3·rsd
+    of exact and approx_percentile (accuracy 10000) within eps of the
+    exact interpolated median. The oracle emits literal `true` for the
+    bound columns — if either sketch ever drifts out of its contract
+    (testdata regeneration, Spark upgrade), the hash check turns red.
+    The exact columns double as the ground truth the sketches replace at
+    100 TB (one pass, mergeable, no expand)."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+        F.percentile(F.col("value").cast("double"), F.lit(0.5)).alias("_p50"),
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("_hll"),
+        F.percentile_approx(F.col("value").cast("double"), F.lit(0.5), F.lit(10000)).alias("_ap50"),
+    )
+    return (
+        exact.join(approx, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            F.round("_p50", 6).alias("exact_p50"),
+            (
+                F.abs(F.col("_hll") - F.col("exact_users"))
+                <= 3 * 0.05 * F.col("exact_users")
+            ).alias("hll_within_3rsd"),
+            # percentile_approx returns an exact data value; the exact
+            # interpolated median sits between two data values, so the
+            # tolerance is a small relative eps, not equality
+            (
+                F.abs(F.col("_ap50") - F.col("_p50"))
+                <= 0.01 * F.greatest(F.abs(F.col("_p50")), F.lit(1e-9))
+            ).alias("quantile_within_eps"),
+        )
+    )
