@@ -140,3 +140,29 @@ def test_semantic_dedup_cross_cell_pair_survives(spark):
         for r in embedding_near_dup(emb, "vec_id", "embedding", threshold=0.999).collect()
     }
     assert (0, 99) in got and got == exact
+
+
+def test_round5_ops_repartition_invariant(spark):
+    """Round-5 operators must give identical results however the input is
+    partitioned (the cluster-layout contract every deterministic operator
+    advertises)."""
+    from recommender_system_with_pyspark_spark.operators.temporal import cdc_apply
+
+    emb = _two_cluster_embeddings(spark)
+    a = semantic_dedup_pairs(emb, threshold=0.95, n_cells=4, seed=3).collect()
+    b = semantic_dedup_pairs(emb.repartition(7), threshold=0.95, n_cells=4, seed=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    data = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2
+    df = spark.createDataFrame(data, "v string")
+    h1 = sorted(map(tuple, heavy_hitters(df, "v", 3).collect()))
+    h2 = sorted(map(tuple, heavy_hitters(df.repartition(5), "v", 3).collect()))
+    assert h1 == h2
+
+    cdc = spark.createDataFrame(
+        [(i % 5, i, "D" if i % 11 == 0 else "U", float(i)) for i in range(40)],
+        "k long, seq int, op string, v double",
+    )
+    c1 = sorted(map(tuple, cdc_apply(cdc, ["k"], ["seq"]).collect()))
+    c2 = sorted(map(tuple, cdc_apply(cdc.repartition(9), ["k"], ["seq"]).collect()))
+    assert c1 == c2
