@@ -363,3 +363,59 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
             F.round(F.col("cnt") / F.col("_n"), 6).alias("share"),
         )
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_baskets: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-item association rules from (basket, item) rows:
+    antecedent → consequent with support, confidence, and lift.
+
+        support(a→b)   = |baskets with a and b| / |baskets|
+        confidence     = support(a,b) / support(a)
+        lift           = confidence / support(b)
+
+    Pair generation is the per-basket self-join (bounded by basket size,
+    linear in baskets — the same shape as ``cooccurrence_topk``), item and
+    basket totals are one aggregate each and broadcast back; rules below
+    ``min_pair_baskets`` co-occurrences are cut BEFORE the stats joins.
+    Both rule directions are emitted (confidence is asymmetric).
+    """
+    b = F.col(basket_col)
+    items = baskets.select(b.alias("_b"), F.col(item_col).alias("_i")).distinct()
+    n_baskets = items.select("_b").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("_nb")
+    )
+    item_counts = items.groupBy("_i").agg(F.count(F.lit(1)).cast("long").alias("_ic"))
+
+    a = items.select(F.col("_b"), F.col("_i").alias("antecedent"))
+    c = items.select(F.col("_b"), F.col("_i").alias("consequent"))
+    pairs = (
+        a.join(c, "_b")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_baskets"))
+        .filter(F.col("pair_baskets") >= min_pair_baskets)
+    )
+    ia = item_counts.select(F.col("_i").alias("antecedent"), F.col("_ic").alias("_ca"))
+    ic = item_counts.select(F.col("_i").alias("consequent"), F.col("_ic").alias("_cc"))
+    return (
+        pairs.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_baskets",
+            F.round(F.col("pair_baskets") / F.col("_nb"), round_to).alias("support"),
+            F.round(F.col("pair_baskets") / F.col("_ca"), round_to).alias("confidence"),
+            F.round(
+                (F.col("pair_baskets") / F.col("_ca")) / (F.col("_cc") / F.col("_nb")),
+                round_to,
+            ).alias("lift"),
+        )
+    )

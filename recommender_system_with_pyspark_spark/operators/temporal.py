@@ -387,3 +387,47 @@ def last_touch_attribution(
             F.col("_touch")[type_col].alias("touch_type"),
         )
     )
+
+
+def km_survival(
+    durations: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    round_to: int = 6,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator over (duration, event) rows
+    (event=1 observed, 0 right-censored):
+
+        S(t) = Π_{u ≤ t, d_u > 0} (1 − d_u / n_u)
+
+    with n_u the at-risk count (rows whose duration ≥ u). Grouped to one
+    row per distinct duration, the product becomes exp(Σ ln(…)) over an
+    ORDERED cumulative window — deterministic summation order, identical
+    IEEE ops on any engine, so the estimate is oracle-reproducible.
+    d_u == n_u (everyone at risk dies) sends ln → −inf and S to exactly 0
+    from that point on; the ln argument is floored at 1e-300 so the sum
+    stays finite and rounds to 0 instead of NaN-ing downstream.
+
+    One groupBy on duration + one ordered window over the (tiny) distinct-
+    duration frame — the raw cohort table is aggregated before any window.
+    The classic churn/retention curve (user lifetime until churn, device
+    lifetime until failure) without any survival library.
+    """
+    per_t = durations.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.when(F.col(event_col) == 1, 1).otherwise(0)).cast("long").alias("deaths"),
+        F.count(F.lit(1)).cast("long").alias("n_t"),
+    )
+    w_risk = (
+        Window.orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = per_t.withColumn("n_at_risk", F.sum("n_t").over(w_risk))
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    log_term = F.when(
+        F.col("deaths") > 0,
+        F.log(F.greatest(1 - F.col("deaths") / F.col("n_at_risk"), F.lit(1e-300))),
+    ).otherwise(F.lit(0.0))
+    return (
+        at_risk.withColumn("survival", F.round(F.exp(F.sum(log_term).over(w_cum)), round_to))
+        .select(F.col("t").alias(duration_col), "n_at_risk", "deaths", "survival")
+    )

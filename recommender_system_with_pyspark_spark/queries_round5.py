@@ -592,3 +592,102 @@ def sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("quantile_within_eps"),
         )
     )
+
+
+@query(
+    "user_survival_curve",
+    oracle="""
+    WITH bounds AS (SELECT max(ts)::DATE AS max_d FROM events),
+    cohort AS (
+        SELECT e.user_id,
+               min(e.ts)::DATE AS first_d,
+               max(e.ts)::DATE AS last_d
+        FROM events e GROUP BY e.user_id
+    ),
+    durations AS (
+        SELECT CASE WHEN date_diff('day', c.last_d, b.max_d) > 7
+                    THEN date_diff('day', c.first_d, c.last_d)
+                    ELSE date_diff('day', c.first_d, b.max_d) END AS t,
+               CASE WHEN date_diff('day', c.last_d, b.max_d) > 7 THEN 1 ELSE 0 END AS ev
+        FROM cohort c CROSS JOIN bounds b
+    ),
+    per_t AS (
+        SELECT t,
+               CAST(sum(ev) AS BIGINT) AS deaths,
+               CAST(count(*) AS BIGINT) AS n_t
+        FROM durations GROUP BY t
+    ),
+    risk AS (
+        SELECT t, deaths,
+               sum(n_t) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk
+        FROM per_t
+    )
+    SELECT t AS duration,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           deaths,
+           round(exp(sum(CASE WHEN deaths > 0
+                              THEN ln(greatest(1 - deaths / n_at_risk, 1e-300))
+                              ELSE 0.0 END)
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+    FROM risk
+    """,
+)
+def user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier user-lifetime curve: a user whose last activity is >7
+    days before the corpus end has churned (event observed, lifetime =
+    first→last activity); everyone else is right-censored at corpus end.
+    The estimator itself (operators/temporal.km_survival) aggregates to
+    one row per distinct lifetime BEFORE any window, so the ordered
+    cumulative product runs over a tiny frame — the raw events table sees
+    one groupBy, nothing else."""
+    from .operators.temporal import km_survival
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.max(F.to_date("ts")).alias("_max_d"))
+    cohort = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("_first_d"),
+        F.max(F.to_date("ts")).alias("_last_d"),
+    )
+    durations = cohort.crossJoin(F.broadcast(bounds)).select(
+        F.when(
+            F.datediff("_max_d", "_last_d") > 7,
+            F.datediff("_last_d", "_first_d"),
+        ).otherwise(F.datediff("_max_d", "_first_d")).alias("duration"),
+        F.when(F.datediff("_max_d", "_last_d") > 7, F.lit(1)).otherwise(F.lit(0)).alias("event"),
+    )
+    return km_survival(durations, "duration", "event")
+
+
+@query(
+    "part_association_rules",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM items),
+    ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY i),
+    pairs AS (
+        SELECT a.i AS antecedent, c.i AS consequent, CAST(count(*) AS BIGINT) AS pair_baskets
+        FROM items a JOIN items c ON a.b = c.b AND a.i <> c.i
+        GROUP BY a.i, c.i HAVING count(*) >= 3
+    )
+    SELECT p.antecedent, p.consequent, p.pair_baskets,
+           round(p.pair_baskets / nb.n, 6) AS support,
+           round(p.pair_baskets / ia.c, 6) AS confidence,
+           round((p.pair_baskets / ia.c) / (ic2.c / nb.n), 6) AS lift
+    FROM pairs p
+    JOIN ic ia ON ia.i = p.antecedent
+    JOIN ic ic2 ON ic2.i = p.consequent
+    CROSS JOIN nb
+    """,
+)
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket rules over order baskets: antecedent→consequent with
+    support/confidence/lift, both directions, pairs in ≥3 baskets. Pair
+    generation is the bounded per-basket self-join; item/basket totals
+    are broadcast one-row/one-per-item aggregates
+    (operators/relational.association_rules)."""
+    from .operators.relational import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return association_rules(li, "l_orderkey", "l_partkey", min_pair_baskets=3)

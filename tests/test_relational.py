@@ -88,3 +88,23 @@ def test_broadcast_join_plan(spark, sf_tiny):
     part = load_table(spark, sf_tiny, "part")
     plan = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_association_rules_stats(spark):
+    from recommender_system_with_pyspark_spark.operators.relational import association_rules
+
+    # baskets: {a,b}, {a,b}, {a,c}, {b}  -> pair (a,b) in 2 of 4 baskets
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"), (4, "b")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(df, "basket", "item", min_pair_baskets=2).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["pair_baskets"] == 2
+    assert ab["support"] == 0.5                 # 2/4
+    assert ab["confidence"] == round(2 / 3, 6)  # a in 3 baskets
+    assert ab["lift"] == round((2 / 3) / (3 / 4), 6)
+    ba = out[("b", "a")]
+    assert ba["confidence"] == round(2 / 3, 6)  # b in 3 baskets too
+    assert ("a", "c") not in out                # below min_pair_baskets

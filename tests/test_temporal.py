@@ -229,3 +229,26 @@ def test_last_touch_attribution_organic_and_ties(spark):
     assert out[12]["touch_id"] == 11 and out[12]["touch_type"] == "click"
     assert out[20]["touch_id"] is None
     assert out[31]["touch_id"] == 30  # only the id-earlier same-ts view counts
+
+
+def test_km_survival_textbook_example(spark):
+    from recommender_system_with_pyspark_spark.operators.temporal import km_survival
+
+    # classic toy: deaths at t=1 (1 of 5), t=3 (2 of 3); censored at t=2, t=4
+    rows = [(1, 1), (2, 0), (3, 1), (3, 1), (4, 0)]
+    df = spark.createDataFrame(rows, "duration int, event int")
+    out = {r["duration"]: r for r in km_survival(df, "duration", "event").collect()}
+    assert out[1]["n_at_risk"] == 5 and out[1]["deaths"] == 1
+    assert out[1]["survival"] == 0.8                      # 4/5
+    assert out[2]["survival"] == 0.8                      # censoring: no drop
+    assert out[3]["n_at_risk"] == 3 and out[3]["deaths"] == 2
+    assert out[3]["survival"] == round(0.8 * (1 / 3), 6)  # 4/5 * 1/3
+    assert out[4]["survival"] == out[3]["survival"]
+
+
+def test_km_survival_all_die_hits_zero(spark):
+    from recommender_system_with_pyspark_spark.operators.temporal import km_survival
+
+    df = spark.createDataFrame([(1, 1), (2, 1)], "duration int, event int")
+    out = {r["duration"]: r["survival"] for r in km_survival(df).collect()}
+    assert out[2] == 0.0  # d == n at the last timepoint -> exactly 0, not NaN
