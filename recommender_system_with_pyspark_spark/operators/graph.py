@@ -80,6 +80,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent non-convergence returned PARTIALLY-propagated labels (a
+        # 100-node path with max_iter=25 labeled node 99 with component 74)
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "graph diameter exceeds max_iter; raise it, or use "
+            "connected_components_logstar (O(log n) rounds on any diameter)"
+        )
     sym.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
@@ -234,4 +243,89 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
                 3.0 * F.col("n_triangles") / F.greatest(F.col("n_wedges"), F.lit(1)), 6
             ).alias("clustering_coeff"),
         )
+    )
+
+
+def connected_components_logstar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round variant min-label propagation
+    (``connected_components``) needs for adversarial HIGH-DIAMETER graphs:
+    label propagation walks one hop per round (a 1M-node path graph =
+    1M rounds), star contraction halves path lengths every round.
+
+    Per round, over the symmetrized neighbor lists:
+
+      large-star: every u links its LARGER neighbors to
+                  m = min(Γ(u) ∪ {u});
+      small-star: every u links its smaller-or-self closure to
+                  m = min(Γ⁻(u) ∪ {u}).
+
+    Each is one window (min over the u-partition) + a projection — the
+    shuffle carries (node, node) longs keyed by u. Rounds are eagerly
+    localCheckpoint-ed (same recompute guard as ``connected_components``);
+    convergence = the undirected edge set is a fixpoint, checked with two
+    limit(1) anti-join probes (scalars to the driver, never data).
+
+    Output matches ``connected_components`` exactly: component = min node
+    id reachable; every node appearing in ``edges`` is labeled.
+    """
+    from pyspark.sql import Window
+
+    E = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        sym = E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        w = Window.partitionBy("u")
+
+        lmin = F.least(F.min("v").over(w), F.col("u"))
+        large = (
+            sym.withColumn("m", lmin)
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+        small_nb = sym.filter(F.col("v") < F.col("u"))
+        small_pairs = small_nb.withColumn("m", F.min("v").over(w))
+        small = (
+            small_pairs.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(
+                small_pairs.select("u", F.col("m").alias("v")).distinct()
+            )
+        )
+
+        E_new = (
+            large.unionByName(small)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            E_new.exceptAll(E).limit(1).count() + E.exceptAll(E_new).limit(1).count()
+        )
+        E = E_new
+        if changed == 0:
+            break
+
+    comp = E.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    # every node appearing in `edges` is labeled — including nodes whose
+    # only edge is a self-loop (dropped from E above), which min-label
+    # labels as their own singleton component
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    return nodes.join(comp, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
     )

@@ -691,3 +691,55 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return association_rules(li, "l_orderkey", "l_partkey", min_pair_baskets=3)
+
+
+@query(
+    "part_components",
+    oracle="""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, a.l_orderkey
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS MATERIALIZED (
+        SELECT pa, pb FROM pairs GROUP BY pa, pb
+        HAVING count(DISTINCT l_orderkey) >= 2
+    ),
+    edges AS MATERIALIZED (
+        SELECT pa AS a, pb AS b FROM e UNION SELECT pb, pa FROM e
+    ),
+    reach AS (
+        SELECT a AS node, a AS label FROM edges
+        UNION
+        SELECT e2.b, r.label FROM reach r JOIN edges e2 ON r.node = e2.a
+    )
+    SELECT CAST(node AS BIGINT) AS part, CAST(min(label) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-purchase graph via alternating
+    large-star / small-star contraction (Kiveris et al.) — the O(log n)-
+    round algorithm that stays correct on adversarial high-diameter
+    graphs where one-hop min-label propagation would need diameter
+    rounds (operators/graph.connected_components_logstar; the min-label
+    operator now RAISES instead of silently returning partial labels).
+    The oracle walks the same edge set with a recursive reachability CTE."""
+    from .operators.graph import connected_components_logstar
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count_distinct("l_orderkey").alias("_s"))
+        .filter(F.col("_s") >= 2)
+        .select("pa", "pb")
+    )
+    comp = connected_components_logstar(edges, "pa", "pb")
+    return comp.select(
+        F.col("node").cast("long").alias("part"),
+        F.col("component").cast("long").alias("component"),
+    )

@@ -97,3 +97,40 @@ def test_triangle_stats_hub_with_one_closure(spark):
     edges = [(0, i) for i in range(1, 11)] + [(3, 7)]
     row = triangle_stats(spark.createDataFrame(edges, "src long, dst long")).collect()[0]
     assert row["n_triangles"] == 1
+
+
+def test_logstar_matches_minlabel_on_shallow_graphs(spark):
+    import random
+
+    from recommender_system_with_pyspark_spark.operators.graph import (
+        connected_components,
+        connected_components_logstar,
+    )
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, connected_components(df).collect()))
+    b = sorted(map(tuple, connected_components_logstar(df).collect()))
+    assert a == b
+
+
+def test_logstar_handles_high_diameter_path(spark):
+    from recommender_system_with_pyspark_spark.operators.graph import (
+        connected_components_logstar,
+    )
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(99)], "src long, dst long")
+    out = connected_components_logstar(path, max_iter=12).collect()
+    assert len(out) == 100 and all(r["component"] == 0 for r in out)
+
+
+def test_minlabel_raises_instead_of_partial_labels(spark):
+    import pytest
+
+    from recommender_system_with_pyspark_spark.operators.graph import connected_components
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(99)], "src long, dst long")
+    # diameter 99 > max_iter: silent partial labels would be WRONG answers
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, max_iter=10)
