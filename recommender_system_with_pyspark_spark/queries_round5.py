@@ -743,3 +743,63 @@ def part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("part"),
         F.col("component").cast("long").alias("component"),
     )
+
+
+@query(
+    "orc_roundtrip_parts",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(p_retailprice), 2) AS total_price
+    FROM part GROUP BY p_brand
+    """,
+)
+def orc_roundtrip_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink compat (completing the format matrix: parquet,
+    CSV, JSONL, ORC — all value-lossless round-trips proven against the
+    parquet-side oracle). ORC brings the same columnar pushdown/pruning
+    contract as parquet from a second ecosystem (Hive)."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scratch = os.path.join(
+        repo_root, "spark-warehouse",
+        f"orc_compat_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    part = load_table(spark, sf_dir, "part")
+    part.write.mode("overwrite").orc(scratch)
+    back = spark.read.orc(scratch)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "partition_pruned_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def partition_pruned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout exercised end-to-end: orders written
+    PARTITIONED BY (o_orderstatus), then a status filter resolves to
+    PartitionFilters — the 'F' query never opens the 'O'/'P' directories
+    (the physical-layout analogue of predicate pushdown; same mechanism
+    `write_ivf_index`/`ivf_probe` use for ANN). The oracle filters the
+    original parquet, so the hash also proves the partitioned round-trip
+    is lossless."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scratch = os.path.join(
+        repo_root, "spark-warehouse",
+        f"part_orders_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(scratch)
+    back = spark.read.parquet(scratch).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

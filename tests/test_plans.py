@@ -339,3 +339,14 @@ def test_dq_audit_one_scan_per_row_level_table(spark, sf_tiny):
     # ⇒ ≤2 mentions; a per-check union would show 2N
     assert plan.count("Scan parquet") <= 2
     assert "Generate" in plan  # the stack unpivot
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_tiny, tmp_path):
+    """A filter on the partition column must land in PartitionFilters —
+    non-matching directories are never opened."""
+    orders = load_table(spark, sf_tiny, "orders")
+    path = str(tmp_path / "po")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    q = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = E.formatted_plan(q)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]
