@@ -803,3 +803,101 @@ def partition_pruned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@query(
+    "stream_cdc_upsert",
+    oracle="""
+    WITH cdc AS (
+        SELECT o_orderkey, 1 AS seq, 'I' AS op, round(o_totalprice, 2) AS totalprice,
+               o_orderpriority FROM orders
+        UNION ALL
+        SELECT o_orderkey, 2, 'U',
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)), 2) AS DOUBLE),
+               o_orderpriority
+        FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_orderkey, 3, 'D', NULL, NULL FROM orders WHERE o_orderstatus = 'P'
+    ),
+    latest AS (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        FROM cdc
+    )
+    SELECT o_orderkey, CAST(seq AS INTEGER) AS seq, op, totalprice, o_orderpriority
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC upsert — the Delta-style continuous-merge pattern:
+    the changelog arrives as a multi-file stream (maxFilesPerTrigger=1 →
+    several micro-batches), and each foreachBatch merges the batch into
+    the persistent state table by per-key max-seq latest-wins, KEEPING
+    delete tombstones in state. Because max-seq latest-wins is
+    associative and commutative, the final state is identical however
+    the changelog rows are split across batches — no reliance on file
+    arrival order — and equals the batch `cdc_current_state` (same SQL
+    oracle). State versions are written per epoch (the idempotent-replay
+    shape: an epoch that never committed is simply rewritten)."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from .streaming.windows import write_foreach_batch
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(repo_root, "spark-warehouse", f"stream_cdc_{sf_tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    changelog_dir = os.path.join(base, "changelog")
+    ckpt = os.path.join(base, "ckpt")
+    state_base = os.path.join(base, "state")
+
+    o = load_table(spark, sf_dir, "orders")
+    ins = o.select(
+        "o_orderkey", F.lit(1).alias("seq"), F.lit("I").alias("op"),
+        F.round("o_totalprice", 2).alias("totalprice"), "o_orderpriority",
+    )
+    upd = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.lit(2).alias("seq"), F.lit("U").alias("op"),
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)") * F.lit(1.1).cast("decimal(3,1)"), 2
+        ).cast("double").alias("totalprice"),
+        "o_orderpriority",
+    )
+    dele = o.filter(F.col("o_orderstatus") == "P").select(
+        "o_orderkey", F.lit(3).alias("seq"), F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("totalprice"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+    )
+    ins.unionByName(upd).unionByName(dele).repartition(3).write.mode("overwrite").parquet(changelog_dir)
+
+    schema = spark.read.parquet(changelog_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(changelog_dir)
+    )
+    state_paths: list[str] = []
+
+    def merge(batch_df, epoch_id):
+        prev = (
+            batch_df.sparkSession.read.parquet(state_paths[-1])
+            if state_paths else None
+        )
+        allr = batch_df if prev is None else prev.unionByName(batch_df)
+        w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+        merged = (
+            allr.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        out = os.path.join(state_base, f"e{epoch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        state_paths.append(out)
+
+    q = write_foreach_batch(stream, merge, ckpt, output_mode="append")
+    q.awaitTermination()
+    final = spark.read.parquet(state_paths[-1])
+    return final.filter(F.col("op") != "D").select(
+        "o_orderkey", "seq", "op", "totalprice", "o_orderpriority"
+    )
