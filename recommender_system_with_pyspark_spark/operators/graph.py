@@ -316,6 +316,13 @@ def connected_components_logstar(
         E = E_new
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components_logstar did not reach an edge-set "
+            f"fixpoint in {max_iter} rounds — raise max_iter (rounds are "
+            "O(log n); the default covers graphs beyond 2^20 contraction "
+            "depth, so this usually signals pathological input)"
+        )
 
     comp = E.select(F.col("u").alias("node"), F.col("v").alias("component"))
     # every node appearing in `edges` is labeled — including nodes whose

@@ -64,9 +64,9 @@ def cosine_topk(
     from pyspark.sql import Window
 
     q = _as_double(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "_qv")
-    q = q.withColumn("_qn", _norm(F.col("_qv")))
+    q = q.withColumn("_qn", F.greatest(_norm(F.col("_qv")), F.lit(1e-30)))
     c = _as_double(candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")), "_cv")
-    c = c.withColumn("_cn", _norm(F.col("_cv")))
+    c = c.withColumn("_cn", F.greatest(_norm(F.col("_cv")), F.lit(1e-30)))
     pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id") if exclude_self else F.lit(True))
     scored = pairs.withColumn(
         "sim", F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6)
@@ -106,7 +106,7 @@ def lsh_topk(
 
     def prep(df: DataFrame, label: str) -> DataFrame:
         v = _as_double(df.select(F.col(id_col).alias(label), F.col(vec_col).alias("_arr")), "_arr")
-        v = v.withColumn("_n", _norm(F.col("_arr")))
+        v = v.withColumn("_n", F.greatest(_norm(F.col("_arr")), F.lit(1e-30)))
         v = v.withColumn("_vec", array_to_vector("_arr"))
         return Normalizer(inputCol="_vec", outputCol="_nvec", p=2.0).transform(v)
 
@@ -240,7 +240,7 @@ def ivf_topk_exact(
 
     cand = (
         _as_double(candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")), "_cv")
-        .withColumn("_cn", _norm(F.col("_cv")))
+        .withColumn("_cn", F.greatest(_norm(F.col("_cv")), F.lit(1e-30)))
         .withColumn("_cnv", F.transform(F.col("_cv"), lambda x: x / F.col("_cn")))
         .withColumn("_vec", array_to_vector("_cnv"))
     )
@@ -259,7 +259,7 @@ def ivf_topk_exact(
 
     q = (
         _as_double(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "_qv")
-        .withColumn("_qn", _norm(F.col("_qv")))
+        .withColumn("_qn", F.greatest(_norm(F.col("_qv")), F.lit(1e-30)))
         .withColumn("_qnv", F.transform(F.col("_qv"), lambda x: x / F.col("_qn")))
     )
     qc = (
@@ -292,8 +292,12 @@ def ivf_topk_exact(
     )
 
     bound_sim = 1.0 - F.pow(F.greatest(F.col("_dc") - F.col("_radius"), F.lit(0.0)), 2) / 2.0
+    # LEFT join + -inf default: a query whose probed cells held NO other
+    # candidate has no kth row, and an inner join would silently skip its
+    # phase-2 probes — returning zero rows instead of the true top-k
     extra_cells = (
-        qc.join(F.broadcast(kth), "query_id")
+        qc.join(F.broadcast(kth), "query_id", "left")
+        .withColumn("_sk", F.coalesce(F.col("_sk"), F.lit(float("-inf"))))
         .filter((F.col("_rcell") > n_probe) & (bound_sim >= F.col("_sk") - sim_slack))
     )
     pairs2 = (
@@ -665,7 +669,13 @@ def semantic_dedup_pairs(
     _assign_fn.__annotations__ = {"u": pd.Series, "return": pd.Series}
     _assign = F.pandas_udf(_assign_fn, "int")
 
-    members = unit.select("_id", "_v", "_u").withColumn("_cell", _assign(F.col("_u")))
+    # members feeds three consumers (radii, left block side, right block
+    # side); materialize once so the normalize+assign pass runs once
+    members = (
+        unit.select("_id", "_v", "_u")
+        .withColumn("_cell", _assign(F.col("_u")))
+        .localCheckpoint(eager=False)
+    )
 
     centers_df = df.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers_np)],

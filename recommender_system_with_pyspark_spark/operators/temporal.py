@@ -287,7 +287,7 @@ def per_group_trend(
     group_cols: Sequence[str],
     x_col: str,
     y_col: str,
-    round_to: int = 6,
+    round_to: int | None = 6,
 ) -> DataFrame:
     """Per-group least-squares linear trend: slope, intercept, R² and n of
     y over x within each group, via the ANSI regr_* aggregates (Spark and
@@ -300,12 +300,16 @@ def per_group_trend(
     needs no MLlib and no Python.
     """
     x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+
+    def _r(c):
+        return F.round(c, round_to) if round_to is not None else c
+
     return (
         df.groupBy(*group_cols)
         .agg(
-            F.round(F.regr_slope(y, x), round_to).alias("slope"),
-            F.round(F.regr_intercept(y, x), round_to).alias("intercept"),
-            F.round(F.regr_r2(y, x), round_to).alias("r2"),
+            _r(F.regr_slope(y, x)).alias("slope"),
+            _r(F.regr_intercept(y, x)).alias("intercept"),
+            _r(F.regr_r2(y, x)).alias("r2"),
             F.regr_count(y, x).cast("long").alias("n"),
         )
     )

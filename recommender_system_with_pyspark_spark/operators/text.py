@@ -555,11 +555,12 @@ def bm25_rank(
     ).filter(F.col("term").isin(terms))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"),
-    )
     dl = docs.select(F.col(id_col), F.size(tokens(F.col(text_col))).cast("double").alias("dl"))
+    # corpus stats derive from dl — not a third tokenization pass over docs
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
 
     idf = F.log(
         F.lit(1.0)
@@ -618,6 +619,10 @@ def crossdoc_ngram_overlap(
             ).alias("pos", "gram"),
         )
     )
+    # grams feeds two consumers (the per-gram doc-count aggregate and the
+    # flag join-back); materialize once so the tokenize+posexplode+md5
+    # subtree does not re-execute per consumer
+    grams = grams.localCheckpoint(eager=False)
     gram_docs = grams.groupBy("gram").agg(
         F.count_distinct(F.col(id_col)).alias("_nd")
     )

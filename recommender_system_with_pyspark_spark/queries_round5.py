@@ -154,8 +154,17 @@ def revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )
-    trend = per_group_trend(daily, ["n_name"], "day_idx", "revenue", round_to=6)
-    return trend.withColumn("intercept", F.round("intercept", 2))
+    # round each stat ONCE, exactly like the oracle: double-rounding
+    # (round6 then round2) can land on the other side of a half-cent
+    # boundary than the oracle's single round2
+    trend = per_group_trend(daily, ["n_name"], "day_idx", "revenue", round_to=None)
+    return trend.select(
+        "n_name",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 2).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+        "n",
+    )
 
 
 @query(
@@ -328,9 +337,10 @@ def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(edges, "pa", "pb")
 
 
-@query(
-    "cdc_current_state",
-    oracle="""
+
+# Shared by cdc_current_state (batch) and stream_cdc_upsert (streaming):
+# ONE derivation + ONE oracle so the twins cannot silently diverge.
+_CDC_ORACLE = """
     WITH cdc AS (
         SELECT o_orderkey, 1 AS seq, 'I' AS op, round(o_totalprice, 2) AS totalprice,
                o_orderpriority FROM orders
@@ -348,26 +358,19 @@ def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderkey, CAST(seq AS INTEGER) AS seq, op, totalprice, o_orderpriority
     FROM latest WHERE rn = 1 AND op <> 'D'
-    """,
-)
-def cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC changelog materialization (latest-wins per key, deletes drop
-    the key): a deterministic I/U/D changelog is derived from orders
-    (every order inserted, 'F' orders later updated, 'P' orders deleted),
-    then `temporal.cdc_apply` reduces it to current state in ONE
-    key-shuffle — the window rides the same exchange, and the changelog
-    is never joined against a base snapshot."""
-    from .operators.temporal import cdc_apply
+"""
 
-    o = load_table(spark, sf_dir, "orders")
+
+def _derive_cdc_changelog(o: DataFrame) -> DataFrame:
+    """Deterministic I/U/D changelog from orders: every order inserted,
+    'F' orders later updated (+10%, decimal-exact — double*1.1 manufactures
+    half-cent ties engines round differently), 'P' orders deleted."""
     ins = o.select(
         "o_orderkey", F.lit(1).alias("seq"), F.lit("I").alias("op"),
         F.round("o_totalprice", 2).alias("totalprice"), "o_orderpriority",
     )
     upd = o.filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", F.lit(2).alias("seq"), F.lit("U").alias("op"),
-        # decimal-exact +10%: double*1.1 manufactures half-cent ties that
-        # engines round differently; DECIMAL multiplication is exact
         F.round(
             F.col("o_totalprice").cast("decimal(18,2)") * F.lit(1.1).cast("decimal(3,1)"), 2
         ).cast("double").alias("totalprice"),
@@ -378,7 +381,20 @@ def cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("totalprice"),
         F.lit(None).cast("string").alias("o_orderpriority"),
     )
-    cdc = ins.unionByName(upd).unionByName(dele)
+    return ins.unionByName(upd).unionByName(dele)
+
+
+@query("cdc_current_state", oracle=_CDC_ORACLE)
+def cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog materialization (latest-wins per key, deletes drop
+    the key): a deterministic I/U/D changelog is derived from orders
+    (every order inserted, 'F' orders later updated, 'P' orders deleted),
+    then `temporal.cdc_apply` reduces it to current state in ONE
+    key-shuffle — the window rides the same exchange, and the changelog
+    is never joined against a base snapshot."""
+    from .operators.temporal import cdc_apply
+
+    cdc = _derive_cdc_changelog(load_table(spark, sf_dir, "orders"))
     return cdc_apply(cdc, ["o_orderkey"], ["seq"], op_col="op", delete_op="D")
 
 
@@ -805,28 +821,7 @@ def partition_pruned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "stream_cdc_upsert",
-    oracle="""
-    WITH cdc AS (
-        SELECT o_orderkey, 1 AS seq, 'I' AS op, round(o_totalprice, 2) AS totalprice,
-               o_orderpriority FROM orders
-        UNION ALL
-        SELECT o_orderkey, 2, 'U',
-               CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)), 2) AS DOUBLE),
-               o_orderpriority
-        FROM orders WHERE o_orderstatus = 'F'
-        UNION ALL
-        SELECT o_orderkey, 3, 'D', NULL, NULL FROM orders WHERE o_orderstatus = 'P'
-    ),
-    latest AS (
-        SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
-        FROM cdc
-    )
-    SELECT o_orderkey, CAST(seq AS INTEGER) AS seq, op, totalprice, o_orderpriority
-    FROM latest WHERE rn = 1 AND op <> 'D'
-    """,
-)
+@query("stream_cdc_upsert", oracle=_CDC_ORACLE)
 def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING CDC upsert — the Delta-style continuous-merge pattern:
     the changelog arrives as a multi-file stream (maxFilesPerTrigger=1 →
@@ -852,24 +847,8 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
     state_base = os.path.join(base, "state")
 
-    o = load_table(spark, sf_dir, "orders")
-    ins = o.select(
-        "o_orderkey", F.lit(1).alias("seq"), F.lit("I").alias("op"),
-        F.round("o_totalprice", 2).alias("totalprice"), "o_orderpriority",
-    )
-    upd = o.filter(F.col("o_orderstatus") == "F").select(
-        "o_orderkey", F.lit(2).alias("seq"), F.lit("U").alias("op"),
-        F.round(
-            F.col("o_totalprice").cast("decimal(18,2)") * F.lit(1.1).cast("decimal(3,1)"), 2
-        ).cast("double").alias("totalprice"),
-        "o_orderpriority",
-    )
-    dele = o.filter(F.col("o_orderstatus") == "P").select(
-        "o_orderkey", F.lit(3).alias("seq"), F.lit("D").alias("op"),
-        F.lit(None).cast("double").alias("totalprice"),
-        F.lit(None).cast("string").alias("o_orderpriority"),
-    )
-    ins.unionByName(upd).unionByName(dele).repartition(3).write.mode("overwrite").parquet(changelog_dir)
+    _derive_cdc_changelog(load_table(spark, sf_dir, "orders")) \
+        .repartition(3).write.mode("overwrite").parquet(changelog_dir)
 
     schema = spark.read.parquet(changelog_dir).schema
     stream = (

@@ -854,7 +854,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full scale-path dedup pipeline in one query: banded MinHash
     generates candidate pairs (cost ~ colliding pairs, not |docs|²),
-    exact unigram Jaccard >= 0.8 verifies them, and DataFrame-native
+    exact 3-shingle Jaccard >= 0.5 verifies them, and DataFrame-native
     min-label propagation (operators/graph.py) folds the transitive
     pairs into duplicate clusters (A≈B, B≈C ⇒ one group of three).
 

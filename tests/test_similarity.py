@@ -157,3 +157,25 @@ def test_quantize_int8_roundtrip_error_bounded(spark):
         assert max(abs(v) for v in r.q) == 127  # max element saturates
         for x, qi in zip(orig, r.q):
             assert abs(x - qi / r.scale) <= 0.5 / r.scale + 1e-12
+
+
+def test_ivf_exact_isolated_query_still_returns_topk(spark):
+    """Regression: a query alone in its KMeans cell has NO phase-1
+    candidates, so no kth row exists — an inner join on kth silently
+    skipped phase 2 and returned zero rows instead of the true top-k."""
+    from recommender_system_with_pyspark_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_exact,
+    )
+
+    rows = [(0, [1.0, 0.0])] + [
+        (i, [-1.0 + 0.001 * i, 0.001 * i]) for i in range(1, 6)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0")
+    exact = {(r["neighbor_id"], r["rank"]) for r in cosine_topk(q, emb, k=3).collect()}
+    got = {
+        (r["neighbor_id"], r["rank"])
+        for r in ivf_topk_exact(q, emb, k=3, n_cells=2, n_probe=1, seed=1).collect()
+    }
+    assert got == exact and len(got) == 3
