@@ -83,3 +83,18 @@ def test_restarted_stream_resumes_from_checkpoint(spark, tmp_path):
     )
     streamed_sum = spark.read.parquet(sink).agg(F.sum("doubled")).first()[0]
     assert streamed_sum == batch.agg(F.sum("doubled")).first()[0]
+
+
+def test_stream_cdc_upsert_batch_split_independent(spark, sf_tiny):
+    """The foreachBatch CDC merge keeps delete tombstones, making the
+    per-key max-seq merge associative+commutative: the final state must
+    be identical however the changelog is split into micro-batches."""
+    from recommender_system_with_pyspark_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    # the registered query repartitions the changelog into 3 files with
+    # maxFilesPerTrigger=1 (3 batches); run twice — file->batch assignment
+    # and arrival order may differ run to run, the state must not
+    a = sorted(map(tuple, QUERIES["stream_cdc_upsert"](spark, sf_tiny).collect()))
+    b = sorted(map(tuple, QUERIES["stream_cdc_upsert"](spark, sf_tiny).collect()))
+    assert a == b and len(a) > 0
