@@ -336,3 +336,54 @@ def connected_components_logstar(
     return nodes.join(comp, "node", "left").select(
         "node", F.coalesce("component", F.col("node")).alias("component")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """k-core decomposition by parallel peeling: repeatedly delete every
+    node with degree < k (all at once per round) until the remaining
+    subgraph — the k-core — is stable. Returns (node, core_degree) for
+    the surviving nodes; empty when the graph has no k-core.
+
+    The standard community-core / spam-farm / robustness primitive. Each
+    round is one degree aggregate + two anti-joins, all keyed on 8-byte
+    node ids; rounds are eagerly localCheckpoint-ed (the same recompute
+    guard as ``connected_components``), and the driver sees one scalar
+    (does any weak node remain) per round. Parallel peeling converges to
+    the same fixpoint as sequential peeling; rounds ≤ the graph's
+    degeneracy ordering depth — raise ``max_iter`` for adversarial
+    chains, and like the sibling operators it RAISES rather than return
+    a partially-peeled graph.
+    """
+    E = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    E = E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    E = E.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = E.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
+        weak = deg.filter(F.col("_d") < k).select("u")
+        if weak.limit(1).count() == 0:
+            break
+        E = (
+            E.join(weak, "u", "left_anti")
+            .join(weak.withColumnRenamed("u", "v"), "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"k_core did not stabilize in {max_iter} peeling rounds — "
+            "raise max_iter (rounds are bounded by the peeling depth)"
+        )
+    return (
+        E.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(F.col("u").alias("node"), "core_degree")
+    )

@@ -880,3 +880,58 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.filter(F.col("op") != "D").select(
         "o_orderkey", "seq", "op", "totalprice", "o_orderpriority"
     )
+
+
+@query(
+    "part_kcore",
+    oracle="""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, a.l_orderkey
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS MATERIALIZED (
+        SELECT pa, pb FROM pairs GROUP BY pa, pb
+        HAVING count(DISTINCT l_orderkey) >= 2
+    ),
+    sym AS MATERIALIZED (
+        SELECT pa AS a, pb AS b FROM e UNION SELECT pb, pa FROM e
+    ),
+    peel AS (
+        SELECT 0 AS r, a, b FROM sym
+        UNION ALL
+        SELECT p.r + 1, p.a, p.b
+        FROM peel p
+        WHERE p.a IN (SELECT a FROM peel q WHERE q.r = p.r GROUP BY a HAVING count(*) >= 3)
+          AND p.b IN (SELECT a FROM peel q WHERE q.r = p.r GROUP BY a HAVING count(*) >= 3)
+          AND EXISTS (SELECT 1 FROM peel q WHERE q.r = p.r GROUP BY q.a HAVING count(*) < 3)
+          AND p.r < 100
+    ),
+    last AS (SELECT max(r) AS mr FROM peel)
+    SELECT CAST(p.a AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM peel p, last WHERE p.r = last.mr
+    GROUP BY p.a
+    """,
+)
+def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph: the sub-network where every part
+    keeps ≥3 surviving co-purchase partners after all weakly-connected
+    parts are peeled away — the dense 'frequently bought together'
+    backbone (operators/graph.k_core: parallel peeling, one degree
+    aggregate + two anti-joins per round, scalar-only driver traffic).
+    The oracle peels the same edge set with a recursive CTE that emits a
+    round only while a weak node remains."""
+    from .operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count_distinct("l_orderkey").alias("_s"))
+        .filter(F.col("_s") >= 2)
+        .select("pa", "pb")
+    )
+    return k_core(edges, k=3, src="pa", dst="pb")

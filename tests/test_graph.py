@@ -134,3 +134,26 @@ def test_minlabel_raises_instead_of_partial_labels(spark):
     # diameter 99 > max_iter: silent partial labels would be WRONG answers
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(path, max_iter=10)
+
+
+def test_k_core_textbook(spark):
+    from recommender_system_with_pyspark_spark.operators.graph import k_core
+
+    # triangle {1,2,3} + tail 3-4-5: 2-core = the triangle, each degree 2
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["core_degree"] for r in k_core(df, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    assert k_core(df, k=3).count() == 0  # no 3-core exists
+
+
+def test_k_core_cascade_peeling(spark):
+    from recommender_system_with_pyspark_spark.operators.graph import k_core
+
+    # a chain hung off a K4: peeling must cascade down the chain over
+    # multiple rounds before the K4 remains as the 3-core
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(k4 + chain, "src long, dst long")
+    out = {r["node"]: r["core_degree"] for r in k_core(df, k=3).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
