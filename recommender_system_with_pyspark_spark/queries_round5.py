@@ -907,10 +907,15 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND EXISTS (SELECT 1 FROM peel q WHERE q.r = p.r GROUP BY q.a HAVING count(*) < 3)
           AND p.r < 100
     ),
-    last AS (SELECT max(r) AS mr FROM peel)
-    SELECT CAST(p.a AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS core_degree
-    FROM peel p, last WHERE p.r = last.mr
-    GROUP BY p.a
+    last AS (SELECT max(r) AS mr FROM peel),
+    last_round AS (SELECT p.a FROM peel p, last WHERE p.r = last.mr)
+    -- the recursion emits a round only while a weak node remains, so when
+    -- the whole graph peels away the LAST EMITTED round still contains
+    -- weak nodes and is NOT the fixpoint: the true k-core is empty then
+    SELECT CAST(a AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM last_round
+    WHERE NOT EXISTS (SELECT 1 FROM last_round GROUP BY a HAVING count(*) < 3)
+    GROUP BY a
     """,
 )
 def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
