@@ -940,3 +940,103 @@ def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
     )
     return k_core(edges, k=3, src="pa", dst="pb")
+
+
+@query(
+    "ab_test_report",
+    oracle="""
+    WITH assigned AS (
+        SELECT event_type, value,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(count(*) FILTER (variant = 'A') AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (variant = 'B') AS BIGINT) AS n_b,
+               avg(value) FILTER (variant = 'A') AS mean_a,
+               avg(value) FILTER (variant = 'B') AS mean_b,
+               var_samp(value) FILTER (variant = 'A') AS var_a,
+               var_samp(value) FILTER (variant = 'B') AS var_b
+        FROM assigned GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 4) AS welch_t,
+           round(pow(var_a / n_a + var_b / n_b, 2)
+                 / (pow(var_a / n_a, 2) / (n_a - 1) + pow(var_b / n_b, 2) / (n_b - 1)), 2) AS welch_df
+    FROM stats
+    """,
+)
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout per event type: deterministic variant
+    assignment (user_id parity — in production, the hash-bucket split
+    `sampling.stable_split` provides), Welch's unequal-variance t
+    statistic and Welch–Satterthwaite degrees of freedom from one
+    conditional-aggregate pass. ONE shuffle carrying per-(type) moment
+    tuples; no per-variant scans."""
+    ev = load_table(spark, sf_dir, "events")
+    a_ = F.col("user_id") % 2 == 0
+    agg = ev.groupBy("event_type").agg(
+        F.sum(F.when(a_, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~a_, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.avg(F.when(a_, F.col("value"))).alias("_ma"),
+        F.avg(F.when(~a_, F.col("value"))).alias("_mb"),
+        F.var_samp(F.when(a_, F.col("value"))).alias("_va"),
+        F.var_samp(F.when(~a_, F.col("value"))).alias("_vb"),
+    )
+    se2 = F.col("_va") / F.col("n_a") + F.col("_vb") / F.col("n_b")
+    df_w = F.pow(se2, 2) / (
+        F.pow(F.col("_va") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+        + F.pow(F.col("_vb") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+    )
+    return agg.select(
+        "event_type", "n_a", "n_b",
+        F.round("_ma", 6).alias("mean_a"),
+        F.round("_mb", 6).alias("mean_b"),
+        F.round((F.col("_ma") - F.col("_mb")) / F.sqrt(se2), 4).alias("welch_t"),
+        F.round(df_w, 2).alias("welch_df"),
+    )
+
+
+@query(
+    "seasonal_naive_mae",
+    oracle="""
+    WITH weekly AS (
+        SELECT event_type, date_trunc('week', ts) AS wk,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, wk, c,
+               lag(c) OVER (PARTITION BY event_type ORDER BY wk) AS prev
+        FROM weekly
+    )
+    SELECT event_type,
+           CAST(count(prev) AS BIGINT) AS n_forecasts,
+           round(avg(abs(c - prev)), 4) AS mae,
+           round(avg(abs(c - prev) / greatest(c, 1)), 6) AS mape
+    FROM lagged GROUP BY event_type
+    """,
+)
+def seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation: the seasonal-naive predictor (next
+    week = this week) scored per event type with MAE and MAPE over the
+    weekly series — the sanity bar every real forecasting model must
+    beat. Weekly pre-aggregation first, so the lag window runs over the
+    tiny (type, week) frame, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("wk")
+    lagged = weekly.withColumn("prev", F.lag("c").over(w))
+    return lagged.groupBy("event_type").agg(
+        F.count("prev").cast("long").alias("n_forecasts"),
+        F.round(F.avg(F.abs(F.col("c") - F.col("prev"))), 4).alias("mae"),
+        F.round(
+            F.avg(F.abs(F.col("c") - F.col("prev")) / F.greatest(F.col("c"), F.lit(1))), 6
+        ).alias("mape"),
+    )
