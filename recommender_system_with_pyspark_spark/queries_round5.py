@@ -1040,3 +1040,91 @@ def seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.abs(F.col("c") - F.col("prev")) / F.greatest(F.col("c"), F.lit(1))), 6
         ).alias("mape"),
     )
+
+
+@query(
+    "langid_confusion",
+    oracle="""
+    WITH s AS (
+        SELECT lang,
+               len(regexp_extract_all(lower(text), '\\b(spark|query|shuffle|partition|window)\\b')) AS s1,
+               len(regexp_extract_all(lower(text), '\\b(table|row|column|scan|join)\\b'))           AS s2,
+               len(regexp_extract_all(lower(text), '\\b(the|a|value|data|fast)\\b'))                AS s3
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN s1 >= s2 AND s1 >= s3 THEN 'sparkish'
+                WHEN s2 >= s3 THEN 'dbish'
+                ELSE 'plain' END AS lang_pred,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY 1, 2
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation shape: the language-ID heuristic's confusion
+    matrix against the labeled lang column — (label, prediction, count).
+    One projection + one tiny groupBy; the eval pattern any in-pipeline
+    classifier (quality gates, language routers) is monitored with."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .queries_text import _LANG_PROFILES
+
+    pred = X.add_language_id(docs, "text", profiles=_LANG_PROFILES)
+    return pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@query(
+    "column_entropy",
+    oracle="""
+    WITH cols AS (
+        SELECT 'o_orderstatus' AS column_name, o_orderstatus AS v FROM orders
+        UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer
+        UNION ALL SELECT 'lang', lang FROM documents
+    ),
+    freq AS (
+        SELECT column_name, v, count(*)::DOUBLE AS c FROM cols GROUP BY 1, 2
+    ),
+    tot AS (SELECT column_name, sum(c) AS n FROM freq GROUP BY 1)
+    SELECT f.column_name,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(-sum((f.c / t.n) * log2(f.c / t.n)), 6) AS entropy_bits,
+           round(-sum((f.c / t.n) * log2(f.c / t.n)) / log2(greatest(count(*), 2)), 6) AS normalized
+    FROM freq f JOIN tot t USING (column_name)
+    GROUP BY f.column_name
+    """,
+)
+def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling: Shannon entropy (and entropy normalized by log2 of the
+    distinct count) for categorical columns across tables — the
+    feature-informativeness / drift-sensitivity signal. Each column costs
+    one partial-aggregating groupBy over (column, value); the entropy
+    fold runs on the tiny frequency frame."""
+    def col_freq(df: DataFrame, table_col: str, name: str) -> DataFrame:
+        return df.select(F.lit(name).alias("column_name"), F.col(table_col).alias("v"))
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    docs = load_table(spark, sf_dir, "documents")
+    cols = (
+        col_freq(orders, "o_orderstatus", "o_orderstatus")
+        .unionByName(col_freq(orders, "o_orderpriority", "o_orderpriority"))
+        .unionByName(col_freq(cust, "c_mktsegment", "c_mktsegment"))
+        .unionByName(col_freq(docs, "lang", "lang"))
+    )
+    freq = cols.groupBy("column_name", "v").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = freq.groupBy("column_name").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    ent = -F.sum(p * F.log2(p))
+    return (
+        freq.join(F.broadcast(tot), "column_name")
+        .groupBy("column_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.round(ent, 6).alias("entropy_bits"),
+            F.round(
+                ent / F.log2(F.greatest(F.count(F.lit(1)), F.lit(2))), 6
+            ).alias("normalized"),
+        )
+    )
