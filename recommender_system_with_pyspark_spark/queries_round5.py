@@ -1128,3 +1128,112 @@ def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("normalized"),
         )
     )
+
+
+@query(
+    "peak_open_orders",
+    oracle="""
+    WITH spans AS (
+        SELECT o.o_orderkey, o.o_orderdate AS opened,
+               max(l.l_shipdate) AS closed
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+        HAVING max(l.l_shipdate) > o.o_orderdate
+    ),
+    deltas AS (
+        SELECT opened AS ts, 1 AS d FROM spans
+        UNION ALL
+        SELECT closed, -1 FROM spans
+    ),
+    agg AS (SELECT ts, CAST(sum(d) AS BIGINT) AS d FROM deltas GROUP BY ts),
+    run AS (
+        SELECT ts, sum(d) OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        FROM agg
+    )
+    SELECT date_trunc('month', ts) AS month,
+           CAST(max(open) AS BIGINT) AS peak_open,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM run GROUP BY 1
+    """,
+)
+def peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency by interval sweep — the 'max simultaneous open
+    orders/sessions/connections' shape: each order is open from its order
+    date to its last line-item ship date; +1/−1 deltas at the endpoints,
+    PRE-AGGREGATED per distinct timestamp (the running sum then scans
+    the tiny distinct-timestamp frame, not raw endpoints), cumulative sum
+    for the live count, max per month. Same-timestamp opens and closes
+    net out in the per-ts aggregate, so the sweep is order-independent
+    and engine-portable."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("closed"))
+        .filter(F.col("closed") > F.col("o_orderdate"))
+    )
+    deltas = spans.select(F.col("o_orderdate").alias("ts"), F.lit(1).alias("d")).unionByName(
+        spans.select(F.col("closed").alias("ts"), F.lit(-1).alias("d"))
+    )
+    agg = deltas.groupBy("ts").agg(F.sum("d").cast("long").alias("d"))
+    w = Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = agg.withColumn("open", F.sum("d").over(w))
+    return run.groupBy(F.date_trunc("month", F.col("ts")).alias("month")).agg(
+        F.max("open").cast("long").alias("peak_open"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "revenue_gini",
+    oracle="""
+    WITH cust_rev AS (
+        SELECT c.c_nationkey, o.o_custkey, round(sum(o.o_totalprice), 2) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    ranked AS (
+        SELECT c_nationkey, rev,
+               row_number() OVER (PARTITION BY c_nationkey ORDER BY rev, o_custkey) AS i,
+               count(*) OVER (PARTITION BY c_nationkey) AS n,
+               sum(rev) OVER (PARTITION BY c_nationkey) AS tot
+        FROM cust_rev
+    )
+    SELECT CAST(c_nationkey AS INTEGER) AS c_nationkey,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           round(max(tot), 2) AS total_revenue,
+           round(2.0 * sum(i * rev) / (max(n) * max(tot)) - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM ranked GROUP BY c_nationkey
+    """,
+)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per nation as the Gini coefficient, closed
+    form over rank-weighted sums: G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n with a
+    (rev, custkey) total order pinning ties. One aggregate to per-customer
+    revenue, one window pass over it — the inequality/concentration
+    diagnostic (whale-customer risk, data-source dominance) with no
+    quantile sketching."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cust_rev = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                    orders["o_custkey"] == F.col("c_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("rev", "o_custkey")
+    ranked = cust_rev.withColumn("i", F.row_number().over(w))
+    return ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.sum("rev"), 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("rev")) / (F.count(F.lit(1)) * F.sum("rev"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    ).withColumn("c_nationkey", F.col("c_nationkey").cast("int"))
