@@ -1237,3 +1237,84 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     ).withColumn("c_nationkey", F.col("c_nationkey").cast("int"))
+
+
+@query(
+    "acctbal_percent_rank",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           round(c_acctbal, 2) AS c_acctbal,
+           round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS pct_rank,
+           round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS cume_dist
+    FROM customer
+    """,
+)
+def acctbal_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position analytics: percent_rank and cume_dist per
+    market segment. Ties share a rank in both functions, so no tiebreak
+    column is needed for determinism — one window over one segment-keyed
+    shuffle. (Deriving an at-or-below COUNT as cume_dist·n truncates
+    differently across engines in the last ulp; report the ratio.)"""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return cust.select(
+        "c_mktsegment", "c_custkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
+@query(
+    "second_largest_order",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+               nth_value(o_orderkey, 2) OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS second_key,
+               nth_value(round(o_totalprice, 2), 2) OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS second_price,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey AS largest_key, price AS largest_price,
+           second_key, second_price
+    FROM ranked WHERE rn = 1
+    """,
+)
+def second_largest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value with the full-partition frame: each customer's largest
+    and second-largest order side by side (null second for single-order
+    customers) — the runner-up/backup-choice analytic; (price, key)
+    compound ordering pins ties on both engines."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wr = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+            F.nth_value(F.round("o_totalprice", 2), 2).over(w).alias("second_price"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("largest_key"),
+            F.col("price").alias("largest_price"),
+            "second_key", "second_price",
+        )
+    )
