@@ -19,6 +19,17 @@ binarized at rating < 4 → 0 else 1 (`bgrfunctions.py:24`), grid stepSize
 hard-prediction ROC quirk. Published anchor (`risultati.txt:67-69`):
 acc 0.9179 / roc 0.5389, **283.68 min**.
 
+``--task logreg`` runs the E4 LogisticRegression shape (`logreg.py:17-52`,
+`bgrfunctions.py:271-303`): one-hot both ids, broadcast-join per-game
+numeric content features, MinMaxScale → PCA(15) on the game features only,
+then assemble [UserId_onehot, BGGId_onehot, pca_features] and fit the TVS
+grid regParam {0.1,0.01} × maxIter {50,100}, accuracy selection + the
+hard-prediction ROC quirk. Published anchor (`risultati.txt:100-106`):
+acc 0.9154 / roc 0.5186, **35.81 min**. The real BGG content columns are
+not in this container; the synthetic stand-in is 40 deterministic
+hash-gaussian per-game columns — same width class as the cleaned
+`complete` DB, so assembler/scaler/PCA/LogReg do reference-shaped work.
+
 ``--task dectree`` / ``--task randforest`` run the E3 tree-model shapes
 (`bgrfunctions.py:306-366`): same one-hot features + binarized label,
 TVS grid maxDepth {5,10} × minInfoGain {20,30} — the reference's actual
@@ -46,7 +57,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=0.25)
-    ap.add_argument("--task", choices=["regressor", "classifier", "dectree", "randforest"],
+    ap.add_argument("--task",
+                    choices=["regressor", "classifier", "dectree", "randforest", "logreg"],
                     default="regressor")
     ap.add_argument("--binary-bins", action="store_true",
                     help="trees only: maxBins=2 (model-identical on one-hot "
@@ -63,6 +75,7 @@ def main() -> None:
         decision_tree,
         fm_classifier,
         fm_regressor,
+        logistic_regression,
         random_forest,
     )
     from recommender_system_with_pyspark_spark.session import get_spark
@@ -87,27 +100,62 @@ def main() -> None:
     ratings, _games = golden.synthetic_bgg_corpus(
         spark, n_ratings=n, n_users=n_users, n_items=n_items, head_items=head_items
     )
-    # logreg.py:20-25 — index usernames, one-hot both ids
-    pipe = Pipeline(stages=[
-        StringIndexer(inputCol="Username", outputCol="UserId"),
-        OneHotEncoder(inputCols=["UserId", "BGGId"], outputCols=["UserId_onehot", "BGGId_onehot"]),
-        VectorAssembler(inputCols=["UserId_onehot", "BGGId_onehot"], outputCol="features"),
-    ])
-    is_classification = args.task in ("classifier", "dectree", "randforest")
+    is_classification = args.task in ("classifier", "dectree", "randforest", "logreg")
     if is_classification:
         # bgrfunctions.py:24 — buckets: rating < 4 → 0.0 else 1.0
         label = F.when(F.col("Rating") < 4, F.lit(0.0)).otherwise(F.lit(1.0))
     else:
         label = F.col("Rating")
-    feats = pipe.fit(ratings).transform(ratings).select(
-        "features", label.alias("label")
-    ).cache()
+    if args.task == "logreg":
+        # logreg.py:17-40 — one-hot ids, join per-game content features,
+        # MinMaxScale + PCA(15) over the game features ONLY, then assemble
+        # [UserId_onehot, BGGId_onehot, pca_features] (bgrfunctions.py:277).
+        from pyspark.ml.feature import PCA, MinMaxScaler
+
+        n_feats = 15 if args.scale < 0.02 else 40  # tiny smoke keeps PCA k valid
+        game_feats = spark.range(n_items).select(
+            F.col("id").cast("int").alias("BGGId"),
+            *[golden._gauss(F.col("id"), "gf", j, 1).alias(f"gf{j}")
+              for j in range(n_feats)],
+        )
+        ids = Pipeline(stages=[
+            StringIndexer(inputCol="Username", outputCol="UserId"),
+            OneHotEncoder(inputCols=["UserId", "BGGId"],
+                          outputCols=["UserId_onehot", "BGGId_onehot"]),
+        ]).fit(ratings).transform(ratings)
+        joined = ids.join(F.broadcast(game_feats), "BGGId", "inner")
+        pipe = Pipeline(stages=[
+            VectorAssembler(inputCols=[f"gf{j}" for j in range(n_feats)],
+                            outputCol="_gfeat"),
+            MinMaxScaler(inputCol="_gfeat", outputCol="_gscaled"),
+            PCA(k=min(15, n_feats), inputCol="_gscaled", outputCol="pca_features"),
+            VectorAssembler(
+                inputCols=["UserId_onehot", "BGGId_onehot", "pca_features"],
+                outputCol="features"),
+        ])
+        feats = pipe.fit(joined).transform(joined).select(
+            "features", label.alias("label")
+        ).cache()
+    else:
+        # logreg.py:20-25 — index usernames, one-hot both ids
+        pipe = Pipeline(stages=[
+            StringIndexer(inputCol="Username", outputCol="UserId"),
+            OneHotEncoder(inputCols=["UserId", "BGGId"],
+                          outputCols=["UserId_onehot", "BGGId_onehot"]),
+            VectorAssembler(inputCols=["UserId_onehot", "BGGId_onehot"],
+                            outputCol="features"),
+        ])
+        feats = pipe.fit(ratings).transform(ratings).select(
+            "features", label.alias("label")
+        ).cache()
     rows = feats.count()
     t_prep = time.time() - t0
 
     t1 = time.time()
     if args.task == "classifier":
         res = fm_classifier(feats, "features", "label", compat_hard_roc=True)
+    elif args.task == "logreg":
+        res = logistic_regression(feats, "features", "label", compat_hard_roc=True)
     elif args.task == "dectree":
         # bgrfunctions.py:319-322 — the reference's degenerate grid, verbatim
         res = decision_tree(feats, "features", "label", compat_hard_roc=True,
@@ -133,16 +181,21 @@ def main() -> None:
             "maxDepth": res.model.getOrDefault("maxDepth"),
             "minInfoGain": res.model.getOrDefault("minInfoGain"),
         }
+    elif args.task == "logreg":
+        best_params = {
+            "regParam": res.model.getOrDefault("regParam"),
+            "maxIter": res.model.getOrDefault("maxIter"),
+        }
     else:
         best_params = {
             "stepSize": res.model.getOrDefault("stepSize"),
             "factorSize": res.model.getOrDefault("factorSize"),
         }
     anchors = {"regressor": 121.99, "classifier": 283.68,
-               "dectree": 74.91, "randforest": 61.52}
+               "dectree": 74.91, "randforest": 61.52, "logreg": 35.81}
     out = {
         "metric": f"{args.task}_reference_scale"
-        if args.task in ("dectree", "randforest")
+        if args.task in ("dectree", "randforest", "logreg")
         else f"fm_{args.task}_reference_scale",
         **({"binary_bins": True} if args.binary_bins else {}),
         "scale": args.scale,
