@@ -216,18 +216,84 @@ def quantile_bins(
     n_bins: int = 10,
     out_col: str = "bin",
     tiebreak: Sequence[str] = (),
+    descending: bool = False,
+    n_groups: int | None = None,
 ) -> DataFrame:
-    """Equal-FREQUENCY binning: ntile over a total order. ``tiebreak``
-    columns make the order (and thus the bin boundaries within ties)
-    deterministic — required for cross-engine parity, and good hygiene
-    anyway (an undefined tie order means unstable training features).
-    ntile is one global sort — at 100 TB prefer approx-quantile CUT POINTS
-    (computed once, broadcast, then a width_bucket-style lookup) over a
-    true global ntile; this operator is the exact small-dim form."""
+    """Equal-FREQUENCY binning with EXACT ntile semantics, distributed.
+
+    Output is bit-identical to ``ntile(n_bins) OVER (ORDER BY column
+    [DESC], *tiebreak)`` — bucket sizes differ by at most one, larger
+    buckets first — but no row ever flows through a single-partition
+    window. Construction (the sketch-cut-point plan the old docstring only
+    described):
+
+    1. approxQuantile cut points on ``column`` range-group the rows into
+       ``n_groups`` disjoint, ORDERED groups (pure broadcast projection;
+       sketch error only skews group sizes, never correctness).
+    2. ``row_number`` over ``Window.partitionBy(group)`` gives local ranks
+       — n_groups-way parallel, each group sorts only its slice.
+    3. Exact per-group counts (one tiny aggregate, collected — bounded by
+       n_groups, same driver-size class as the sketch itself) convert
+       local → global 0-based rank r via prefix-sum offsets.
+    4. ntile is then pure arithmetic: with base = n // n_bins and
+       rem = n % n_bins, bucket = r // (base+1) + 1 for the first
+       rem*(base+1) rows, else rem + (r - rem*(base+1)) // base + 1.
+
+    ``tiebreak`` columns make the order total (required for cross-engine
+    parity; an undefined tie order means unstable training features). Equal
+    key values always land in the same range group, so ties never straddle
+    an offset boundary. Nulls in ``column`` sort first (Spark ASC default;
+    last under ``descending``), matching the window form.
+
+    Scale shape: one sketch pass + one count shuffle (group-cardinality
+    output) + one n_groups-way window shuffle. Skewed keys degrade only
+    load balance (a mega-tie shares one group), never results."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col(column), *[F.col(c) for c in tiebreak])
-    return df.withColumn(out_col, F.ntile(n_bins).over(w))
+    spark = df.sparkSession
+    if n_groups is None:
+        n_groups = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    key = F.col(column).cast("double")
+    if descending:
+        key = -key
+    kdf = df.withColumn("_qb_key", key)
+    cuts = sorted(set(
+        kdf.stat.approxQuantile(
+            "_qb_key",
+            [i / n_groups for i in range(1, n_groups)],
+            1.0 / (4.0 * max(n_groups, 1)),
+        )
+    ))
+    grp = F.lit(0)
+    for c in cuts:
+        grp = grp + (F.col("_qb_key") > F.lit(c)).cast("int")
+    # nulls form their own first (ASC) / last (DESC) group, matching the
+    # window form's NULLS FIRST / DESC NULLS LAST Spark defaults
+    null_grp = len(cuts) + 1 if descending else -1
+    grp = F.when(F.col("_qb_key").isNull(), F.lit(null_grp)).otherwise(grp)
+    gdf = kdf.withColumn("_qb_grp", grp)
+    counts = {r["_qb_grp"]: r["n"] for r in
+              gdf.groupBy("_qb_grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for g in sorted(counts):
+        offsets[g] = acc
+        acc += counts[g]
+    if not offsets:  # empty input: keep the plan valid (no rows evaluate it)
+        offsets = {0: 0}
+    w = (Window.partitionBy("_qb_grp")
+         .orderBy(F.col("_qb_key").asc_nulls_first(),
+                  *[F.col(c) for c in tiebreak]))
+    off_map = F.create_map(*[F.lit(v) for g, o in offsets.items() for v in (g, o)])
+    r = F.element_at(off_map, F.col("_qb_grp")) + F.row_number().over(w) - 1  # global 0-based rank
+    base, rem = divmod(total, n_bins) if total else (0, 0)
+    head = rem * (base + 1)
+    if base:
+        bucket = F.when(r < head, F.floor(r / (base + 1))).otherwise(
+            rem + F.floor((r - head) / base)) + 1
+    else:  # fewer rows than bins: ntile gives each row its own bucket
+        bucket = r + 1
+    return gdf.withColumn(out_col, bucket.cast("int")).drop("_qb_key", "_qb_grp")
 
 
 def equal_width_bins(

@@ -343,13 +343,12 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-reproducible) composed into the classic 3-digit segment code.
 
     Scale shape: one map-side-combining groupBy(custkey) collapses orders
-    to customer cardinality; the three ntile windows run over that
-    customer table. Global ntile needs a single ordered partition — at
-    100 TB swap ntile for percent_rank over range-partitioned sort or a
-    quantile-summary cut (operators/cleaning.py GK sketch); here the
-    customer table after aggregation is small enough that one-partition
-    windows are the honest plan."""
-    from pyspark.sql import Window
+    to customer cardinality (localCheckpointed — three binning passes read
+    it without re-aggregating orders); each quartile comes from
+    cleaning.quantile_bins, the EXACT distributed ntile (sketch cut-point
+    groups → per-group row_number → offset arithmetic), so no row flows
+    through a single-partition window at any scale."""
+    from .operators.cleaning import quantile_bins
 
     orders = load_table(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("_maxd"))
@@ -364,18 +363,17 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
     )
-    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
-    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
-    scored = per_cust.select(
+    per_cust = per_cust.localCheckpoint(eager=True)
+    scored = quantile_bins(per_cust, "recency_days", n_bins=4, out_col="r",
+                           tiebreak=("o_custkey",))
+    scored = quantile_bins(scored, "frequency", n_bins=4, out_col="f",
+                           tiebreak=("o_custkey",), descending=True)
+    scored = quantile_bins(scored, "monetary", n_bins=4, out_col="m",
+                           tiebreak=("o_custkey",), descending=True)
+    return scored.select(
         F.col("o_custkey").alias("custkey"),
-        "recency_days", "frequency", "monetary",
-        F.ntile(4).over(wr).alias("r"),
-        F.ntile(4).over(wf).alias("f"),
-        F.ntile(4).over(wm).alias("m"),
-    )
-    return scored.withColumn(
-        "segment", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int")
+        "recency_days", "frequency", "monetary", "r", "f", "m",
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int").alias("segment"),
     )
 
 

@@ -125,3 +125,36 @@ def test_bins_monotone_and_balanced(spark):
         spark.createDataFrame([(1, -5.0), (2, 100.0)], "id long, x double"),
         "x", 0.0, 100.0, n_bins=10, out_col="wb")
     assert {r.x: r.wb for r in oob.collect()} == {-5.0: 0, 100.0: 11}
+
+
+def test_quantile_bins_matches_ntile_exactly(spark):
+    """The distributed construction (sketch groups + offset arithmetic) must
+    be bit-identical to ntile over the total order — asc, desc, with ties,
+    with nulls, and with n not divisible by n_bins."""
+    from pyspark.sql import Window
+    from recommender_system_with_pyspark_spark.operators.cleaning import quantile_bins
+
+    rows = [(i, float(v)) for i, v in enumerate(
+        [5, 3, 3, 8, 1, 9, 3, 7, 2, 2, 6, 4, 4, 4, 0, 11, 5, 5, 3])]
+    rows += [(100, None), (101, None), (102, None)]
+    df = spark.createDataFrame(rows, "id int, x double")
+
+    for desc, bins in [(False, 4), (True, 4), (False, 7), (True, 3)]:
+        key = F.col("x").desc() if desc else F.col("x").asc()
+        w = Window.orderBy(key, F.col("id"))
+        want = {r["id"]: r["b"] for r in
+                df.withColumn("b", F.ntile(bins).over(w)).collect()}
+        got = {r["id"]: r["b"] for r in
+               quantile_bins(df, "x", n_bins=bins, out_col="b",
+                             tiebreak=("id",), descending=desc,
+                             n_groups=4).collect()}
+        assert got == want, f"desc={desc} bins={bins}"
+
+
+def test_quantile_bins_more_bins_than_rows(spark):
+    from recommender_system_with_pyspark_spark.operators.cleaning import quantile_bins
+
+    df = spark.createDataFrame([(1, 2.0), (2, 1.0)], "id int, x double")
+    got = {r["id"]: r["b"] for r in
+           quantile_bins(df, "x", n_bins=5, out_col="b", tiebreak=("id",)).collect()}
+    assert got == {2: 1, 1: 2}  # each row its own bucket, order by x

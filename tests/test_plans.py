@@ -350,3 +350,16 @@ def test_partitioned_write_prunes_partitions(spark, sf_tiny, tmp_path):
     q = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
     plan = E.formatted_plan(q)
     assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_rfm_quartile_windows_are_partitioned(spark, sf_tiny):
+    """VERDICT r5 #2: rfm_segments' quartiles come from the distributed
+    exact-ntile (sketch-grouped two-stage rank) — no per-customer row may
+    flow through a single-partition Window at any scale."""
+    from recommender_system_with_pyspark_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    df = QUERIES["rfm_segments"](spark, sf_tiny)
+    plan = E.formatted_plan(df)
+    assert plan.count("Window") >= 3  # local ranks are still window-based
+    assert "SinglePartition" not in plan, "single-partition exchange crept back"
