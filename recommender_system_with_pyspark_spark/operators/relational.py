@@ -131,6 +131,63 @@ def top_k_per_group(
     )
 
 
+def two_stage_rank(
+    df: DataFrame,
+    value_col: str,
+    partition_by: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+    out_col: str = "rank",
+    n_groups: int | None = None,
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY partition_by ORDER BY value_col
+    ASC, *tiebreak)`` without a per-partition monolithic sort.
+
+    A low-cardinality PARTITION BY caps window parallelism at the number of
+    partitions (25 nations ⇒ 25 tasks each sorting every customer of its
+    nation). This splits each rank partition into value ranges:
+
+    1. GLOBAL approx-quantile cut points on ``value_col`` sub-group rows
+       (in-partition order is compatible with global value ranges, so one
+       sketch serves every partition; skew only affects load balance).
+    2. ``row_number`` over (partition_by…, subgroup) — parallelism
+       |partitions| × n_groups.
+    3. Per-(partition, subgroup) counts → prefix offsets via a window over
+       the counts frame itself (group-cardinality rows, partitioned by the
+       rank keys — never single-partition), broadcast-joined back.
+
+    Result is bit-identical to the monolithic window (ties never straddle a
+    value-range boundary; ``tiebreak`` must make the order total). Nulls in
+    ``value_col`` rank first, matching Spark ASC windows."""
+    spark = df.sparkSession
+    if n_groups is None:
+        n_groups = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    pcols = list(partition_by)
+    kdf = df.withColumn("_tsr_key", F.col(value_col).cast("double"))
+    cuts = sorted(set(kdf.stat.approxQuantile(
+        "_tsr_key", [i / n_groups for i in range(1, n_groups)],
+        1.0 / (4.0 * max(n_groups, 1)))))
+    grp = F.lit(0)
+    for c in cuts:
+        grp = grp + (F.col("_tsr_key") > F.lit(c)).cast("int")
+    grp = F.when(F.col("_tsr_key").isNull(), F.lit(-1)).otherwise(grp)
+    gdf = kdf.withColumn("_tsr_grp", grp)
+    woff = (Window.partitionBy(*pcols).orderBy("_tsr_grp")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (
+        gdf.groupBy(*pcols, "_tsr_grp").agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_tsr_off", F.coalesce(F.sum("_n").over(woff), F.lit(0)))
+        .drop("_n")
+    )
+    wloc = (Window.partitionBy(*pcols, "_tsr_grp")
+            .orderBy(F.col("_tsr_key").asc_nulls_first(),
+                     *[F.col(c) for c in tiebreak]))
+    joined = gdf.join(F.broadcast(offsets), pcols + ["_tsr_grp"])
+    return (
+        joined.withColumn(out_col, F.col("_tsr_off") + F.row_number().over(wloc))
+        .drop("_tsr_key", "_tsr_grp", "_tsr_off")
+    )
+
+
 def global_top_n(df: DataFrame, order_by: str, n: int, tie_breaker: str | None = None) -> DataFrame:
     """W2+W3 — global sort + limit (`read_db.py:34,52` + implicit show(20)).
 

@@ -623,16 +623,19 @@ def semantic_dedup_pairs(
 
     Same task as the reference's content dedup would need at corpus scale
     (`datacleaning.py` drops exact-duplicate rows; this is the embedding-
-    space generalization). Exactness margin: radii/distances accumulate in
-    float64; the bound gets a 1e-9 slack so a last-ulp underestimate cannot
-    drop a true pair.
+    space generalization). Exactness margin: the block scorer (and the SQL
+    oracle) accept pairs whose 6-dp ROUNDED cosine reaches the threshold, so
+    a true cosine as low as threshold − 5e-7 still qualifies — the pruning
+    radius is therefore derived from (threshold − 5e-7), plus a 1e-9
+    float64 slack so a last-ulp underestimate cannot drop a boundary pair
+    (ADVICE r5).
     """
     import math
 
     import numpy as np
     import pandas as pd
 
-    eps_d = math.sqrt(max(0.0, 2.0 - 2.0 * threshold)) + 1e-9
+    eps_d = math.sqrt(max(0.0, 2.0 - 2.0 * (threshold - 5e-7))) + 1e-9
 
     base = _as_double(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")), "_v"

@@ -178,7 +178,9 @@ def revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.c_custkey,
            round(c.c_acctbal, 2) AS c_acctbal,
-           round((c.c_acctbal - s.med) / (s.q3 - s.q1), 6) AS c_acctbal_scaled
+           CASE WHEN s.q3 - s.q1 > 0
+                THEN round((c.c_acctbal - s.med) / (s.q3 - s.q1), 6)
+           END AS c_acctbal_scaled
     FROM customer c CROSS JOIN s
     """,
 )
@@ -186,7 +188,9 @@ def robust_scaled_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/IQR robust scaling of account balances with EXACT
     linear-interpolation percentiles — the engine-portable twin of
     MLlib's sketch-based RobustScaler (operators/cleaning.robust_scale).
-    One aggregate pass for the three quantiles, broadcast back."""
+    One aggregate pass for the three quantiles, broadcast back. The oracle
+    mirrors the operator's IQR==0 → null guard (ADVICE r5), so the twin
+    contract holds even on a degenerate constant column."""
     cust = load_table(spark, sf_dir, "customer")
     scaled = robust_scale(cust.select("c_custkey", "c_acctbal"), ["c_acctbal"], round_to=6)
     return scaled.select(
@@ -331,6 +335,11 @@ def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("l_orderkey").alias("_s"))
         .filter(F.col("_s") >= 2)
         .select("pa", "pb")
+        # triangle_stats consumes its edge list ~6x (degrees, orientation,
+        # wedge join, closure join); this derivation is a fact self-join +
+        # distinct-count — exactly the expensive lineage graph.triangle_stats'
+        # caller-owned materialization policy says to persist once.
+        .localCheckpoint(eager=False)
     )
     from .operators.graph import triangle_stats
 
@@ -1215,8 +1224,11 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rev, custkey) total order pinning ties. One aggregate to per-customer
     revenue, one window pass over it — the inequality/concentration
     diagnostic (whale-customer risk, data-source dominance) with no
-    quantile sketching."""
-    from pyspark.sql import Window
+    quantile sketching. The per-nation rank comes from
+    relational.two_stage_rank (global revenue-range subgroups + offset
+    join), so parallelism is nations × range-groups, not the 25-nation
+    ceiling of a plain PARTITION BY nation window."""
+    from .operators.relational import two_stage_rank
 
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -1225,9 +1237,10 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                     orders["o_custkey"] == F.col("c_custkey"))
         .groupBy("c_nationkey", "o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .localCheckpoint(eager=False)  # sketch + counts + rank read it 3x
     )
-    w = Window.partitionBy("c_nationkey").orderBy("rev", "o_custkey")
-    ranked = cust_rev.withColumn("i", F.row_number().over(w))
+    ranked = two_stage_rank(cust_rev, "rev", partition_by=("c_nationkey",),
+                            tiebreak=("o_custkey",), out_col="i")
     return ranked.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.round(F.sum("rev"), 2).alias("total_revenue"),

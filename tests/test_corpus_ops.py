@@ -211,3 +211,21 @@ def test_crossdoc_ngram_overlap_flags_shared_not_internal(spark):
     # doc 3's repeat is within ONE doc: distinct-doc count stays 1
     assert out[3]["dup_grams"] == 0 and out[3]["n_grams"] == 9
     assert out[4]["n_grams"] == 0 and out[4]["dup_ratio"] == 0.0
+
+
+def test_psi_out_of_cohort_rows_do_not_stretch_buckets(spark):
+    """ADVICE r4: the bucket range must come from the two compared cohorts
+    ONLY. An extreme outlier in a third cohort once stretched [min,max] so
+    far that both real cohorts collapsed into bucket 1 and PSI read ~0 for
+    clearly shifted distributions."""
+    rows = [(i, "a", float(i % 10), "p") for i in range(100)]
+    rows += [(1000 + i, "a", float(i % 10) + 5.0, "q") for i in range(100)]
+    shifted = spark.createDataFrame(rows, "id long, grp string, v double, cohort string")
+    want = DR.population_stability(shifted, "v", "cohort", "p", "q", "grp").collect()[0]["psi"]
+    # same data plus one gigantic out-of-cohort value
+    noisy = shifted.unionByName(
+        spark.createDataFrame([(9999, "a", 1.0e12, "zz")],
+                              "id long, grp string, v double, cohort string"))
+    got = DR.population_stability(noisy, "v", "cohort", "p", "q", "grp").collect()[0]["psi"]
+    assert got == want  # third-cohort row is invisible to the buckets
+    assert want > 0.5   # and the shift itself is clearly detected

@@ -108,3 +108,24 @@ def test_association_rules_stats(spark):
     ba = out[("b", "a")]
     assert ba["confidence"] == round(2 / 3, 6)  # b in 3 baskets too
     assert ("a", "c") not in out                # below min_pair_baskets
+
+
+def test_two_stage_rank_matches_window_rank(spark):
+    """two_stage_rank must be bit-identical to row_number() OVER
+    (PARTITION BY g ORDER BY x, id) — ties, nulls, skewed groups."""
+    from pyspark.sql import Window
+    from recommender_system_with_pyspark_spark.operators.relational import two_stage_rank
+
+    rows = []
+    for i in range(200):
+        g = i % 3
+        x = None if i % 37 == 0 else float((i * 7) % 23)  # heavy ties + nulls
+        rows.append((i, g, x))
+    df = spark.createDataFrame(rows, "id int, g int, x double")
+    w = Window.partitionBy("g").orderBy(F.col("x").asc(), F.col("id").asc())
+    want = {(r["g"], r["id"]): r["rk"] for r in
+            df.withColumn("rk", F.row_number().over(w)).collect()}
+    got = {(r["g"], r["id"]): r["rk"] for r in
+           two_stage_rank(df, "x", partition_by=("g",), tiebreak=("id",),
+                          out_col="rk", n_groups=5).collect()}
+    assert got == want
