@@ -288,11 +288,63 @@ def als_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("tfidf_features")  # hash-based TF + fitted IDF → rows-only
+@query(
+    "tfidf_features",
+    oracle="""
+    WITH ex AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    ),
+    per AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM ex WHERE token <> '' GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM per GROUP BY token),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+    SELECT p.doc_id,
+           CAST(count(*) AS INTEGER) AS nnz,
+           round(sqrt(sum(pow(p.tf * (ln((n.n_docs + 1) / (d.df + 1)) + 1), 2))), 4) AS l2
+    FROM per p JOIN dfreq d USING (token) CROSS JOIN n
+    GROUP BY p.doc_id
+    """,
+)
 def tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF featurization of documents (Tokenizer → StopWordsRemover →
-    HashingTF → IDF): stateless hashing TF needs no vocabulary fit — the
-    100 TB path. Emits (doc_id, nnz, l2) summaries of the sparse vectors."""
+    """Exact-term TF-IDF per document (smooth idf = ln((N+1)/(df+1)) + 1),
+    emitting (doc_id, nnz = distinct terms, l2 = ‖tf·idf‖₂). All native:
+    explode → (doc, term) tf counts → term-keyed df join → per-doc
+    aggregate. The term-keyed shuffle join scales with corpus vocabulary
+    (no driver-held vocab, unlike CountVectorizer), which is what lets the
+    plain-SQL oracle attach (VERDICT r5 #6); the vocabulary-free HashingTF
+    twin stays available as ``tfidf_hashed_features``."""
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    per = ex.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = per.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    return (
+        per.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("nnz"),
+            F.round(F.sqrt(F.sum(F.pow(F.col("tf") * idf, 2))), 4).alias("l2"),
+        )
+    )
+
+
+@query("tfidf_hashed_features")  # murmur3 HashingTF is JVM-only → rows-only
+def tfidf_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF via the stateless hashing pipeline (Tokenizer →
+    StopWordsRemover → HashingTF → IDF): no vocabulary fit at all — the
+    fixed-width-feature path for model input at 100 TB. Bucket nnz/l2
+    depend on MLlib's murmur3 term hash, which no SQL engine reproduces,
+    so this twin is rows-only; ``tfidf_features`` carries the exact-term
+    hash-matched oracle."""
     from pyspark.ml.functions import vector_to_array
 
     from .ml.text_features import tfidf_pipeline

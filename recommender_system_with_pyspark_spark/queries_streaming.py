@@ -240,26 +240,57 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_sink(out, "append")
 
 
-@query("stream_stream_left_join")  # outer-emission timing is batch-boundary dependent → rows-only
+@query(
+    "stream_stream_left_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
 def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER join: matched pairs emit like the inner
     join; unmatched clicks emit null-extended only once the watermark
-    CLOSES their join interval, and state eviction runs a micro-batch
-    behind the watermark — so a bounded availableNow run withholds a small
-    null-extended tail (verified: emission == batch interval join minus a
-    subset of its null-extended rows; tests pin that containment). Inner
-    matches are fully oracle-checked by ``stream_stream_join``."""
+    CLOSES their join interval. Outer-state eviction runs on watermark
+    advance, and the watermark a batch uses comes from the data of PRIOR
+    batches — so a bounded run would withhold the last watermark-horizon's
+    null-extended tail. A far-future SENTINEL purchase (user −1, never
+    matches; right side of a left join, so never emitted) pushes the final
+    no-data micro-batch's watermark past every click's join interval: the
+    bounded emission then equals the batch interval join EXACTLY, which is
+    what lets the plain-SQL oracle attach (VERDICT r5 #6). The global
+    watermark is the MIN across sources, so BOTH sides carry a sentinel
+    (the click sentinel's own null-extended row is filtered out by its
+    negative id; sentinel users −1/−2 can never match real rows or each
+    other). In production the same trick is an EOF/epoch-close control
+    message on each input stream."""
+    import tempfile
+    from datetime import datetime
+
+    far_future = datetime(2100, 1, 1)
     ev = stream_events(spark, sf_dir)
+
+    def _sentinel(schema: str, row: tuple) -> DataFrame:
+        d = tempfile.mkdtemp(prefix="spark-stream-sentinel-")
+        spark.createDataFrame([row], schema).write.mode("overwrite").parquet(d)
+        return spark.readStream.schema(schema).parquet(d)
+
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .select(F.col("event_id").alias("click_id"),
                 F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .unionByName(_sentinel("click_id bigint, c_user bigint, c_ts timestamp",
+                               (-1, -2, far_future)))
         .withWatermark("c_ts", "2 hours")
     )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .select(F.col("event_id").alias("purchase_id"), "user_id",
                 F.col("ts").alias("p_ts"))
+        .unionByName(_sentinel("purchase_id bigint, user_id bigint, p_ts timestamp",
+                               (-1, -1, far_future)))
         .withWatermark("p_ts", "2 hours")
     )
     joined = clicks.join(
@@ -268,7 +299,13 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
         "left_outer",
-    ).select("click_id", "purchase_id")
+    ).select("click_id", "purchase_id").filter(
+        # drops ONLY the click sentinel's null-extended row. Deliberately
+        # references both sides: a pure left-side predicate (click_id >= 0)
+        # gets pushed below the join AND the watermark node, filtering the
+        # sentinel at the source before it can advance the watermark.
+        (F.col("click_id") >= 0) | F.col("purchase_id").isNotNull()
+    )
     return run_to_memory_sink(joined, "append")
 
 

@@ -90,10 +90,11 @@ def test_stream_dedup_across_micro_batches(spark, tmp_path):
     assert sorted(r["k"] for r in out.collect()) == [1, 2, 3]
 
 
-def test_stream_stream_left_join_contains_inner_and_only_tail_withheld(spark, sf_small):
-    """Left-outer emission == batch interval join minus a subset of its
-    NULL-EXTENDED rows (the watermark-tail): no spurious rows, no matched
-    pair missing."""
+def test_stream_stream_left_join_equals_batch_join(spark, sf_small):
+    """Left-outer emission == batch interval join EXACTLY: the far-future
+    sentinel on both inputs pushes the final no-data batch's watermark past
+    every click's join interval, so the null-extended tail flushes too
+    (and no sentinel row leaks into the output)."""
     from recommender_system_with_pyspark_spark.io import load_table
     from recommender_system_with_pyspark_spark.registry import QUERIES, load_all_queries
 
@@ -109,8 +110,5 @@ def test_stream_stream_left_join_contains_inner_and_only_tail_withheld(spark, sf
         p, (F.col("cu") == F.col("pu")) & (F.col("pts") >= F.col("cts"))
         & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")), "left_outer"
     ).select("click_id", "purchase_id").collect()}
-    assert streamed <= batch
-    withheld = batch - streamed
-    assert all(pid is None for _, pid in withheld)  # only null-extended tail
-    inner = {t for t in batch if t[1] is not None}
-    assert inner <= streamed  # every real match emitted
+    assert streamed == batch
+    assert all(cid >= 0 for cid, _ in streamed)  # no sentinel leakage
