@@ -1,0 +1,135 @@
+"""Generate an sf1-equivalent dataset (10x sf0.1) for the SCALING study.
+
+The driver's generator only ships sf{0.001,0.01,0.1}; this builds the next
+decade as a SELF-SIMILAR REPLICATION of sf0.1 — ten copies with disjoint
+key spaces — so per-row distributions, basket sizes, and join fan-outs are
+preserved while data volume grows 10x. Two deliberate mutations keep the
+workload character honest (a naive copy would make every document/embedding
+a 10-way exact duplicate, quadratically inflating the near-dup pair volume
+and invalidating the dedup/similarity growth measurements):
+
+- documents: in copies k>0, ~35% of tokens (chosen by xxhash64(token, k))
+  get a copy-specific prefix. Cross-copy Jaccard/SimHash similarity drops
+  below every near-dup threshold while ~65% of tokens (and thus language /
+  quality signals) stay intact; n_chars is recomputed.
+- embeddings: copies k>0 are re-normalized after adding a copy-specific
+  pseudo-random offset vector (norm ~0.8). Within-copy cosine structure is
+  broadly preserved (shared offset); cross-copy similarity is diluted well
+  below the 0.95-class thresholds.
+
+Deterministic (hash-driven, no rand()), writes to .scale/sf1/ inside the
+repo. Usage: python tools/make_sf1.py [--copies 10] [--out .scale/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+KEY_STRIDE = 100_000_000  # far above any sf0.1 key; copy k shifts keys by k*stride
+
+FACT_KEYS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1"))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from recommender_system_with_pyspark_spark.io import load_table
+    from recommender_system_with_pyspark_spark.session import get_spark
+
+    spark = get_spark(app_name="make-sf1")
+    os.makedirs(args.out, exist_ok=True)
+
+    def write(df, name):
+        df.coalesce(8).write.mode("overwrite").parquet(
+            os.path.join(args.out, f"{name}.parquet"))
+        print("wrote", name, df.count())
+
+    # dims: unchanged
+    for t in ("nation", "region"):
+        write(load_table(spark, args.src, t), t)
+
+    # fact tables: shifted-key copies
+    for t, keys in FACT_KEYS.items():
+        base = load_table(spark, args.src, t)
+        parts = []
+        for k in range(args.copies):
+            c = base
+            for col in keys:
+                c = c.withColumn(col, F.col(col) + F.lit(k * KEY_STRIDE))
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        write(out, t)
+
+    # documents: shifted ids + per-copy token mutation (copy 0 untouched)
+    docs = load_table(spark, args.src, "documents")
+    parts = []
+    for k in range(args.copies):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * KEY_STRIDE))
+        if k > 0:
+            mutated = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda t: F.when(
+                        F.pmod(F.xxhash64(t, F.lit(k)), F.lit(100)) < 35,
+                        F.concat(F.lit(f"q{k}"), t),
+                    ).otherwise(t),
+                ),
+                " ",
+            )
+            c = c.withColumn("text", mutated).withColumn(
+                "n_chars", F.length("text").cast("long"))
+        parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    write(out, "documents")
+
+    # embeddings: shifted ids + per-copy offset-and-renormalize (copy 0 untouched)
+    emb = load_table(spark, args.src, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    parts = []
+    for k in range(args.copies):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * KEY_STRIDE))
+        if k > 0:
+            # deterministic unit-ish offset for copy k, scaled to norm 0.8
+            raw = [math.sin(0.7 * j + 13.37 * k) for j in range(dim)]
+            nrm = math.sqrt(sum(x * x for x in raw))
+            off = [0.8 * x / nrm for x in raw]
+            off_col = F.array(*[F.lit(float(x)) for x in off])
+            shifted = F.zip_with(F.col("embedding"), off_col, lambda a, b: a + b)
+            norm = F.sqrt(F.aggregate(shifted, F.lit(0.0), lambda acc, x: acc + x * x))
+            c = c.withColumn(
+                "embedding",
+                F.transform(shifted, lambda x: (x / norm).cast("float")),
+            )
+        parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    write(out, "embeddings")
+    print("done ->", args.out)
+
+
+if __name__ == "__main__":
+    main()
