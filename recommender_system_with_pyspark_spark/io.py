@@ -110,6 +110,23 @@ def write_csv(
     out.write.mode(mode).option("header", header).csv(path)
 
 
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format at the pipeline edges
+    (ingest handoffs, labeling exports). One file per task, no coalesce:
+    JSONL is line-splittable, so downstream readers parallelize anyway."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON-lines source. Pass an explicit ``schema`` in production —
+    inference is a full extra pass over the data and silently widens types
+    on dirty rows; inference is the convenience default for exploration."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

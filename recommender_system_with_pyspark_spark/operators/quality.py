@@ -118,3 +118,40 @@ def audit_suite(parts: Sequence[DataFrame]) -> DataFrame:
     """Union per-table audits into one small report, flagged pass/fail."""
     report = reduce(DataFrame.unionByName, parts)
     return report.withColumn("passed", F.col("violations") == 0)
+
+
+def key_skew_report(df: DataFrame, key_col: str, round_to: int = 6) -> DataFrame:
+    """Shuffle-key skew diagnostics — the report to run BEFORE keying a
+    100 TB join or aggregation on a column: per-key fan-out quantiles, the
+    max/mean skew ratio, and the heaviest key. A skew ratio in the
+    hundreds means the biggest reducer does hundreds of partitions' worth
+    of work — reach for salting (`temporal.salted_join`) or AQE skew
+    splitting before running the real job.
+
+    Scale shape: one map-side-combining count per key (output is key
+    cardinality, not rows), exact percentiles over that post-agg frame,
+    and a TakeOrdered(1) for the heaviest key — no global sort, nothing
+    driver-side beyond two 1-row frames."""
+    counts = df.groupBy(F.col(key_col).alias("_key")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("_n").cast("long").alias("total_rows"),
+        F.max("_n").cast("long").alias("max_count"),
+        F.percentile(F.col("_n").cast("double"), F.lit(0.5)).alias("_p50"),
+        F.percentile(F.col("_n").cast("double"), F.lit(0.99)).alias("_p99"),
+    )
+    heaviest = (
+        counts.orderBy(F.col("_n").desc(), F.col("_key").asc())
+        .limit(1)
+        .select(F.col("_key").cast("string").alias("heaviest_key"))
+    )
+    return stats.crossJoin(F.broadcast(heaviest)).select(
+        "n_keys", "total_rows", "max_count",
+        F.round("_p50", round_to).alias("p50_count"),
+        F.round("_p99", round_to).alias("p99_count"),
+        F.round(F.col("max_count") / (F.col("total_rows") / F.col("n_keys")), round_to)
+        .alias("skew_ratio"),
+        "heaviest_key",
+    )

@@ -719,3 +719,89 @@ def semantic_dedup_pairs(
         .cogroup(right.groupby("_rci", "_rcj"))
         .applyInPandas(_block_pair_scorer(threshold), "id_a long, id_b long, sim double")
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    seed: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, built to be
+    ENGINE-PORTABLE for a fixed iteration count — the property that lets an
+    ITERATIVE algorithm be oracle-checked instead of rows-only:
+
+    - init is the deterministic hash sample used across this module: the k
+      vectors with the smallest (md5(seed‖id), id), in that order — cluster
+      j IS the j-th seed, on any engine, under any partitioning (MLlib
+      KMeans' sampled init is partitioning-dependent, so its assignments
+      can't be reproduced outside Spark);
+    - every centroid (seeds included) is ROUNDED to ``round_to`` dp: float
+      sums across engines drift in the last ulps, and quantizing each
+      iteration's centroids kills that drift before it can flip an argmin;
+      per-dimension means additionally go through DECIMAL(38,28) sums (the
+      exact-sum trick from pagerank) so the pre-rounding value is already
+      order-independent;
+    - assignment ties (equal distance) break to the lowest cluster id.
+
+    Scale shape per iteration: one codegen projection computes all k
+    distances (centers are k×d broadcast literals), argmin picks the
+    cluster; the centroid update is one map-side-combining (cluster, dim)
+    aggregate whose output is k×d rows collected to the driver — the same
+    footprint as MLlib's clusterCenters(). Empty clusters keep their
+    previous centroid. Returns (id, cluster)."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    seed_rows = (
+        base.withColumn(
+            "_h", F.md5(F.concat(F.lit(str(seed)), F.lit("|"), F.col("_id").cast("string")))
+        )
+        .orderBy("_h", "_id")
+        .limit(k)
+        .select(F.transform("_v", lambda x: F.round(x, round_to)).alias("_c"))
+        .collect()
+    )
+    centers = [list(r["_c"]) for r in seed_rows]
+
+    def assign(ctrs: list[list[float]]):
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    F.col("_v"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in ctrs
+        ])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    for _ in range(iters):
+        assigned = base.withColumn("_c", assign(centers))
+        rows = (
+            assigned.select("_c", F.posexplode("_v").alias("_pos", "_val"))
+            .groupBy("_c", "_pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("_val").cast("decimal(38,28)")).cast("double")
+                    / F.count(F.lit(1)),
+                    round_to,
+                ).alias("_m")
+            )
+            .collect()
+        )
+        new_centers = [list(c) for c in centers]  # empty cluster keeps centroid
+        for r in rows:
+            new_centers[r["_c"]][r["_pos"]] = r["_m"]
+        centers = new_centers
+
+    return base.withColumn("cluster", assign(centers)).select(
+        F.col("_id").alias(id_col), "cluster"
+    )

@@ -1,0 +1,171 @@
+"""Round-6 query registrations: operational diagnostics, source/sink
+coverage, and an oracle-checked iterative clustering — each with a DuckDB
+oracle (registry.py contract).
+
+- ``key_skew_report_*`` — shuffle-key skew diagnostics (operators/quality).
+- ``jsonl_roundtrip_orders`` — JSON-lines sink + source coverage: data must
+  survive parquet → JSONL → DataFrame intact.
+- ``kmeans_embeddings`` — Lloyd's k-means with deterministic hash-seeded
+  init and per-iteration centroid rounding, which is what makes a
+  fixed-iteration run of an ITERATIVE algorithm engine-portable enough to
+  oracle-check (the centroid quantization kills cross-engine float-sum
+  drift before it can flip an assignment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import load_table
+from .registry import query
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, seed: int = 1) -> str:
+    """Fixed-iteration Lloyd's k-means unrolled in plain SQL (the pagerank
+    trick): hash-seeded init, per-(vec, center) squared-L2 with the same
+    element order as the Spark fold, DECIMAL(38,28) exact sums + round-to-6
+    centroids each iteration so both engines walk identical trajectories.
+    Empty clusters keep their previous centroid (COALESCE on a LEFT JOIN),
+    mirroring the operator."""
+    dist = ("list_sum(list_transform(list_zip(e.v, c.ctr), "
+            "p -> (p[1] - p[2]) * (p[1] - p[2])))")
+    sql = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+        SELECT rn - 1 AS c, list_transform(v, x -> round(x, 6)) AS ctr
+        FROM (
+            SELECT vec_id, v,
+                   row_number() OVER (
+                       ORDER BY md5(concat('{seed}|', vec_id::VARCHAR)), vec_id
+                   ) AS rn
+            FROM e
+        ) WHERE rn <= {k}
+    )"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    a{i} AS (
+        SELECT vec_id, v, c FROM (
+            SELECT e.vec_id, e.v, c.c,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist}, c.c) AS rk
+            FROM e CROSS JOIN c{i - 1} c
+        ) WHERE rk = 1
+    ),
+    u{i} AS (
+        SELECT c, list(m ORDER BY pos) AS ctr FROM (
+            SELECT c, pos,
+                   round(CAST(sum(CAST(val AS DECIMAL(38, 28))) AS DOUBLE)
+                         / count(*), 6) AS m
+            FROM (SELECT c, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+                  FROM a{i})
+            GROUP BY c, pos
+        ) GROUP BY c
+    ),
+    c{i} AS (
+        SELECT p.c, coalesce(u.ctr, p.ctr) AS ctr
+        FROM c{i - 1} p LEFT JOIN u{i} u USING (c)
+    )"""
+    sql += f"""
+    SELECT vec_id, CAST(c AS INTEGER) AS cluster FROM (
+        SELECT e.vec_id, c.c,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.c) AS rk
+        FROM e CROSS JOIN c{iters} c
+    ) WHERE rk = 1"""
+    return sql
+
+
+@query("kmeans_embeddings", oracle=_kmeans_oracle(k=8, iters=2, seed=1))
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 2 fixed iterations) over the embeddings table
+    — an ITERATIVE algorithm that hash-matches a SQL oracle, because the
+    operator (operators/similarity.kmeans_lloyd) is built deterministic:
+    hash-seeded init, quantized centroids per round, exact decimal sums,
+    lowest-id tie-breaks. MLlib KMeans stays the production fit path; this
+    is the engine-portable assignment twin."""
+    from .operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, "vec_id", "embedding", k=8, iters=2, seed=1)
+
+
+_SKEW_ORACLE = """
+    WITH counts AS (
+        SELECT {key} AS k, count(*) AS n FROM {table} GROUP BY {key}
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(n) AS BIGINT) AS total_rows,
+               CAST(max(n) AS BIGINT) AS max_count,
+               round(quantile_cont(n::DOUBLE, 0.5), 6) AS p50_count,
+               round(quantile_cont(n::DOUBLE, 0.99), 6) AS p99_count
+        FROM counts
+    ),
+    heavy AS (
+        SELECT k::VARCHAR AS heaviest_key FROM counts
+        ORDER BY n DESC, k ASC LIMIT 1
+    )
+    SELECT n_keys, total_rows, max_count, p50_count, p99_count,
+           round(max_count / (total_rows::DOUBLE / n_keys), 6) AS skew_ratio,
+           heaviest_key
+    FROM stats CROSS JOIN heavy
+"""
+
+
+@query("key_skew_report_orders",
+       oracle=_SKEW_ORACLE.format(key="o_custkey", table="orders"))
+def key_skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fan-out diagnostics for keying work on orders.o_custkey — the
+    check-before-you-shuffle report (operators/quality.key_skew_report)."""
+    from .operators.quality import key_skew_report
+
+    return key_skew_report(load_table(spark, sf_dir, "orders"), "o_custkey")
+
+
+@query("key_skew_report_events",
+       oracle=_SKEW_ORACLE.format(key="user_id", table="events"))
+def key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same report on the behavioral stream's user key, where real skew
+    (bot/whale users) actually shows up."""
+    from .operators.quality import key_skew_report
+
+    return key_skew_report(load_table(spark, sf_dir, "events"), "user_id")
+
+
+@query(
+    "jsonl_roundtrip_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders
+    """,
+)
+def jsonl_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source coverage: write orders to JSONL, read it
+    back, and the oracle checks the roundtrip against the parquet original
+    — types, values, row count. Dates travel as ISO strings (JSON has no
+    date type; pinning the format makes the roundtrip engine-portable).
+
+    Scale shape: both directions are parallel whole-file-free line IO
+    (one output file per task, splittable line reads back); JSONL costs
+    ~3-5x parquet in bytes and loses column pruning — the right role at
+    100 TB is interchange at the edges, parquet inside, which is exactly
+    what this query demonstrates."""
+    import tempfile
+
+    from .io import read_jsonl, write_jsonl
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+    )
+    path = tempfile.mkdtemp(prefix="spark-jsonl-roundtrip-")
+    write_jsonl(orders, path)
+    back = read_jsonl(spark, path)
+    return back.select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        F.col("totalprice").cast("double"),
+        "orderdate",
+    )

@@ -882,6 +882,77 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_keep_best",
+    oracle="""
+    WITH RECURSIVE s AS MATERIALIZED (
+        SELECT doc_id,
+               list_distinct(
+                 list_transform(
+                   range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 3, 0) + 2),
+                   i -> array_to_string(list_slice(string_split_regex(trim(lower(text)), '\\s+'), i, i + 2), ' ')
+                 )
+               ) AS toks
+        FROM documents
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / greatest(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)), 1) >= 0.5
+    ),
+    edges AS MATERIALIZED (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT a AS node, a AS label FROM edges
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    comp AS (
+        SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    ),
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+               count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+        FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id, CAST(doc_id AS BIGINT) AS kept_doc_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(n_chars AS BIGINT) AS kept_n_chars
+    FROM ranked WHERE rk = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor selection — the step after near-dup clustering in
+    every training-data pipeline: within each duplicate cluster keep ONE
+    document, the highest-quality one (longest text, doc_id tiebreak), drop
+    the rest. Composition of existing scale paths: banded MinHash candidate
+    pairs → exact shingle-Jaccard verify → min-label connected components →
+    per-cluster top-1 window (one shuffle on cluster_id, cluster-bounded
+    sort). Emits one row per duplicate cluster with the kept doc."""
+    from .operators.graph import dedup_clusters as clusters
+    from .operators.relational import top_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup(docs, "text", "doc_id", threshold=0.5,
+                               num_perm=32, bands=8, shingle_n=3)
+    comp = clusters(pairs, "id_a", "id_b")
+    scored = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    kept = top_k_per_group(scored, "cluster_id", "n_chars", k=1,
+                           tie_breaker="doc_id")
+    return kept.select(
+        "cluster_id",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("n_chars").cast("long").alias("kept_n_chars"),
+    )
+
+
+@query(
     "embedding_quantize",
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

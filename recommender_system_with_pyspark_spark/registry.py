@@ -48,4 +48,5 @@ def load_all_queries() -> None:
     from . import queries_composite  # noqa: F401
     from . import queries_tpch_shapes  # noqa: F401
     from . import queries_corpus  # noqa: F401
-    from . import queries_round5  # noqa: F401  (appended LAST: driver window is order-sensitive)
+    from . import queries_round5  # noqa: F401  (appended in round order: driver window is order-sensitive)
+    from . import queries_round6  # noqa: F401
