@@ -155,3 +155,50 @@ def key_skew_report(df: DataFrame, key_col: str, round_to: int = 6) -> DataFrame
         .alias("skew_ratio"),
         "heaviest_key",
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Keyed diff of two table snapshots — the pre-publish gate for any
+    periodically rebuilt dataset ("how much did today's build move?"):
+    emits one row per ADDED / REMOVED / CHANGED key with the count of
+    changed columns (unchanged keys — the bulk — are never emitted).
+
+    Scale shape: one full outer join on the key (both sides shuffle once,
+    co-partitioned), per-column null-safe comparisons inside codegen, and
+    the output is bounded by the churn, not the table. At 100 TB, snapshot
+    both sides bucketed on the key and even that one shuffle disappears."""
+    keys = list(key_cols)
+    cols = list(compare_cols) if compare_cols is not None else [
+        c for c in old.columns if c not in keys and c in new.columns
+    ]
+    # presence flags are non-nullable markers — a data column can be null
+    # on a present row, so it can't signal side-existence after the join
+    o = old.select(*keys, *[F.col(c).alias(f"_old_{c}") for c in cols],
+                   F.lit(1).alias("_old_present"))
+    n = new.select(*keys, *[F.col(c).alias(f"_new_{c}") for c in cols],
+                   F.lit(1).alias("_new_present"))
+    j = o.join(n, keys, "full_outer")
+    changed = None
+    for c in cols:
+        d = (~F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}"))).cast("int")
+        changed = d if changed is None else changed + d
+    changed = changed if changed is not None else F.lit(0)
+    status = (
+        F.when(F.col("_old_present").isNull(), F.lit("added"))
+        .when(F.col("_new_present").isNull(), F.lit("removed"))
+        .when(changed > 0, F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .withColumn(
+            "n_cols_changed",
+            F.when(F.col("status") == "changed", changed).otherwise(F.lit(0)).cast("int"),
+        )
+        .select(*keys, "status", "n_cols_changed")
+    )

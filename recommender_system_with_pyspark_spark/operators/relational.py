@@ -270,6 +270,53 @@ def merge_upsert(
     return untouched.unionByName(up.select(*target.columns))
 
 
+def two_stage_topk(
+    df: DataFrame,
+    partition_by: str | Sequence[str],
+    order_by: str,
+    k: int,
+    ascending: bool = False,
+    tie_breaker: str | None = None,
+    rank_col: str = "rank",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Skew-safe per-group top-k: EXACTLY ``top_k_per_group``'s output, but
+    a mega-group never lands on one reducer.
+
+    Stage 1 ranks within (group, salt) — salt = hash(tie_breaker) mod
+    n_salts, deterministic — and keeps k rows per salt slice, so no task
+    ever sorts more than a 1/n_salts slice of the hottest group. Stage 2
+    re-ranks the ≤ k·n_salts survivors per group: a group's stage-2 input
+    is bounded by construction, so the second window is skew-free no matter
+    how hot the key. Top-k commutes over any partition of the rows
+    (the top k of a union is inside the union of per-part top k's), so the
+    result is exact.
+
+    Use over ``top_k_per_group`` when a group can be pathologically large
+    (bot users, null-ish keys). Costs one extra (cheap, bounded) shuffle."""
+    part = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    if tie_breaker is None:
+        raise ValueError("two_stage_topk needs a tie_breaker: it salts on "
+                         "hash(tie_breaker) and exactness under ties needs "
+                         "a total order anyway")
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(tie_breaker)), F.lit(n_salts))
+    )
+    order = [F.col(order_by).asc() if ascending else F.col(order_by).desc(),
+             F.col(tie_breaker).asc()]
+    w1 = Window.partitionBy(*part, "_salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_salt", "_r1")
+    )
+    w2 = Window.partitionBy(*part).orderBy(*order)
+    return (
+        survivors.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -169,3 +169,100 @@ def jsonl_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("totalprice").cast("double"),
         "orderdate",
     )
+
+
+@query(
+    "topk_events_per_user_skewsafe",
+    oracle="""
+    SELECT user_id, event_id, round(value, 2) AS value, CAST(rk AS INTEGER) AS rank
+    FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rk
+        FROM events
+    ) WHERE rk <= 3
+    """,
+)
+def topk_events_per_user_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per user through relational.two_stage_topk —
+    the skew-safe twin of the plain window top-k: stage 1 ranks within
+    (user, salt) and keeps ≤ k per slice, stage 2 re-ranks the bounded
+    survivors, so a bot user with 10^9 events costs n_salts parallel sorts
+    instead of one hot reducer. Top-k commutes over row partitions, so the
+    oracle is the plain window form."""
+    from .operators.relational import two_stage_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    out = two_stage_topk(ev, "user_id", "value", k=3,
+                         tie_breaker="event_id", rank_col="rank")
+    return out.select(
+        "user_id", "event_id",
+        F.round("value", 2).alias("value"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+_DIFF_NEW_SQL = """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0
+                    THEN round(o_totalprice + 10, 2)
+                    ELSE round(o_totalprice, 2) END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 97 != 0
+        UNION ALL
+        SELECT o_orderkey + 10000000000, round(o_totalprice, 2), o_orderstatus
+        FROM orders WHERE o_orderkey % 101 = 0
+"""
+
+
+@query(
+    "orders_snapshot_diff",
+    oracle=f"""
+    WITH old AS (
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderstatus
+        FROM orders
+    ),
+    new AS ({_DIFF_NEW_SQL}),
+    j AS (
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               (o.o_orderkey IS NULL) AS added,
+               (n.o_orderkey IS NULL) AS removed,
+               (CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 1 ELSE 0 END
+                + CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 1 ELSE 0 END)
+                   AS nc
+        FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    )
+    SELECT o_orderkey,
+           CASE WHEN added THEN 'added' WHEN removed THEN 'removed'
+                ELSE 'changed' END AS status,
+           CAST(CASE WHEN added OR removed THEN 0 ELSE nc END AS INTEGER)
+               AS n_cols_changed
+    FROM j WHERE added OR removed OR nc > 0
+    """,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (operators/quality.snapshot_diff) between the
+    orders table and a deterministically churned rebuild of it (~10% price
+    changes, ~1% removals, ~1% key additions) — emits added/removed/changed
+    keys only, the pre-publish gate for periodic dataset rebuilds."""
+    from .operators.quality import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "o_orderstatus"
+    )
+    new = (
+        old.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 10 == 0,
+                   F.round(F.col("o_totalprice") + 10, 2))
+            .otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 101 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000_000))
+        )
+    )
+    return snapshot_diff(old, new, ["o_orderkey"],
+                         ["o_totalprice", "o_orderstatus"])

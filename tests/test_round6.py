@@ -67,3 +67,49 @@ def test_dedup_keep_best_one_survivor_per_cluster(spark, sf_tiny):
     out = QUERIES["dedup_keep_best"](spark, sf_tiny).collect()
     assert len(out) == len({r["cluster_id"] for r in out})  # one row per cluster
     assert all(r["cluster_size"] >= 2 for r in out)  # clusters are real dup groups
+
+
+def test_two_stage_topk_equals_window_topk(spark):
+    """Exactness incl. a mega-group and heavy ties: two_stage_topk must
+    reproduce top_k_per_group bit-for-bit."""
+    from recommender_system_with_pyspark_spark.operators.relational import (
+        top_k_per_group,
+        two_stage_topk,
+    )
+
+    rows = [(0, i, float(i % 7)) for i in range(500)]      # mega group, ties
+    rows += [(g, g * 1000 + i, float(i)) for g in range(1, 5) for i in range(8)]
+    df = spark.createDataFrame(rows, "g int, id int, v double")
+    want = {(r["g"], r["id"], r["rank"]) for r in
+            top_k_per_group(df, "g", "v", k=5, tie_breaker="id").collect()}
+    got = {(r["g"], r["id"], r["rank"]) for r in
+           two_stage_topk(df, "g", "v", k=5, tie_breaker="id", n_salts=8).collect()}
+    assert got == want
+
+
+def test_two_stage_topk_requires_tiebreaker(spark):
+    import pytest as _pytest
+    from recommender_system_with_pyspark_spark.operators.relational import two_stage_topk
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "g int, id int, v double")
+    with _pytest.raises(ValueError):
+        two_stage_topk(df, "g", "v", k=1)
+
+
+def test_snapshot_diff_hand_case(spark):
+    from recommender_system_with_pyspark_spark.operators.quality import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, None, 4.0)],
+        "k int, s string, v double")
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.5), (4, "d", 4.0), (5, "e", 5.0)],
+        "k int, s string, v double")
+    out = {r["k"]: (r["status"], r["n_cols_changed"]) for r in
+           snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {
+        2: ("changed", 2),   # both columns moved
+        3: ("removed", 0),
+        4: ("changed", 1),   # null -> 'd' counts via null-safe compare
+        5: ("added", 0),
+    }  # key 1 unchanged: not emitted
