@@ -14,4 +14,6 @@
 - ``temporal``   — as-of/range joins, SCD2, CDC apply, attribution, trends,
                    Kaplan–Meier survival, resampling
 - ``quality``    — Deequ-style one-pass data-quality audits
+- ``layout``     — Z-order (Morton) clustered parquet writes for
+                   multi-dimensional min/max scan pruning
 """

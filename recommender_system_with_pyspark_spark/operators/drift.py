@@ -106,3 +106,59 @@ def population_stability(
             F.min("tot_q").cast("long").alias("n_current"),
         )
     )
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    cohort_col: str,
+    baseline: str,
+    current: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between two cohorts:
+
+        KS = max over v of | ECDF_baseline(v) − ECDF_current(v) |
+
+    the standard non-parametric drift test PSI can't replace when bucket
+    boundaries would hide the shift (KS is binning-free and sensitive to
+    the worst point of the CDF gap, not an average).
+
+    Distributed shape: one partial-aggregating ``groupBy(value)`` collapses
+    the cohorts to per-distinct-value counts, then the GLOBAL running
+    counts come from :func:`~..operators.relational.two_stage_cumsum` —
+    value-range subgroups cumsum in parallel with broadcast prefix offsets,
+    so no single-partition window ever sees the fact table. The final max
+    is an ordinary aggregate. Everything is integer counts until one
+    double division at the end, so the result is bit-stable across engines
+    (the DuckDB oracle reproduces it exactly).
+
+    Returns one row: (ks_stat, n_baseline, n_current)."""
+    from .relational import two_stage_cumsum
+
+    pts = (
+        df.filter(F.col(cohort_col).isin([baseline, current]))
+        .select(
+            F.col(value_col).alias("_v"),
+            (F.col(cohort_col) == baseline).cast("long").alias("_a"),
+            (F.col(cohort_col) == current).cast("long").alias("_b"),
+        )
+        .groupBy("_v")
+        .agg(F.sum("_a").alias("_a"), F.sum("_b").alias("_b"))
+    )
+    pts = pts.localCheckpoint(eager=True)  # feeds totals AND the cumsum
+    totals = pts.agg(F.sum("_a").alias("na"), F.sum("_b").alias("nb"))
+    cum = two_stage_cumsum(pts, "_v", ["_a", "_b"])
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            F.abs(F.col("cum__a") / F.col("na")
+                  - F.col("cum__b") / F.col("nb")).alias("d"),
+            "na", "nb",
+        )
+        .agg(
+            F.round(F.max("d"), round_to).alias("ks_stat"),
+            F.max("na").cast("long").alias("n_baseline"),
+            F.max("nb").cast("long").alias("n_current"),
+        )
+    )

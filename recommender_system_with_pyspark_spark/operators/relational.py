@@ -317,6 +317,63 @@ def two_stage_topk(
     )
 
 
+def two_stage_cumsum(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: Sequence[str],
+    out_prefix: str = "cum_",
+    n_groups: int | None = None,
+) -> DataFrame:
+    """``SUM(col) OVER (ORDER BY order_col ROWS UNBOUNDED PRECEDING)``
+    — a GLOBAL running sum — without the single-partition window Spark
+    would otherwise plan (``WindowExec: No Partition Defined``).
+
+    Same construction as :func:`two_stage_rank`: global approx-quantile cut
+    points on ``order_col`` split the frame into value-range subgroups;
+    per-subgroup totals (an ``n_groups``-row frame) turn into prefix
+    offsets via a window over that tiny frame; offsets broadcast back and
+    each subgroup cumsums locally in parallel.
+
+    Rows that tie on ``order_col`` land in the same subgroup (cut points
+    are concrete values), and within a tie the emitted cumulative value is
+    made order-independent by pre-aggregating: callers that need
+    per-distinct-value running totals (ECDFs, Lorenz curves, KS statistics)
+    should ``groupBy(order_col).agg(...)`` first — then the cumsum is
+    deterministic regardless of physical row order. Nulls in ``order_col``
+    sort first (Spark ASC semantics).
+
+    At 100 TB this is the difference between an ECDF that funnels every
+    row through one reducer and one that scales out: the only serial state
+    is the n_groups-row offsets frame on the driver-side broadcast."""
+    spark = df.sparkSession
+    if n_groups is None:
+        n_groups = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    kdf = df.withColumn("_tsc_key", F.col(order_col).cast("double"))
+    cuts = sorted(set(kdf.stat.approxQuantile(
+        "_tsc_key", [i / n_groups for i in range(1, n_groups)],
+        1.0 / (4.0 * max(n_groups, 1)))))
+    grp = F.lit(0)
+    for c in cuts:
+        grp = grp + (F.col("_tsc_key") > F.lit(c)).cast("int")
+    grp = F.when(F.col("_tsc_key").isNull(), F.lit(-1)).otherwise(grp)
+    gdf = kdf.withColumn("_tsc_grp", grp)
+    woff = Window.orderBy("_tsc_grp").rowsBetween(Window.unboundedPreceding, -1)
+    aggs = [F.sum(c).alias(f"_tot_{c}") for c in sum_cols]
+    offsets = gdf.groupBy("_tsc_grp").agg(*aggs)
+    for c in sum_cols:
+        offsets = offsets.withColumn(
+            f"_off_{c}", F.coalesce(F.sum(f"_tot_{c}").over(woff), F.lit(0))
+        )
+    offsets = offsets.drop(*[f"_tot_{c}" for c in sum_cols])
+    wloc = (Window.partitionBy("_tsc_grp")
+            .orderBy(F.col("_tsc_key").asc_nulls_first())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = gdf.join(F.broadcast(offsets), "_tsc_grp")
+    for c in sum_cols:
+        out = out.withColumn(out_prefix + c, F.col(f"_off_{c}") + F.sum(c).over(wloc))
+    return out.drop("_tsc_key", "_tsc_grp", *[f"_off_{c}" for c in sum_cols])
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

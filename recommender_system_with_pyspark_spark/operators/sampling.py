@@ -199,3 +199,66 @@ def token_budget_select(
     # min_by over the violating prefix: the first row that overflows caps
     # everything after it (monotone cumsum ⇒ a simple filter suffices).
     return run.filter(F.col("_cum") <= budget)
+
+
+def mixture_sample(
+    df: DataFrame,
+    category_col: str,
+    weight_col: str,
+    target_shares: dict[str, float],
+    total_budget: int,
+    seed: int | str = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus-mixture sampling: select rows so each category
+    contributes ~``target_shares[cat] * total_budget`` of ``weight_col``
+    (tokens/chars) — the "40% web, 30% code, 30% books" knob every
+    LLM-pretraining mix needs.
+
+    Per-category acceptance rate r_c = min(1, share_c·budget / weight_c)
+    comes from ONE aggregate over the corpus (|categories| rows, broadcast
+    back); a row is kept iff its portable md5 bucket (see
+    :func:`hash_bucket`) falls below floor(r_c · 2³²). Selection is a pure
+    function of (id, seed, category totals):
+
+    - partitioning-invariant and resumable — re-running on re-sharded data
+      keeps exactly the same rows;
+    - engine-portable — the DuckDB oracle reproduces the selection
+      bit-for-bit (integer threshold comparison, no float equality);
+    - one scan + one broadcast join at any scale, no sorting, no windows.
+
+    Sampling is Bernoulli on rows, so realized weight per category
+    concentrates around the target (CLT over row weights) rather than
+    hitting it exactly; callers needing an exact prefix under a budget use
+    :func:`token_budget_select` (greedy, needs a per-group sort) instead.
+    Categories missing from ``target_shares`` get rate 0 (dropped)."""
+    rates = (
+        df.groupBy(category_col)
+        .agg(F.sum(F.col(weight_col).cast("double")).alias("_w"))
+        .withColumn(
+            "_share",
+            F.coalesce(
+                *[
+                    F.when(F.col(category_col) == k, F.lit(float(v)))
+                    for k, v in sorted(target_shares.items())
+                ],
+                F.lit(0.0),
+            )
+            if target_shares
+            else F.lit(0.0),
+        )
+        .withColumn(
+            "_thr",
+            F.floor(
+                F.least(F.lit(1.0), F.col("_share") * F.lit(float(total_budget)) / F.col("_w"))
+                * F.lit(4294967296.0)
+            ).cast("long"),
+        )
+        .select(category_col, "_thr")
+    )
+    keyed = df.withColumn("_bucket", hash_bucket(F.col(id_col), seed))
+    return (
+        keyed.join(F.broadcast(rates), category_col)
+        .filter(F.col("_bucket") < F.col("_thr"))
+        .drop("_bucket", "_thr")
+    )

@@ -435,3 +435,63 @@ def km_survival(
         at_risk.withColumn("survival", F.round(F.exp(F.sum(log_term).over(w_cum)), round_to))
         .select(F.col("t").alias(duration_col), "n_at_risk", "deaths", "survival")
     )
+
+
+def funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Ordered multi-step funnel: a user converts through step i when an
+    event of type ``steps[i]`` occurs STRICTLY AFTER their earliest
+    qualifying time for step i−1 (first-touch semantics — the classic
+    product-analytics funnel, not mere set membership).
+
+    Shape: one keyed aggregate per step. Step 1 is ``groupBy(user).min(ts)``
+    over the pushed-down type filter; step i joins the step-(i−1) earliest
+    times back to the (filtered) events on the user key and takes the
+    earliest event after it. Every join is keyed by the user column —
+    high-cardinality, so parallelism scales with users and AQE handles
+    stragglers; the per-step type filter is pushed into the scan so each
+    pass reads only its step's slice. No windows, no collects — at 100 TB
+    this is k−1 keyed shuffles over shrinking frames (each stage only
+    carries users still alive in the funnel).
+
+    Returns one row per step: (step, event_type, users, conv_from_prev,
+    conv_from_first)."""
+    spark = events.sparkSession
+    stage = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+        .localCheckpoint(eager=True)  # cut lineage: stage i feeds both its
+    )                                 # count() and stage i+1's join
+    counts = [stage.count()]
+    for s in steps[1:]:
+        stage = (
+            events.filter(F.col(type_col) == s)
+            .join(stage.select(user_col, F.col("_t").alias("_prev")), user_col)
+            .filter(F.col(ts_col) > F.col("_prev"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("_t"))
+            .localCheckpoint(eager=True)
+        )
+        counts.append(stage.count())
+    rows = [
+        (
+            i + 1,
+            steps[i],
+            counts[i],
+            round(counts[i] / counts[i - 1], round_to) if i and counts[i - 1] else
+            (1.0 if i == 0 else None),
+            round(counts[i] / counts[0], round_to) if counts[0] else None,
+        )
+        for i in range(len(steps))
+    ]
+    return spark.createDataFrame(
+        rows, "step int, event_type string, users bigint, "
+              "conv_from_prev double, conv_from_first double"
+    )

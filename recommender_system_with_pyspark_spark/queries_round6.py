@@ -266,3 +266,163 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return snapshot_diff(old, new, ["o_orderkey"],
                          ["o_totalprice", "o_orderstatus"])
+
+
+@query(
+    "ks_drift_events",
+    oracle="""
+    WITH pts AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    g AS (SELECT v, CAST(sum(a) AS BIGINT) AS a, CAST(sum(b) AS BIGINT) AS b
+          FROM pts GROUP BY v),
+    t AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+          FROM g),
+    c AS (SELECT sum(a) OVER (ORDER BY v) AS ca,
+                 sum(b) OVER (ORDER BY v) AS cb
+          FROM g)
+    SELECT round(max(abs(ca::DOUBLE / na - cb::DOUBLE / nb)), 6) AS ks_stat,
+           CAST(max(na) AS BIGINT) AS n_baseline,
+           CAST(max(nb) AS BIGINT) AS n_current
+    FROM c CROSS JOIN t
+    """,
+)
+def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between 'view' and
+    'purchase' event values (operators/drift.ks_statistic) — the
+    binning-free complement to PSI. The distributed ECDF comes from
+    relational.two_stage_cumsum (value-range subgroup cumsums + broadcast
+    prefix offsets), so unlike the textbook `SUM() OVER (ORDER BY v)`
+    there is no single-partition window anywhere in the plan; the oracle
+    IS that textbook form, which DuckDB can afford at oracle scale."""
+    from .operators.drift import ks_statistic
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_statistic(ev, "value", "event_type", "view", "purchase")
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+                 (SELECT count(*) FROM s2) AS n2,
+                 (SELECT count(*) FROM s3) AS n3)
+    SELECT * FROM (
+        SELECT 1 AS step, 'view' AS event_type, CAST(n1 AS BIGINT) AS users,
+               1.0 AS conv_from_prev, 1.0 AS conv_from_first FROM n
+        UNION ALL
+        SELECT 2, 'click', CAST(n2 AS BIGINT),
+               round(n2 / n1::DOUBLE, 6), round(n2 / n1::DOUBLE, 6) FROM n
+        UNION ALL
+        SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+               round(n3 / n2::DOUBLE, 6), round(n3 / n1::DOUBLE, 6) FROM n
+    ) ORDER BY step
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch ordered funnel view → click → purchase over the event
+    stream (operators/temporal.funnel): step i counts users whose earliest
+    step-i event falls STRICTLY AFTER their earliest qualifying step-(i−1)
+    time. k−1 user-keyed joins over shrinking frames, type filters pushed
+    to the scan."""
+    from .operators.temporal import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    out = funnel(ev, "user_id", "ts", "event_type",
+                 ["view", "click", "purchase"])
+    return out.withColumn(
+        "conv_from_prev",
+        F.when(F.col("step") == 1, F.lit(1.0)).otherwise(F.col("conv_from_prev")),
+    ).withColumn(
+        "conv_from_first",
+        F.when(F.col("step") == 1, F.lit(1.0)).otherwise(F.col("conv_from_first")),
+    )
+
+
+_MIX_SHARES = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_BUDGET = 12_000
+
+
+@query(
+    "mixture_sample_documents",
+    oracle=f"""
+    WITH rates AS (
+        SELECT source,
+               CAST(floor(least(
+                   1.0,
+                   CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                               WHEN 'src2' THEN 0.2 ELSE 0.0 END
+                   * {_MIX_BUDGET} / sum(n_chars::DOUBLE)
+               ) * 4294967296.0) AS BIGINT) AS thr
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':7'), 1, 8))::BIGINT < r.thr
+    """,
+)
+def mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture sampling (operators/sampling.mixture_sample): pick
+    documents so src0/src1/src2 contribute ~50/30/20% of a 12k-char
+    budget, all other sources dropped. Selection is a pure function of
+    (doc_id, seed, per-source totals) — partitioning-invariant,
+    engine-portable (the oracle reproduces the exact md5-threshold choice),
+    one scan + one broadcast join at any scale."""
+    from .operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_sample(docs, "source", "n_chars", _MIX_SHARES,
+                         _MIX_BUDGET, seed=7, id_col="doc_id")
+    return out.select("doc_id", "source", F.col("n_chars").cast("long"))
+
+
+@query(
+    "zorder_box_read",
+    oracle="""
+    SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 400
+      AND o_totalprice BETWEEN 50000 AND 120000
+    """,
+)
+def zorder_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write + 2-D box read (operators/layout): orders is
+    rewritten clustered on the Morton key of (o_custkey, o_totalprice), so
+    each output file covers a small rectangle of that space and a
+    conjunctive range predicate on EITHER OR BOTH columns prunes most
+    files from their footers alone (measured in tests/test_layout.py:
+    the same box touches ~4x fewer files than a one-column sort layout).
+    The oracle checks the content contract: clustering must change bytes
+    read, never results."""
+    import tempfile
+
+    from .operators.layout import zorder_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    path = tempfile.mkdtemp(prefix="spark-zorder-orders-")
+    zorder_write(orders, ["o_custkey", "o_totalprice"], path, n_files=32)
+    back = spark.read.parquet(path)
+    return back.filter(
+        F.col("o_custkey").between(100, 400)
+        & F.col("o_totalprice").between(50000, 120000)
+    ).select("o_orderkey", F.col("o_custkey").cast("long"), "o_totalprice")
