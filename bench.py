@@ -47,6 +47,10 @@ HEADLINE = [
     "bm25_search",            # ranked retrieval
     "part_triangles",         # degree-ordered triangle census
     "semantic_dedup",         # cluster-pruned exact embedding dedup
+    # round-6 surface
+    "kmeans_embeddings",      # oracle-checked iterative Lloyd's k-means
+    "ks_drift_events",        # distributed-ECDF Kolmogorov-Smirnov drift
+    "funnel_conversion",      # ordered multi-step funnel
 ]
 
 

@@ -331,7 +331,8 @@ def two_stage_cumsum(
     Same construction as :func:`two_stage_rank`: global approx-quantile cut
     points on ``order_col`` split the frame into value-range subgroups;
     per-subgroup totals (an ``n_groups``-row frame) turn into prefix
-    offsets via a window over that tiny frame; offsets broadcast back and
+    offsets via a broadcast strictly-earlier self-join over that tiny
+    frame (not a window — see inline note); offsets broadcast back and
     each subgroup cumsums locally in parallel.
 
     Rows that tie on ``order_col`` land in the same subgroup (cut points
@@ -357,14 +358,25 @@ def two_stage_cumsum(
         grp = grp + (F.col("_tsc_key") > F.lit(c)).cast("int")
     grp = F.when(F.col("_tsc_key").isNull(), F.lit(-1)).otherwise(grp)
     gdf = kdf.withColumn("_tsc_grp", grp)
-    woff = Window.orderBy("_tsc_grp").rowsBetween(Window.unboundedPreceding, -1)
+    # Prefix offsets via a broadcast self-join over the n_groups-row totals
+    # frame (strictly-earlier groups), NOT a window: even the tiny offsets
+    # frame never plans a SinglePartition exchange, so the "no
+    # single-partition anywhere" plan invariant is checkable verbatim.
     aggs = [F.sum(c).alias(f"_tot_{c}") for c in sum_cols]
-    offsets = gdf.groupBy("_tsc_grp").agg(*aggs)
-    for c in sum_cols:
-        offsets = offsets.withColumn(
-            f"_off_{c}", F.coalesce(F.sum(f"_tot_{c}").over(woff), F.lit(0))
-        )
-    offsets = offsets.drop(*[f"_tot_{c}" for c in sum_cols])
+    tots = gdf.groupBy("_tsc_grp").agg(*aggs)
+    prior = tots.select(
+        F.col("_tsc_grp").alias("_pg"),
+        *[F.col(f"_tot_{c}").alias(f"_pt_{c}") for c in sum_cols],
+    )
+    offsets = (
+        tots.join(F.broadcast(prior), F.col("_pg") < F.col("_tsc_grp"), "left")
+        .groupBy("_tsc_grp", *[f"_tot_{c}" for c in sum_cols])
+        .agg(*[
+            F.coalesce(F.sum(f"_pt_{c}"), F.lit(0)).alias(f"_off_{c}")
+            for c in sum_cols
+        ])
+        .drop(*[f"_tot_{c}" for c in sum_cols])
+    )
     wloc = (Window.partitionBy("_tsc_grp")
             .orderBy(F.col("_tsc_key").asc_nulls_first())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -253,3 +253,32 @@ def test_simhash_xxhash64_twin_matches_portable_pairs(spark, sf_tiny):
     assert exact_pairs, "clone construction must produce exact duplicates"
     assert exact_pairs <= fast
     assert exact_pairs <= portable
+
+
+def test_ks_plan_has_no_single_partition_window(spark, sf_tiny):
+    """The KS query's ECDF must never plan a single-partition Window or
+    exchange — not even over the tiny offsets frame (broadcast self-join
+    instead). This is the invariant that makes the operator safe at any
+    scale, checkable verbatim in the plan."""
+    from recommender_system_with_pyspark_spark.plans import explain as E
+    from recommender_system_with_pyspark_spark.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    df = QUERIES["ks_drift_events"](spark, sf_tiny)
+    plan = E.formatted_plan(df)
+    # Every Window in the plan must be partitioned by the cumsum subgroup —
+    # a windowspecdefinition with an empty partition spec would mean the
+    # ECDF fell back to the monolithic single-partition form.
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the local per-subgroup cumsum window"
+    for spec in specs:
+        assert "_tsc_grp" in spec, f"unpartitioned window spec: {spec}"
+    # The only SinglePartition exchanges allowed are the final scalar
+    # aggregate and the totals row (frames of O(partitions) rows) — never
+    # more than those two, and never feeding a Window or sort.
+    assert plan.count("SinglePartition") <= 2, plan.count("SinglePartition")
