@@ -426,3 +426,72 @@ def zorder_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").between(100, 400)
         & F.col("o_totalprice").between(50000, 120000)
     ).select("o_orderkey", F.col("o_custkey").cast("long"), "o_totalprice")
+
+
+@query(
+    "cross_split_leakage",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               list_distinct(
+                 list_transform(
+                   range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 3, 0) + 2),
+                   i -> array_to_string(list_slice(string_split_regex(trim(lower(text)), '\\s+'), i, i + 2), ' ')
+                 )
+               ) AS sh
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1) >= 0.5
+    ),
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5(doc_id || ':42'), 1, 8))::BIGINT < 3435973836
+                    THEN 'train'
+                    WHEN ('0x' || substr(md5(doc_id || ':42'), 1, 8))::BIGINT < 3865470566
+                    THEN 'val' ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT p.id_a, p.id_b, p.jaccard, sa.split AS split_a, sb.split AS split_b
+    FROM pairs p
+    JOIN sp sa ON p.id_a = sa.doc_id
+    JOIN sp sb ON p.id_b = sb.doc_id
+    WHERE sa.split != sb.split
+    """,
+)
+def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: near-duplicate pairs (MinHash-LSH,
+    same full-recall 32-perm/8-band config as `minhash_near_dup`) that
+    STRADDLE the deterministic 80/10/10 split (`stable_split`, seed 42) —
+    each row is an eval document whose near-twin sits in another split,
+    i.e. a leak that silently inflates held-out metrics.
+
+    Composition of two already-oracle-checked pieces, and the fix for the
+    subtle footgun of doc-level random splits: random splitting i.i.d. over
+    documents IGNORES the near-duplicate structure, so ~20% of every dup
+    cluster's members land outside train. The scale path dedups or
+    cluster-assigns BEFORE splitting; this query is the detector that
+    proves you needed to. One banded candidate join + two broadcast-ready
+    keyed joins against the split map — no all-pairs work at any scale."""
+    from .operators import dedup as D
+    from .operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup(docs, "text", "doc_id", threshold=0.5,
+                               num_perm=32, bands=8, shingle_n=3)
+    split = SA.stable_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    ).select("doc_id", "split")
+    return (
+        pairs.join(split.withColumnRenamed("doc_id", "id_a")
+                        .withColumnRenamed("split", "split_a"), "id_a")
+        .join(split.withColumnRenamed("doc_id", "id_b")
+                   .withColumnRenamed("split", "split_b"), "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )
