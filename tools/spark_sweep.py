@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
     only = set(sys.argv[2:])
+    skip = set(filter(None, os.environ.get("SPARK_SWEEP_SKIP", "").split(",")))
 
     import __spark_entry__ as e
     from recommender_system_with_pyspark_spark.session import get_spark
@@ -30,7 +31,9 @@ def main() -> int:
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in qs.items():
-        if only and name not in only:
+        if (only and name not in only) or name in skip:
+            if name in skip:
+                print(f"SKIP  {name}", flush=True)
             continue
         t0 = time.time()
         try:
