@@ -105,6 +105,31 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
 
+    # Plan hygiene gate (VERDICT r6 #7): count window specs with NO
+    # partition clause — the plan-side twin of the JVM's "WindowExec: No
+    # Partition Defined ... Moving all data to a single partition" warning
+    # — so a single-partition window can never land in the headline suite
+    # silently. Detection is outside the timing loop (plan analysis is not
+    # query cost).
+    from recommender_system_with_pyspark_spark.plans.explain import (
+        unpartitioned_window_specs,
+    )
+
+    plan_warnings = 0
+    warn_queries: dict[str, int] = {}
+    for name in HEADLINE:
+        if name in errors:
+            continue
+        try:
+            bad = unpartitioned_window_specs(qs[name](spark, sf_dir))
+        except Exception:  # streaming entries may not expose a batch plan
+            continue
+        if bad:
+            warn_queries[name] = len(bad)
+            plan_warnings += len(bad)
+            print(f"BENCH PLAN WARNING {name}: {len(bad)} unpartitioned "
+                  f"window spec(s)", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -115,6 +140,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
+                "plan_warnings": plan_warnings,
+                **({"plan_warning_queries": warn_queries} if warn_queries else {}),
                 **({"errors": errors} if errors else {}),
             }
         )

@@ -138,6 +138,10 @@ def ks_statistic(
 
     pts = (
         df.filter(F.col(cohort_col).isin([baseline, current]))
+        # a NULL has no place in an ECDF (ADVICE r6): Spark's cumsum groups
+        # nulls first while a SQL oracle's `ORDER BY v` puts them last —
+        # dropping them on BOTH sides pins the twin contract
+        .filter(F.col(value_col).isNotNull())
         .select(
             F.col(value_col).alias("_v"),
             (F.col(cohort_col) == baseline).cast("long").alias("_a"),

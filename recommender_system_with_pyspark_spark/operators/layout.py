@@ -37,25 +37,29 @@ def add_zorder_key(
 
     Constant columns (max == min) contribute rank 0 everywhere — harmless.
     Nulls rank 0 (cluster with the minimum; parquet null-count stats still
-    prune them)."""
+    prune them) — judged on the DOUBLE-CAST value, so a non-numeric string
+    that casts to NULL gets the documented rank-0 treatment instead of
+    nulling the whole key (ADVICE r6)."""
     n = len(cols)
     if n * bits > 63:
         raise ValueError(f"zorder key would need {n * bits} bits (> 63); "
                          f"lower bits= or cluster fewer columns")
     bounds = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"_min_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"_max_{c}") for c in cols],
+        *[F.min(F.col(c).try_cast("double")).alias(f"_min_{c}") for c in cols],
+        *[F.max(F.col(c).try_cast("double")).alias(f"_max_{c}") for c in cols],
     )
     withb = df.crossJoin(F.broadcast(bounds))
     scale = float(2**bits)
     ranks = []
     for c in cols:
-        width = F.col(f"_max_{c}") - F.col(f"_min_{c}")
-        raw = F.floor(
-            (F.col(c).cast("double") - F.col(f"_min_{c}")) / width * F.lit(scale)
-        ).cast("long")
+        # try_cast: under ANSI mode a plain cast THROWS on malformed
+        # strings; the documented contract is rank 0 for anything
+        # non-numeric. Single cast: null guard and rank see the same value.
+        v = F.col(c).try_cast("double")
+        width = F.col(f"_max_{c}") - F.col(f"_min_{c}")  # rank see the same value
+        raw = F.floor((v - F.col(f"_min_{c}")) / width * F.lit(scale)).cast("long")
         rank = F.when(
-            F.col(c).isNull() | (width <= 0), F.lit(0)
+            v.isNull() | (width <= 0), F.lit(0)
         ).otherwise(F.least(F.lit(2**bits - 1), F.greatest(F.lit(0), raw)))
         ranks.append(rank)
     z = F.lit(0).cast("long")
@@ -96,7 +100,12 @@ def files_overlapping_box(
     """(files whose column min/max stats intersect the box, total files) —
     the pruning a stats-aware reader achieves on the conjunction of range
     predicates in ``box``. Driver-side metadata walk (parquet footers
-    only), used to MEASURE layout quality, not in any query path."""
+    only), used to MEASURE layout quality, not in any query path.
+
+    A row group with missing/disabled statistics (or truncated
+    binary min-max) cannot be pruned, so it counts as overlapping —
+    the same conservative contract every stats-based reader honors
+    (ADVICE r6)."""
     import glob
     import os
 
@@ -109,16 +118,24 @@ def files_overlapping_box(
         names = [md.schema.column(i).name for i in range(md.num_columns)]
         overlaps = True
         for col, (lo, hi) in box.items():
+            if col not in names:
+                raise ValueError(
+                    f"box column {col!r} not in parquet schema of {f} "
+                    f"(columns: {names})"
+                )
             idx = names.index(col)
-            cmin = min(
-                md.row_group(g).column(idx).statistics.min
-                for g in range(md.num_row_groups)
-            )
-            cmax = max(
-                md.row_group(g).column(idx).statistics.max
-                for g in range(md.num_row_groups)
-            )
-            if cmax < lo or cmin > hi:
+            mins, maxs = [], []
+            stats_complete = True
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    stats_complete = False
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if not stats_complete:
+                continue  # can't prune on this column; stays 'overlaps'
+            if max(maxs) < lo or min(mins) > hi:
                 overlaps = False
                 break
         hit += int(overlaps)

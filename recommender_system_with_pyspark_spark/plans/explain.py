@@ -64,6 +64,46 @@ def codegen_stage_count(df: DataFrame) -> int:
     return executed_plan(df).count("*(")
 
 
+def unpartitioned_window_specs(df: DataFrame) -> list[str]:
+    """Window specs in the physical plan with an EMPTY partition clause —
+    the exact condition that makes the JVM log ``WindowExec: No Partition
+    Defined for Window operation! Moving all data to a single partition``
+    at runtime. Plan-side detection (instead of log scraping) is
+    deterministic, needs no log4j plumbing, and fires BEFORE execution.
+
+    A windowspecdefinition's argument list is ``partition cols..., order
+    exprs (each tagged ASC/DESC NULLS ...), specifiedwindowframe(...)`` —
+    so a spec whose every pre-frame argument carries an ASC/DESC tag has no
+    partitioning. Commas inside nested calls (casts etc.) are skipped by a
+    paren-depth scanner."""
+    import re
+
+    plan = formatted_plan(df)
+    bad: list[str] = []
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        start = m.end()
+        depth, i = 1, start
+        while i < len(plan) and depth:
+            depth += {"(": 1, ")": -1}.get(plan[i], 0)
+            i += 1
+        body = plan[start : i - 1]
+        head = body.split("specifiedwindowframe", 1)[0]
+        args, buf, d = [], [], 0
+        for ch in head:
+            if ch == "," and d == 0:
+                args.append("".join(buf).strip())
+                buf = []
+            else:
+                d += {"(": 1, ")": -1}.get(ch, 0)
+                buf.append(ch)
+        if tail := "".join(buf).strip():
+            args.append(tail)
+        args = [a for a in args if a]
+        if all(re.search(r"\b(ASC|DESC)\b", a) for a in args):
+            bad.append(body)
+    return bad
+
+
 def assert_plan(
     df: DataFrame,
     broadcast_join: bool | None = None,

@@ -70,17 +70,17 @@ from .registry import query
     UNION ALL
     SELECT 'orders.custkey_in_customer',
            CAST((SELECT count(*) FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
-                 ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS BIGINT),
+                 ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL) AS BIGINT),
            CAST((SELECT count(*) FROM orders) AS BIGINT),
            (SELECT count(*) FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
-            ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) = 0
+            ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL) = 0
     UNION ALL
     SELECT 'lineitem.orderkey_in_orders',
            CAST((SELECT count(*) FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
-                 ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS BIGINT),
+                 ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL AND l.l_orderkey IS NOT NULL) AS BIGINT),
            CAST((SELECT count(*) FROM lineitem) AS BIGINT),
            (SELECT count(*) FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
-            ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) = 0
+            ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL AND l.l_orderkey IS NOT NULL) = 0
     """,
 )
 def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -650,10 +650,12 @@ def sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t AS duration,
            CAST(n_at_risk AS BIGINT) AS n_at_risk,
            deaths,
-           round(exp(sum(CASE WHEN deaths > 0
+           -- DECIMAL(38,28) mirror of the engine's associative-exact
+           -- two-stage log-term sum (operators/temporal.km_survival)
+           round(exp(CAST(sum(CAST(CASE WHEN deaths > 0
                               THEN ln(greatest(1 - deaths / n_at_risk, 1e-300))
-                              ELSE 0.0 END)
-                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+                              ELSE 0.0 END AS DECIMAL(38,28)))
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6) AS survival
     FROM risk
     """,
 )
@@ -1173,8 +1175,15 @@ def peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny distinct-timestamp frame, not raw endpoints), cumulative sum
     for the live count, max per month. Same-timestamp opens and closes
     net out in the per-ts aggregate, so the sweep is order-independent
-    and engine-portable."""
-    from pyspark.sql import Window
+    and engine-portable.
+
+    The cumulative sweep is relational.two_stage_cumsum (VERDICT r6 #1) —
+    date-range subgroups cumsum in parallel behind broadcast prefix
+    offsets, so even second-granularity event streams (distinct-ts frames
+    of ~1e8 rows at 100 TB) never funnel through a single-partition
+    window. Deltas are integers, so the two-stage sum is exact regardless
+    of addition order."""
+    from .operators.relational import two_stage_cumsum
 
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -1187,9 +1196,15 @@ def peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = spans.select(F.col("o_orderdate").alias("ts"), F.lit(1).alias("d")).unionByName(
         spans.select(F.col("closed").alias("ts"), F.lit(-1).alias("d"))
     )
-    agg = deltas.groupBy("ts").agg(F.sum("d").cast("long").alias("d"))
-    w = Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    run = agg.withColumn("open", F.sum("d").over(w))
+    agg = (
+        deltas.groupBy("ts").agg(F.sum("d").cast("long").alias("d"))
+        # micros-since-epoch twin: two_stage_cumsum range-groups on a
+        # numeric key; injective per distinct ts down to microsecond
+        # granularity (and exact in the sketch's double cast until ~2250)
+        .withColumn("_tsn", F.unix_micros(F.col("ts")))
+        .localCheckpoint(eager=True)  # cut-point sketch + cumsum read it twice
+    )
+    run = two_stage_cumsum(agg, "_tsn", ["d"]).withColumnRenamed("cum_d", "open")
     return run.groupBy(F.date_trunc("month", F.col("ts")).alias("month")).agg(
         F.max("open").cast("long").alias("peak_open"),
         F.count(F.lit(1)).cast("long").alias("n_events"),

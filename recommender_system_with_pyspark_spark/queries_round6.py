@@ -276,6 +276,7 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a,
                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
         FROM events WHERE event_type IN ('view', 'purchase')
+          AND value IS NOT NULL  -- twin of the operator's NULL drop
     ),
     g AS (SELECT v, CAST(sum(a) AS BIGINT) AS a, CAST(sum(b) AS BIGINT) AS b
           FROM pts GROUP BY v),

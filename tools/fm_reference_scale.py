@@ -95,6 +95,16 @@ def main() -> None:
                           "spark.driver.extraJavaOptions":
                               "-XX:+UnlockDiagnosticVMOptions "
                               "-XX:GCLockerRetryAllocationCount=100",
+                          # MLlib trees persist a DENSE binned-point cache
+                          # (one Int per feature per row — ~0.4 TB at the
+                          # full 18.9M x 433k one-hot scale, measured: the
+                          # uncompressed attempt died ENOSPC at 12.3 GiB
+                          # per partition). The binned values are almost
+                          # all zeros, so compressing RDD disk spill makes
+                          # the cache fit; zstd gets ~50-100x on this
+                          # content for a few % CPU.
+                          "spark.rdd.compress": "true",
+                          "spark.io.compression.codec": "zstd",
                       })
     t0 = time.time()
     ratings, _games = golden.synthetic_bgg_corpus(
