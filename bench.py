@@ -51,6 +51,9 @@ HEADLINE = [
     "kmeans_embeddings",      # oracle-checked iterative Lloyd's k-means
     "ks_drift_events",        # distributed-ECDF Kolmogorov-Smirnov drift
     "funnel_conversion",      # ordered multi-step funnel
+    # round-7 surface
+    "multimodal_image_decode",  # real BMP encode+decode through Arrow batches
+    "vocab_topk",               # TakeOrdered + window-free rank (was single-partition)
 ]
 
 
