@@ -83,6 +83,10 @@ def main() -> None:
     _ALS(maxIter=1, rank=2, userCol="user", itemCol="item", ratingCol="rating", seed=1).fit(_warm)
 
     qs = e.queries()
+    only = set(filter(None, os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")))
+    if only:  # stability probes on a subset (tools/bench_diff.py)
+        global HEADLINE
+        HEADLINE = [q for q in HEADLINE if q in only]
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

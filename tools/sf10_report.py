@@ -24,8 +24,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 QUERIES = [
-    # growth-claim queries (pair/edge counts are the prediction)
-    "embedding_near_dup",
+    # growth-claim queries (pair/edge counts are the prediction).
+    # embedding_near_dup is excluded by default at sf10: the exact
+    # all-pairs census is O(n²) BLAS by definition (measured: 67 s noop at
+    # sf1, >17 min incomplete at sf10 for ~10× the pairs) — its scale path
+    # is semantic_dedup / ANN, as its docstring routes; run it explicitly
+    # via argv-listed sf dirs if the quadratic baseline is wanted.
     "semantic_dedup",
     "minhash_near_dup",
     "part_triangles",
