@@ -30,7 +30,11 @@ QUERIES = [
     # sf1, >17 min incomplete at sf10 for ~10× the pairs) — its scale path
     # is semantic_dedup / ANN, as its docstring routes; run it explicitly
     # via argv-listed sf dirs if the quadratic baseline is wanted.
-    "semantic_dedup",
+    # semantic_dedup likewise: at sf10 the generator's offset dilution
+    # (designed against 0.95-class thresholds) does not dilute the
+    # 0.4-0.5-class censuses — the qualifying-pair count is ~1.7e9
+    # (sample-validated estimate, SCALING.md round 7), so the run is
+    # result-materialization-bound by construction.
     "minhash_near_dup",
     "part_triangles",
     "dedup_clusters",
