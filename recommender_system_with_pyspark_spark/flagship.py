@@ -37,6 +37,58 @@ def implicit_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INT32_MIN, _INT32_MAX = -(2**31), 2**31 - 1
+
+
+def _dense_ids(df: DataFrame, col: str, idx_col: str) -> DataFrame:
+    """(id) → (id, contiguous int index) mapping, scale-safe: global rank
+    via relational.two_stage_rank (value-range subgroups + offsets — no
+    single-partition window over the id space). Requires distinct-id
+    cardinality < 2³¹ (ALS's hard ceiling; the raise names it)."""
+    from .operators.relational import two_stage_rank
+
+    ids = df.select(col).distinct()
+    ranked = two_stage_rank(ids, col, out_col="_r")
+    return ranked.select(
+        col, F.col("_r").cast("int").alias(idx_col)
+    )
+
+
+def als_safe_ids(ratings: DataFrame):
+    """MLlib ALS requires int32 user/item ids. Real key spaces are longs
+    (a 100 TB catalog's surrogate keys overflow int32 — found by the sf10
+    sweep, SCALING.md round 7), so: if both id columns already fit int32,
+    pass through UNCHANGED (keeps every existing output bit-identical and
+    costs one tiny agg); otherwise DENSELY COMPACT each id space to a
+    contiguous int index and return the two mapping frames so callers can
+    translate model output back to original ids.
+
+    Returns (ratings_for_als, user_map|None, item_map|None); maps have
+    columns (user_id|_uidx) / (item_id|_iidx) and are cached — both the
+    compaction join and the output map-back read them."""
+    mm = ratings.agg(
+        F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
+        F.min("item_id").alias("imin"), F.max("item_id").alias("imax"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    if mm["n"] == 0 or all(
+        v is None or _INT32_MIN <= v <= _INT32_MAX
+        for v in (mm["umin"], mm["umax"], mm["imin"], mm["imax"])
+    ):
+        return ratings, None, None
+    umap = _dense_ids(ratings, "user_id", "_uidx").cache()
+    imap = _dense_ids(ratings, "item_id", "_iidx").cache()
+    compact = (
+        ratings.join(umap, "user_id").join(imap, "item_id")
+        .select(
+            F.col("_uidx").alias("user_id"),
+            F.col("_iidx").alias("item_id"),
+            "rating",
+        )
+    )
+    return compact, umap, imap
+
+
 def recommend_top_items(
     spark: SparkSession,
     sf_dir: str,
@@ -61,6 +113,9 @@ def recommend_top_items(
     pruned = prune_sparse_entities(
         ratings, "item_id", "user_id", min_item_count, min_user_count
     )
+    # int32 id ceiling: compact long id spaces to dense int indexes when
+    # needed (no-op passthrough otherwise) — SCALING.md round 7
+    als_in, umap, imap = als_safe_ids(pruned)
     als = ALS(
         rank=rank,
         maxIter=max_iter,
@@ -71,7 +126,7 @@ def recommend_top_items(
         coldStartStrategy="drop",  # `bgrfunctions.py:182`
         seed=seed,
     )
-    model = als.fit(pruned)
+    model = als.fit(als_in)
     recs = model.recommendForAllUsers(k)
     exploded = recs.select(
         "user_id", F.posexplode("recommendations").alias("pos", "rec")
@@ -81,6 +136,14 @@ def recommend_top_items(
         F.round(F.col("rec.rating"), 4).alias("score"),
         (F.col("pos") + 1).alias("rank"),
     )
+    if umap is not None:
+        exploded = (
+            exploded.withColumnRenamed("user_id", "_uidx")
+            .withColumnRenamed("item_id", "_iidx")
+            .join(umap, "_uidx")
+            .join(F.broadcast(imap), "_iidx")
+            .select("user_id", "item_id", "score", "rank")
+        )
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("item_id"), "p_name"
     )
@@ -120,14 +183,22 @@ def item_factor_neighbors(
 
     ratings = implicit_ratings(spark, sf_dir).cache()
     pruned = prune_sparse_entities(ratings, "item_id", "user_id", 2, 2)
+    # int32 id ceiling: compact long id spaces when needed (SCALING.md r7)
+    als_in, _umap, imap = als_safe_ids(pruned)
     als = ALS(
         rank=rank, maxIter=max_iter, regParam=reg_param,
         userCol="user_id", itemCol="item_id", ratingCol="rating",
         coldStartStrategy="drop", seed=seed,
     )
-    factors = als.fit(pruned).itemFactors.select(
+    factors = als.fit(als_in).itemFactors.select(
         F.col("id").alias("vec_id"), F.col("features").alias("embedding")
     )
+    if imap is not None:  # factors carry compacted ids — translate back
+        factors = (
+            factors.withColumnRenamed("vec_id", "_iidx")
+            .join(F.broadcast(imap), "_iidx")
+            .select(F.col("item_id").alias("vec_id"), "embedding")
+        )
     queries = factors.orderBy("vec_id").limit(n_query_items)
     out = cosine_topk(queries, factors, "vec_id", "embedding", k=k, exclude_self=True)
     part = load_table(spark, sf_dir, "part").select(
