@@ -57,6 +57,27 @@ HEADLINE = [
 ]
 
 
+# Entries whose constants the sf1 stability study (SCALING.md round 7)
+# showed carrying up to ~2x JVM session-state excursions in full-suite
+# sessions (accumulated cached plans + old-gen pressure from the queries
+# that ran before them). Before each of these, bench drops the SQL cache
+# and forces a driver+JVM GC barrier (VERDICT r7 #5) so their measured
+# constants reflect the query, not the session's history. The barrier runs
+# ONCE before the query's warmup run — within-query caching still works and
+# the timed repeats still measure the steady state.
+HEAP_HEAVY = {"part_triangles", "embedding_near_dup", "semantic_dedup"}
+
+
+def _isolation_barrier(spark) -> None:
+    import gc
+    import time as _t
+
+    spark.catalog.clearCache()  # drop cross-query cached plans
+    gc.collect()  # release driver-side RDD/broadcast refs -> ContextCleaner
+    spark.sparkContext._jvm.System.gc()  # compact the old gen
+    _t.sleep(0.3)  # let async cleaner callbacks drain
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -88,10 +109,13 @@ def main() -> None:
         global HEADLINE
         HEADLINE = [q for q in HEADLINE if q in only]
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
+    isolate = os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
+        if isolate and name in HEAP_HEAVY:
+            _isolation_barrier(spark)
         # median-of-N after one DISCARDED warmup (VERDICT r5 #7): best-of-2
         # still swung +-48% on sub-second entries round-over-round; the
         # warmup absorbs per-query class-load/codegen cost, the median is

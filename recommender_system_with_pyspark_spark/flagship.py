@@ -37,56 +37,25 @@ def implicit_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_INT32_MIN, _INT32_MAX = -(2**31), 2**31 - 1
-
-
-def _dense_ids(df: DataFrame, col: str, idx_col: str) -> DataFrame:
-    """(id) → (id, contiguous int index) mapping, scale-safe: global rank
-    via relational.two_stage_rank (value-range subgroups + offsets — no
-    single-partition window over the id space). Requires distinct-id
-    cardinality < 2³¹ (ALS's hard ceiling; the raise names it)."""
-    from .operators.relational import two_stage_rank
-
-    ids = df.select(col).distinct()
-    ranked = two_stage_rank(ids, col, out_col="_r")
-    return ranked.select(
-        col, F.col("_r").cast("int").alias(idx_col)
-    )
-
-
 def als_safe_ids(ratings: DataFrame):
     """MLlib ALS requires int32 user/item ids. Real key spaces are longs
     (a 100 TB catalog's surrogate keys overflow int32 — found by the sf10
-    sweep, SCALING.md round 7), so: if both id columns already fit int32,
-    pass through UNCHANGED (keeps every existing output bit-identical and
-    costs one tiny agg); otherwise DENSELY COMPACT each id space to a
-    contiguous int index and return the two mapping frames so callers can
-    translate model output back to original ids.
+    sweep, SCALING.md round 7). Thin flagship-shaped wrapper over the
+    general ``operators.relational.dense_id_compaction`` (round-8
+    promotion — VERDICT r7 #2): if both id columns already fit int32, the
+    ratings pass through UNCHANGED (keeps every existing output
+    bit-identical and costs one tiny agg); otherwise each id space is
+    densely compacted to a contiguous int index.
 
     Returns (ratings_for_als, user_map|None, item_map|None); maps have
     columns (user_id|_uidx) / (item_id|_iidx) and are cached — both the
     compaction join and the output map-back read them."""
-    mm = ratings.agg(
-        F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
-        F.min("item_id").alias("imin"), F.max("item_id").alias("imax"),
-        F.count(F.lit(1)).alias("n"),
-    ).first()
-    if mm["n"] == 0 or all(
-        v is None or _INT32_MIN <= v <= _INT32_MAX
-        for v in (mm["umin"], mm["umax"], mm["imin"], mm["imax"])
-    ):
-        return ratings, None, None
-    umap = _dense_ids(ratings, "user_id", "_uidx").cache()
-    imap = _dense_ids(ratings, "item_id", "_iidx").cache()
-    compact = (
-        ratings.join(umap, "user_id").join(imap, "item_id")
-        .select(
-            F.col("_uidx").alias("user_id"),
-            F.col("_iidx").alias("item_id"),
-            "rating",
-        )
+    from .operators.relational import dense_id_compaction
+
+    out, maps = dense_id_compaction(
+        ratings, ["user_id", "item_id"], idx_cols=["_uidx", "_iidx"]
     )
-    return compact, umap, imap
+    return out, maps["user_id"], maps["item_id"]
 
 
 def recommend_top_items(

@@ -21,6 +21,39 @@ from pyspark.sql import types as T
 
 from .schemas import TESTDATA_TABLES
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Worker-side import guard (round 8): Arrow ``mapInPandas`` closures
+    reference package-level functions (codec parsers, hash helpers), which
+    cloudpickle serializes BY MODULE REFERENCE — the forked Python workers
+    must be able to ``import recommender_system_with_pyspark_spark``. When the
+    driver runs from the repo root that works implicitly; under an external
+    driver with a foreign cwd (the contract surface — a vanilla
+    SparkSession anywhere) it raised worker-side ModuleNotFoundError. Ship
+    the package once per SparkContext as a zip via ``addPyFile`` — the
+    standard way PySpark distributes job code to executors, identical on a
+    real 1000-executor cluster (files are fetched per executor, added to
+    worker sys.path). Cost: one ~100 KB zip per session."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED_SESSIONS:
+        return
+    import os
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staged = tempfile.mkdtemp(prefix="spark-pkgship-")
+    zpath = shutil.make_archive(
+        os.path.join(staged, "recommender_system_with_pyspark_spark_pkg"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    sc.addPyFile(zpath)
+    _SHIPPED_SESSIONS.add(id(sc))
+
 
 def read_csv(
     spark: SparkSession,
@@ -62,6 +95,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Parquet carries its own schema; we validate the column set against the
     declared StructType so drift fails fast instead of mid-query.
     """
+    # every query path starts here — make worker-side package imports safe
+    # regardless of the driver's cwd (external-driver contract)
+    ensure_package_on_workers(spark)
     # events.parquet stores TIMESTAMP(NANOS) — unsupported by Spark's reader
     # natively; read nanos as long and convert (integer division: a double
     # round-trip would lose sub-microsecond precision at 2^60 magnitudes).

@@ -91,6 +91,13 @@ def als_prediction(
 
         sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-als-ckpt-"))
 
+    # int32 id ceiling (SCALING.md round 7): MLlib ALS casts user/item ids
+    # to int — long surrogate keys CAST_OVERFLOW. Compact dense when needed;
+    # exact passthrough (same object, so split/hashes unchanged) otherwise.
+    from ..operators.relational import dense_id_compaction, restore_ids
+
+    ratings, _idmaps = dense_id_compaction(ratings, [user_col, item_col])
+
     train, test = ratings.randomSplit([0.8, 0.2], seed=seed)
     als = ALS(
         userCol=user_col, itemCol=item_col, ratingCol=rating_col,
@@ -110,6 +117,11 @@ def als_prediction(
     else:
         best = als.setRank(ranks[0]).setRegParam(reg_params[0]).fit(train)
     pred = best.transform(test)
+    # translate model output back to the caller's original (long) ids —
+    # restore_ids is a no-op in the passthrough case
+    pred = restore_ids(
+        restore_ids(pred, user_col, _idmaps[user_col]), item_col, _idmaps[item_col]
+    )
     return FitResult(
         model=best,
         metrics={"rmse": rmse_eval.evaluate(pred), "r2": r2_eval.evaluate(pred)},

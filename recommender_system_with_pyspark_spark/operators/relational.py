@@ -188,6 +188,93 @@ def two_stage_rank(
     )
 
 
+_INT32_MIN, _INT32_MAX = -(2**31), 2**31 - 1
+
+
+def dense_id_compaction(
+    df: DataFrame,
+    cols: Sequence[str],
+    idx_cols: Sequence[str] | None = None,
+) -> tuple[DataFrame, dict[str, DataFrame | None]]:
+    """Guard a long-id key space against an int32-only consumer (MLlib ALS
+    user/item ids being the canonical one — found by the sf10 sweep,
+    SCALING.md round 7, where 2.2e9-valued keys hit CAST_OVERFLOW inside
+    ALS block construction).
+
+    If every value of every column in ``cols`` already fits int32, ``df``
+    passes through UNCHANGED (same object — existing outputs stay
+    bit-identical; the check costs one tiny min/max aggregate). Otherwise
+    EVERY listed column's values are replaced by a dense 1-based int rank
+    over that column's distinct values, and the per-column (original →
+    index) mapping frames are returned so callers can translate consumer
+    output back to the original ids.
+
+    The rank is scale-safe: ``two_stage_rank`` splits each id space into
+    value-range subgroups behind a global approx-quantile sketch — no
+    single-partition window over a 100 TB key column. Distinct-id
+    cardinality must itself be < 2³¹ (the consumer's hard ceiling — ALS
+    factor blocks cannot address more ids than that regardless of key
+    encoding; beyond it, shard the model).
+
+    Returns ``(compacted_df, {col: map_df | None})`` where ``map_df`` has
+    columns ``(col, idx_col)`` and is cached (read by both the compaction
+    join and the caller's map-back join). Map-back joins on the user-side
+    map can be large (one row per distinct user) — leave them un-hinted and
+    let AQE broadcast when small.
+    """
+    idx = list(idx_cols) if idx_cols is not None else [f"_{c}_idx" for c in cols]
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    mm = df.agg(F.count(F.lit(1)).alias("_n"), *aggs).first()
+    fits = mm["_n"] == 0 or all(
+        v is None or _INT32_MIN <= v <= _INT32_MAX
+        for c in cols
+        for v in (mm[f"_mn_{c}"], mm[f"_mx_{c}"])
+    )
+    if fits:
+        return df, {c: None for c in cols}
+    maps: dict[str, DataFrame] = {}
+    out = df
+    for c, ic in zip(cols, idx):
+        m = (
+            two_stage_rank(df.select(c).distinct(), c, out_col="_r")
+            .select(c, F.col("_r").cast("int").alias(ic))
+            .cache()
+        )
+        maps[c] = m
+        # null-safe equi-join: a NULL id is a distinct value (it ranks
+        # first in two_stage_rank), and compaction must be a 1:1 re-key —
+        # a plain equi-join would silently drop null-keyed rows
+        mm_renamed = m.withColumnRenamed(c, f"_{ic}_key")
+        out = (
+            out.join(mm_renamed, F.col(c).eqNullSafe(F.col(f"_{ic}_key")))
+            .drop(c, f"_{ic}_key")
+            .withColumnRenamed(ic, c)
+        )
+    return out.select(*df.columns), maps
+
+
+def restore_ids(
+    df: DataFrame,
+    col: str,
+    mapping: DataFrame | None,
+    idx_col: str | None = None,
+) -> DataFrame:
+    """Translate a consumer-output column of dense indexes back to the
+    original ids via the mapping frame ``dense_id_compaction`` returned
+    (no-op when the mapping is None — the passthrough case). The join is
+    un-hinted: AQE broadcasts small maps; a 100 TB user map shuffles."""
+    if mapping is None:
+        return df
+    ic = idx_col or [c for c in mapping.columns if c != col][0]
+    return (
+        df.withColumnRenamed(col, ic)
+        .join(mapping, ic)
+        .drop(ic)
+    )
+
+
 def global_top_n(df: DataFrame, order_by: str, n: int, tie_breaker: str | None = None) -> DataFrame:
     """W2+W3 — global sort + limit (`read_db.py:34,52` + implicit show(20)).
 

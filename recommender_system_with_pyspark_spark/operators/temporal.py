@@ -469,6 +469,7 @@ def funnel(
     type_col: str,
     steps: Sequence[str],
     round_to: int = 6,
+    durable: bool = False,
 ) -> DataFrame:
     """Ordered multi-step funnel: a user converts through step i when an
     event of type ``steps[i]`` occurs STRICTLY AFTER their earliest
@@ -486,36 +487,56 @@ def funnel(
     only carries users still alive in the funnel).
 
     EAGER BY DESIGN (ADVICE r6): this function runs k Spark jobs AT CALL
-    TIME — one eager ``localCheckpoint`` + ``count()`` per step (only the
-    k scalar counts cross to the driver) — and returns a driver-built
+    TIME — one eager stage materialization + ``count()`` per step (only
+    the k scalar counts cross to the driver) — and returns a driver-built
     k-row literal frame. Callers composing it lazily get the jobs at
-    DataFrame-construction, not at action time. ``localCheckpoint`` blocks
-    are not recomputable after executor loss; each stage is consumed
-    within the call (its count + the next stage's build), so the exposure
-    window is the call itself — on a cluster where executors die
-    mid-funnel, rerun the call (or swap in ``persist(DISK) + count``,
-    trading recomputability for the extra write).
+    DataFrame-construction, not at action time.
+
+    Recomputability (VERDICT r7 #8): the default stage cut is
+    ``localCheckpoint`` — fastest, but its blocks are NOT recomputable
+    after executor loss; each stage is consumed within the call (its
+    count + the next stage's build), so the exposure window is the call
+    itself. ``durable=True`` swaps every stage cut for
+    ``persist(StorageLevel.DISK_ONLY)`` + count: executor loss mid-funnel
+    recomputes the stage from lineage/disk instead of failing the call,
+    at the cost of one extra local-disk write per stage (all stage
+    persists are released before returning). Outputs are identical either
+    way — the flag only changes fault-tolerance of the intermediate
+    blocks.
 
     Returns one row per step: (step, event_type, users, conv_from_prev,
     conv_from_first)."""
     spark = events.sparkSession
-    stage = (
+
+    def _cut(df: DataFrame) -> DataFrame:
+        # cut lineage: stage i feeds both its count() and stage i+1's join
+        if durable:
+            from pyspark import StorageLevel
+
+            return df.persist(StorageLevel.DISK_ONLY)
+        return df.localCheckpoint(eager=True)
+
+    persisted: list[DataFrame] = []
+    stage = _cut(
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("_t"))
-        .localCheckpoint(eager=True)  # cut lineage: stage i feeds both its
-    )                                 # count() and stage i+1's join
+    )
+    persisted.append(stage)
     counts = [stage.count()]
     for s in steps[1:]:
-        stage = (
+        stage = _cut(
             events.filter(F.col(type_col) == s)
             .join(stage.select(user_col, F.col("_t").alias("_prev")), user_col)
             .filter(F.col(ts_col) > F.col("_prev"))
             .groupBy(user_col)
             .agg(F.min(ts_col).alias("_t"))
-            .localCheckpoint(eager=True)
         )
+        persisted.append(stage)
         counts.append(stage.count())
+    if durable:  # every stage is fully consumed once the counts exist
+        for p in persisted:
+            p.unpersist()
     rows = [
         (
             i + 1,

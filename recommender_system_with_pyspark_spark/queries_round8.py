@@ -1,0 +1,130 @@
+"""Round-8 query surface (VERDICT r7 items #1/#2/#6).
+
+- ``als_id_ceiling_guard`` — hash-checked contract for the general
+  ``dense_id_compaction`` operator (the sf10 ALS int32 CAST_OVERFLOW fix,
+  promoted out of ``flagship.py``): DuckDB independently computes whether
+  the rating key space overflows int32 AND the invariants compaction must
+  preserve (row count, per-column distinct counts, post-compaction ids
+  fitting int32). At sf0.01 the passthrough branch runs (engaged=false);
+  at sf10 the compaction branch runs (engaged=true) — the same query row
+  is the sweep-visible witness VERDICT r7 #1 asked for.
+- ``multimodal_png_decode`` — REAL pure-stdlib PNG decode (zlib inflate +
+  all five scanline unfilters) through the Arrow mapInPandas path; the
+  fixture rasters carry the same cycled-text pixels as the BMP entry, so
+  the closed-form DuckDB pixel-statistics oracle applies unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import load_table
+from .operators import multimodal as M
+from .registry import query
+
+_I32 = 2**31 - 1
+
+
+@query(
+    "als_id_ceiling_guard",
+    oracle=f"""
+    WITH r AS (
+        SELECT o_custkey AS user_id, l_partkey AS item_id
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    )
+    SELECT (min(user_id) < -{_I32 + 1} OR max(user_id) > {_I32}
+         OR min(item_id) < -{_I32 + 1} OR max(item_id) > {_I32}) AS engaged,
+           CAST(count(*) AS BIGINT) AS n_ratings,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT item_id) AS BIGINT) AS n_items,
+           true AS ids_fit_int32
+    FROM r
+    """,
+)
+def als_id_ceiling_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract check for ``operators.relational.dense_id_compaction``
+    (VERDICT r7 #1/#2 — the MLlib-ALS int32 id-ceiling fix): run the
+    compaction over the flagship's implicit-ratings key space and emit
+
+    - ``engaged`` — whether the compaction branch (vs the exact
+      passthrough) ran: driver-side fact from the returned maps; DuckDB
+      recomputes the decision rule (any id outside int32) from the data,
+      so a wrong branch choice breaks the hash;
+    - ``n_ratings`` / ``n_users`` / ``n_items`` — counted on the
+      COMPACTED frame vs DuckDB's counts on the original: compaction must
+      be a 1:1 re-key that is bijective per id column;
+    - ``ids_fit_int32`` — computed from the compacted frame's actual
+      min/max: the whole point of the operator, asserted as a literal
+      ``true`` by the oracle.
+
+    At sf0.01/sf0.1 ids fit int32, so this hash-pins the passthrough; at
+    sf10 (keys ~2.2e9, SCALING.md r7) it exercises dense compaction and
+    the same row (engaged=true, ids_fit_int32=true, counts intact) is the
+    sweep's green witness that the CAST_OVERFLOW class is closed."""
+    from .flagship import implicit_ratings
+    from .operators.relational import dense_id_compaction
+
+    ratings = implicit_ratings(spark, sf_dir)
+    compact, maps = dense_id_compaction(ratings, ["user_id", "item_id"])
+    engaged = maps["user_id"] is not None
+    return compact.agg(
+        F.lit(engaged).alias("engaged"),
+        F.count(F.lit(1)).cast("long").alias("n_ratings"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.countDistinct("item_id").cast("long").alias("n_items"),
+        (
+            (F.min("user_id") >= F.lit(-_I32 - 1))
+            & (F.max("user_id") <= F.lit(_I32))
+            & (F.min("item_id") >= F.lit(-_I32 - 1))
+            & (F.max("item_id") <= F.lit(_I32))
+        ).alias("ids_fit_int32"),
+    )
+
+
+_IMG_W, _IMG_H = 16, 8
+_IMG_BYTES = _IMG_W * _IMG_H * 3  # 384
+
+_IMG_BYTE_LIST = (
+    f"[ascii(x) for x in string_split(left(repeat(text, "
+    f"CAST(ceil({_IMG_BYTES}.0 / length(text)) AS INT)), {_IMG_BYTES}), '')]"
+)
+
+
+@query(
+    "multimodal_png_decode",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id AS media_id, {_IMG_BYTE_LIST} AS l
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT media_id,
+           true AS decoded,
+           {_IMG_W} AS width,
+           {_IMG_H} AS height,
+           round(list_avg(l[1:{_IMG_BYTES}:3]), 6) AS mean_r,
+           round(list_avg(l[2:{_IMG_BYTES}:3]), 6) AS mean_g,
+           round(list_avg(l[3:{_IMG_BYTES}:3]), 6) AS mean_b,
+           round(sqrt(greatest(
+               list_avg([x * x for x in l]) - list_avg(l) ^ 2, 0)), 6)
+               AS pixel_std
+    FROM px
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode through the Arrow batch path (VERDICT r7 #6):
+    document bytes are cycled into the SAME 16×8 RGB raster as the BMP
+    entry, container-encoded as a genuine non-interlaced 8-bit truecolor
+    PNG (per-row filters cycling None/Sub/Up/Average/Paeth + zlib
+    deflate), then decoded back by parsing the chunk stream, inflating
+    IDAT, and un-filtering every scanline (operators/multimodal.decode_png
+    — pure stdlib zlib + numpy, no codec library). Width/height come from
+    IHDR and the channel means from the reconstructed raster, so a chunk
+    mis-parse, a broken unfilter (any of the five types), or a row-order
+    bug all break the oracle hash. DuckDB recomputes every statistic from
+    the text bytes alone — identical closed form to the BMP twin because
+    the pixel CONTENT is identical; only the container differs."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = M.text_to_png_media(docs, width=_IMG_W, height=_IMG_H)
+    return M.extract_image_features(media)

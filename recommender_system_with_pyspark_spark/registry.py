@@ -51,3 +51,4 @@ def load_all_queries() -> None:
     from . import queries_round5  # noqa: F401  (appended in round order: driver window is order-sensitive)
     from . import queries_round6  # noqa: F401
     from . import queries_round7  # noqa: F401
+    from . import queries_round8  # noqa: F401

@@ -1,0 +1,221 @@
+"""Round-8 tests (VERDICT r7 items #1/#2/#5/#6/#8).
+
+- dense_id_compaction promoted to operators/relational.py: passthrough and
+  compaction branches, restore_ids map-back, and the M10 surface
+  (ml.models.als_prediction) surviving long ids end-to-end.
+- Pure-stdlib PNG codec: round-trip through every scanline filter,
+  dispatch, corrupt-blob flagging through the Arrow feature path, and
+  BMP/PNG feature equality on identical pixel content.
+- funnel durable=True: identical output, no lingering persisted stages.
+- The two new registry entries against the tiny fixture.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from recommender_system_with_pyspark_spark.operators.relational import (
+    dense_id_compaction,
+    restore_ids,
+)
+
+
+# -------------------------------------------------- dense_id_compaction
+
+
+def test_dense_id_compaction_passthrough_is_same_object(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 20, 2.0)], "user_id long, item_id long, rating double"
+    )
+    out, maps = dense_id_compaction(df, ["user_id", "item_id"])
+    assert out is df
+    assert maps == {"user_id": None, "item_id": None}
+    # restore_ids is a no-op on the passthrough maps
+    assert restore_ids(out, "user_id", maps["user_id"]) is out
+
+
+def test_dense_id_compaction_compacts_and_restores(spark):
+    big = 5_000_000_000
+    rows = [(big + u, big * 2 + i, float(u + i)) for u in range(7) for i in range(5)]
+    df = spark.createDataFrame(rows, "user_id long, item_id long, rating double")
+    out, maps = dense_id_compaction(df, ["user_id", "item_id"])
+    assert maps["user_id"] is not None and maps["item_id"] is not None
+    assert out.columns == df.columns  # original column order preserved
+    stats = out.agg(
+        F.min("user_id"), F.max("user_id"), F.min("item_id"), F.max("item_id"),
+        F.count(F.lit(1)), F.countDistinct("user_id"), F.countDistinct("item_id"),
+    ).first()
+    assert stats[0] == 1 and stats[1] == 7 and stats[2] == 1 and stats[3] == 5
+    assert stats[4] == len(rows) and stats[5] == 7 and stats[6] == 5
+    # map-back restores the exact original (user, item, rating) triples
+    restored = restore_ids(
+        restore_ids(out, "user_id", maps["user_id"]), "item_id", maps["item_id"]
+    )
+    assert sorted(
+        (r["user_id"], r["item_id"], r["rating"]) for r in restored.collect()
+    ) == sorted(rows)
+
+
+def test_dense_id_compaction_single_column_and_nulls(spark):
+    """NULL is a distinct id value: it ranks first (ASC nulls-first) and
+    the null-safe re-key join must keep the row — a plain equi-join would
+    silently drop it."""
+    df = spark.createDataFrame(
+        [(5_000_000_000, "a"), (None, "b"), (7, "c")], "k long, v string"
+    )
+    out, maps = dense_id_compaction(df, ["k"])
+    assert maps["k"] is not None
+    got = {r["v"]: r["k"] for r in out.collect()}
+    assert set(got) == {"a", "b", "c"}  # no row lost
+    assert got["b"] == 1  # null ranks first
+    assert got["c"] == 2 and got["a"] == 3
+    assert maps["k"].filter(F.col("k").isNull()).count() == 1
+
+
+def test_als_prediction_m10_surface_survives_long_ids(spark):
+    """The M10 surface (ml.models.als_prediction) must not CAST_OVERFLOW on
+    long ids and must report predictions keyed by the ORIGINAL ids."""
+    from recommender_system_with_pyspark_spark.ml.models import als_prediction
+
+    big = 5_000_000_000
+    rows = [
+        (big + u, big * 2 + i, float((u * 3 + i) % 5 + 1))
+        for u in range(30) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, item_id long, rating double")
+    res = als_prediction(
+        df, ranks=(2,), reg_params=(0.1,), max_iter=2, seed=1, tune=False
+    )
+    assert res.metrics["rmse"] >= 0.0
+    pred = res.predictions.select("user_id", "item_id").collect()
+    assert pred, "seeded 80/20 split of 360 rows must leave a test slice"
+    assert all(r["user_id"] >= big and r["item_id"] >= big * 2 for r in pred)
+
+
+def test_als_prediction_passthrough_unchanged_for_int_ids(spark):
+    """Within-int32 ids take the exact passthrough: same metrics as before
+    the round-8 guard (golden band pinned by test_ml elsewhere; here just
+    assert the prediction ids are the originals and nothing was re-keyed)."""
+    from recommender_system_with_pyspark_spark.ml.models import als_prediction
+
+    rows = [(u, i, float((u + i) % 5 + 1)) for u in range(25) for i in range(10)]
+    df = spark.createDataFrame(rows, "user_id int, item_id int, rating double")
+    res = als_prediction(df, ranks=(2,), reg_params=(0.1,), max_iter=2, seed=1, tune=False)
+    got = {(r["user_id"], r["item_id"]) for r in res.predictions.select("user_id", "item_id").collect()}
+    assert got <= {(u, i) for u, i, _ in rows}
+
+
+# -------------------------------------------------- PNG codec
+
+
+def test_png_round_trip_all_filters(spark):
+    from recommender_system_with_pyspark_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    # >=5 rows so every filter type (row % 5) is exercised; odd widths too
+    for h, w in [(8, 16), (5, 3), (6, 1), (17, 9)]:
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        blob = encode_png(px)
+        rt = decode_png(blob)
+        assert rt.dtype == np.uint8 and rt.shape == (h, w, 3)
+        assert (rt == px).all()
+        assert (decode_image(blob) == px).all()  # dispatch
+
+
+def test_png_rejects_unsupported_variants():
+    from recommender_system_with_pyspark_spark.operators.multimodal import decode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    # corrupt a valid blob's IHDR colortype -> unsupported-variant error
+    from recommender_system_with_pyspark_spark.operators.multimodal import encode_png
+
+    blob = bytearray(encode_png(np.zeros((2, 2, 3), np.uint8)))
+    blob[8 + 8 + 9] = 6  # colortype byte inside IHDR -> RGBA
+    with pytest.raises(ValueError):
+        decode_png(bytes(blob))
+
+
+def test_image_features_png_equal_bmp_and_flag_corrupt(spark):
+    """Same pixel content through both containers must yield identical
+    feature rows; a corrupt blob flags decoded=false, never a task error."""
+    from recommender_system_with_pyspark_spark.operators.multimodal import (
+        extract_image_features,
+        text_to_bmp_media,
+        text_to_png_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "pack my box with five dozen jugs")],
+        "doc_id long, text string",
+    )
+    bmp = extract_image_features(text_to_bmp_media(docs)).collect()
+    png = extract_image_features(text_to_png_media(docs)).collect()
+    assert sorted(map(tuple, bmp), key=lambda t: t[0]) == sorted(
+        map(tuple, png), key=lambda t: t[0]
+    )
+    corrupt = spark.createDataFrame(
+        [(9, bytearray(b"\x89PNG\r\n\x1a\nbroken"))], "media_id long, media binary"
+    )
+    row = extract_image_features(corrupt).collect()[0]
+    assert row["decoded"] is False and row["mean_r"] is None
+
+
+# -------------------------------------------------- funnel durable mode
+
+
+def test_funnel_durable_matches_default(spark):
+    from recommender_system_with_pyspark_spark.operators.temporal import funnel
+
+    rows = []
+    for u in range(40):
+        rows.append((u, 100 + u, "view"))
+        if u % 2 == 0:
+            rows.append((u, 200 + u, "cart"))
+        if u % 4 == 0:
+            rows.append((u, 300 + u, "buy"))
+        if u % 8 == 0:
+            rows.append((u, 50 + u, "buy"))  # before the view -> must not count
+    ev = spark.createDataFrame(rows, "user_id long, ts long, etype string")
+    args = (ev, "user_id", "ts", "etype", ["view", "cart", "buy"])
+    base = funnel(*args)
+    n_persistent_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    durable = funnel(*args, durable=True)
+    # durable mode releases every stage before returning: no net growth in
+    # the persistent-RDD registry (other session-scoped caches may exist)
+    n_persistent_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_persistent_after <= n_persistent_before
+    assert base.collect() == durable.collect()
+    expected = [(1, "view", 40), (2, "cart", 20), (3, "buy", 10)]
+    got = [(r["step"], r["event_type"], r["users"]) for r in base.collect()]
+    assert got == expected
+
+
+# -------------------------------------------------- new registry entries
+
+
+def test_als_id_ceiling_guard_tiny_passthrough(spark, sf_tiny):
+    from recommender_system_with_pyspark_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    row = QUERIES["als_id_ceiling_guard"](spark, sf_tiny).collect()[0]
+    assert row["engaged"] is False  # tiny keys fit int32 -> passthrough
+    assert row["ids_fit_int32"] is True
+    assert row["n_ratings"] >= row["n_users"] >= 1
+
+
+def test_multimodal_png_decode_query_runs(spark, sf_tiny):
+    from recommender_system_with_pyspark_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    out = QUERIES["multimodal_png_decode"](spark, sf_tiny)
+    rows = out.collect()
+    assert rows and all(r["decoded"] for r in rows)
+    assert all(r["width"] == 16 and r["height"] == 8 for r in rows)
+    assert all(0.0 <= r["mean_r"] <= 255.0 for r in rows)
