@@ -171,13 +171,29 @@ def two_stage_rank(
         grp = grp + (F.col("_tsr_key") > F.lit(c)).cast("int")
     grp = F.when(F.col("_tsr_key").isNull(), F.lit(-1)).otherwise(grp)
     gdf = kdf.withColumn("_tsr_grp", grp)
-    woff = (Window.partitionBy(*pcols).orderBy("_tsr_grp")
-            .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = (
-        gdf.groupBy(*pcols, "_tsr_grp").agg(F.count(F.lit(1)).alias("_n"))
-        .withColumn("_tsr_off", F.coalesce(F.sum("_n").over(woff), F.lit(0)))
-        .drop("_n")
-    )
+    counts = gdf.groupBy(*pcols, "_tsr_grp").agg(F.count(F.lit(1)).alias("_n"))
+    if pcols:
+        # partitioned by the rank keys over a group-cardinality frame —
+        # never single-partition
+        woff = (Window.partitionBy(*pcols).orderBy("_tsr_grp")
+                .rowsBetween(Window.unboundedPreceding, -1))
+        offsets = counts.withColumn(
+            "_tsr_off", F.coalesce(F.sum("_n").over(woff), F.lit(0))
+        ).drop("_n")
+    else:
+        # GLOBAL rank: an empty PARTITION BY would plan the one remaining
+        # unpartitioned window (benign at n_groups rows, but it trips the
+        # plan-hygiene gate) — same strictly-earlier broadcast self-join
+        # as two_stage_cumsum over the tiny counts frame instead
+        prior = counts.select(
+            F.col("_tsr_grp").alias("_pg"), F.col("_n").alias("_pn")
+        )
+        offsets = (
+            counts.join(F.broadcast(prior), F.col("_pg") < F.col("_tsr_grp"), "left")
+            .groupBy("_tsr_grp", "_n")
+            .agg(F.coalesce(F.sum("_pn"), F.lit(0)).alias("_tsr_off"))
+            .drop("_n")
+        )
     wloc = (Window.partitionBy(*pcols, "_tsr_grp")
             .orderBy(F.col("_tsr_key").asc_nulls_first(),
                      *[F.col(c) for c in tiebreak]))
