@@ -219,3 +219,92 @@ def test_multimodal_png_decode_query_runs(spark, sf_tiny):
     assert rows and all(r["decoded"] for r in rows)
     assert all(r["width"] == 16 and r["height"] == 8 for r in rows)
     assert all(0.0 <= r["mean_r"] <= 255.0 for r in rows)
+
+
+# ---------------------------------------------------------------- JPEG codec
+
+
+def test_jpeg_constant_blocks_decode_to_closed_form():
+    from recommender_system_with_pyspark_spark.operators.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    def predict(v: np.ndarray) -> np.ndarray:
+        s = v - 128.0
+        qc = np.sign(s / 2) * np.floor(np.abs(s / 2) + 0.5)
+        return np.clip(2 * qc + 128, 0, 255)
+
+    for seed in range(5):
+        rng = np.random.RandomState(seed)
+        vals = rng.randint(0, 256, size=(4, 8))
+        img = np.kron(vals, np.ones((8, 8))).astype(np.uint8)
+        dec = decode_jpeg_gray(encode_jpeg_gray(img))
+        assert np.array_equal(dec.astype(float), np.kron(predict(vals.astype(float)), np.ones((8, 8))))
+    for v in (0, 127, 128, 255):  # clamp + odd/even DC parity edges
+        dec = decode_jpeg_gray(encode_jpeg_gray(np.full((8, 8), v, np.uint8)))
+        assert np.all(dec.astype(float) == predict(np.float64(v)))
+
+
+def test_jpeg_lossy_roundtrip_bounded_and_general_content():
+    from recommender_system_with_pyspark_spark.operators.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, size=(24, 40)).astype(np.uint8)  # worst case: noise
+    dec = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    # noise is JPEG's worst case; Annex-K tables bound the error well under
+    # the all-coefficients-clipped ceiling
+    assert np.abs(dec.astype(int) - img.astype(int)).max() < 128
+    x, y = np.meshgrid(np.arange(40), np.arange(24))
+    smooth = (128 + 60 * np.sin(x / 6) + 40 * np.cos(y / 4)).astype(np.uint8)
+    dec2 = decode_jpeg_gray(encode_jpeg_gray(smooth))
+    assert np.abs(dec2.astype(int) - smooth.astype(int)).mean() < 4
+
+
+def test_jpeg_rejects_unsupported_and_corrupt():
+    from recommender_system_with_pyspark_spark.operators.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"\x00\x01not a jpeg")
+    with pytest.raises(ValueError):
+        encode_jpeg_gray(np.zeros((7, 8), np.uint8))  # h not multiple of 8
+    blob = bytearray(encode_jpeg_gray(np.full((8, 8), 77, np.uint8)))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # masquerade as progressive
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(blob))
+
+
+def test_decode_image_dispatches_jpeg_and_features_flag_corrupt(spark):
+    from recommender_system_with_pyspark_spark.operators import multimodal as M
+    from recommender_system_with_pyspark_spark.operators.jpegcodec import encode_jpeg_gray
+
+    gray = np.kron(
+        np.array([[10, 200], [128, 55]]), np.ones((8, 8))
+    ).astype(np.uint8)
+    px = M.decode_image(encode_jpeg_gray(gray))
+    assert px.shape == (16, 16, 3)
+    assert np.array_equal(px[:, :, 0], px[:, :, 2])  # gray replicated per channel
+
+    rows = [(1, bytes(encode_jpeg_gray(gray))), (2, b"\xff\xd8garbage")]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    out = {r["media_id"]: r for r in M.extract_image_features(df).collect()}
+    assert out[1]["decoded"] is True and out[1]["width"] == 16
+    assert out[2]["decoded"] is False and out[2]["mean_r"] is None
+
+
+def test_multimodal_jpeg_decode_query_runs(spark, sf_tiny):
+    from recommender_system_with_pyspark_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    rows = QUERIES["multimodal_jpeg_decode"](spark, sf_tiny).collect()
+    assert rows and all(r["decoded"] for r in rows)
+    assert all(r["width"] == 64 and r["height"] == 32 for r in rows)
+    assert all(r["mean_r"] == r["mean_g"] == r["mean_b"] for r in rows)
