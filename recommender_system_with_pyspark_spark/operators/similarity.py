@@ -388,11 +388,24 @@ def _block_pair_scorer(threshold: float):
         b = np.stack(rpdf["_rv"].to_numpy()).astype("float64")
         a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-30)
         b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-30)
-        sims = np.round(a @ b.T, 6)
         aid = lpdf["_id"].to_numpy()
         bid = rpdf["_rid"].to_numpy()
-        ii, jj = np.where(sims >= threshold)
-        ia, ib, s = aid[ii], bid[jj], sims[ii, jj]
+        # tile the matmul in left-row strips so the similarity buffer stays
+        # bounded (~16M f64 cells ≈ 128 MB) no matter how fat a hash block
+        # gets — an untiled 50k×50k block is a 20 GB buffer that OOM-kills
+        # the Python worker (seen at the sf10 census, SCALING.md round 8);
+        # strip-wise BLAS GEMM has the same throughput
+        strip = max(1, 16_000_000 // max(len(bid), 1))
+        ia_parts, ib_parts, s_parts = [], [], []
+        for s0 in range(0, len(aid), strip):
+            sims = np.round(a[s0 : s0 + strip] @ b.T, 6)
+            ii, jj = np.where(sims >= threshold)
+            ia_parts.append(aid[s0 + ii])
+            ib_parts.append(bid[jj])
+            s_parts.append(sims[ii, jj])
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        s = np.concatenate(s_parts)
         if ci == cj:
             # same block on both sides: keep each unordered pair once
             mask = ia < ib

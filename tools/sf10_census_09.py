@@ -4,9 +4,13 @@ Round 7 showed the 0.4-threshold exact censuses are RESULT-bound at sf10
 (sample-estimated ≈1.74e9 qualifying pairs; runs correctly stopped). This
 completes the decade table with a finishable measurement at threshold 0.9
 (estimator prediction ≈2.2M pairs): the SAME operators the registry
-entries use (embedding_near_dup_blocked n_chunks=4; semantic_dedup_pairs
-n_cells=8 seed=1), threshold raised to 0.9, run to completion, measured
-wall-clock + exact pair count, checked against the sample estimator.
+entries use, threshold raised to 0.9 and block geometry scaled with the
+data (n_chunks=16 / n_cells=16 — the operators' own 100 TB sizing rule:
+block count grows with n so per-task inputs stay executor-sized; the
+sf0.01/sf0.1 registry geometries at sf10 left 50k-row blocks whose
+untiled similarity buffer OOM-killed Python workers, now ALSO fixed
+generally by strip-tiling inside _block_pair_scorer), run to completion,
+measured wall-clock + exact pair count, checked against the estimator.
 
 Usage: python tools/sf10_census_09.py [sf_dir]   (default .scale/sf10)
 Prints one JSON line per measurement and a summary tail.
@@ -65,9 +69,9 @@ def main() -> int:
     results = {}
     for name, build in (
         ("embedding_near_dup@0.9", lambda df: S.embedding_near_dup_blocked(
-            df, "vec_id", "embedding", threshold=THRESHOLD, n_chunks=4)),
+            df, "vec_id", "embedding", threshold=THRESHOLD, n_chunks=16)),
         ("semantic_dedup@0.9", lambda df: S.semantic_dedup_pairs(
-            df, "vec_id", "embedding", threshold=THRESHOLD, n_cells=8, seed=1)),
+            df, "vec_id", "embedding", threshold=THRESHOLD, n_cells=16, seed=1)),
     ):
         emb = load_table(spark, sf_dir, "embeddings")
         t0 = time.time()
