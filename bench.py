@@ -78,6 +78,35 @@ def _isolation_barrier(spark) -> None:
     _t.sleep(0.3)  # let async cleaner callbacks drain
 
 
+def _bench_in_subprocess(name: str) -> float | None:
+    """Fresh-session mode for heap-heavy entries (VERDICT r7 #5): measure
+    ``name`` in its OWN interpreter + JVM + Python-worker pool via a
+    recursive bench.py invocation restricted to that query. The in-JVM
+    barrier above was not enough — round-8 back-to-back sf1 suites still
+    swung the cogroup entries up to ~2.6× (accumulated pyspark worker
+    state / page-cache history), while dedicated sessions reproduce their
+    constants. Costs ~20 s JVM startup per entry, so it is opt-in
+    (``SPARK_GRAFT_BENCH_SUBPROC_HEAVY=1``) for stability studies and
+    SCALING.md constants; the driver's headline run keeps the shared
+    session. Returns the child's median, or None on child failure."""
+    import json as _json
+    import subprocess
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_ONLY"] = name
+    env["SPARK_GRAFT_BENCH_SUBPROC_HEAVY"] = "0"  # no recursion
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        capture_output=True, text=True, env=env, timeout=3600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("{"):
+            out = _json.loads(line)
+            return out["queries"].get(name)
+    print(f"BENCH SUBPROC ERROR {name}: {proc.stderr[-300:]}", file=sys.stderr)
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -112,21 +141,34 @@ def main() -> None:
     isolate = os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    subproc_heavy = os.environ.get("SPARK_GRAFT_BENCH_SUBPROC_HEAVY", "0") == "1"
     for name in HEADLINE:
         fn = qs[name]
+        if subproc_heavy and name in HEAP_HEAVY:
+            t = _bench_in_subprocess(name)
+            if t is None:
+                errors[name] = "subprocess bench failed"
+            else:
+                timings[name] = t
+            continue
         if isolate and name in HEAP_HEAVY:
             _isolation_barrier(spark)
         # median-of-N after one DISCARDED warmup (VERDICT r5 #7): best-of-2
         # still swung +-48% on sub-second entries round-over-round; the
         # warmup absorbs per-query class-load/codegen cost, the median is
         # robust to one slow outlier without rewarding a lucky cache hit
+        # heap-heavy cogroup entries tier up slowly: measured settle curve
+        # at sf1 is ~18.6 -> 7.5 -> 5.9 -> 5.7 -> flat (Arrow+cogroup JIT
+        # needs several runs), so one discarded warmup leaves the median
+        # contaminated by warmup decay — give them three
+        n_warm = 3 if name in HEAP_HEAVY else 1
         try:
             samples: list[float] = []
-            for i in range(1 + max(1, repeats)):
+            for i in range(n_warm + max(1, repeats)):
                 t0 = time.time()
                 df = fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
-                if i > 0:  # drop the warmup run
+                if i >= n_warm:  # drop the warmup runs
                     samples.append(time.time() - t0)
             samples.sort()
             mid = len(samples) // 2

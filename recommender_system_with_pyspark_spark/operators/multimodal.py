@@ -284,14 +284,17 @@ def decode_image(data: bytes) -> "object":
     if data[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(data)
     if data[:2] == b"\xff\xd8":
-        from .jpegcodec import decode_jpeg_gray
+        from .jpegcodec import decode_jpeg
 
-        gray = decode_jpeg_gray(data)  # raises ValueError on color/progressive
-        return np.repeat(gray[:, :, None], 3, axis=2)
+        px = decode_jpeg(data)  # raises ValueError on progressive/subsampled
+        if px.ndim == 2:  # grayscale: replicate so channel features align
+            return np.repeat(px[:, :, None], 3, axis=2)
+        return px
     raise NotImplementedError(
-        "only BMP, 8-bit RGB PNG, and baseline grayscale JPEG decode in "
-        "this container; color JPEG requires a codec library — use "
-        "extract_byte_features for the plumbing-level path"
+        "only BMP, 8-bit RGB PNG, and baseline JPEG (grayscale or 4:4:4 "
+        "color) decode in this container; subsampled/progressive JPEG "
+        "requires a codec library — use extract_byte_features for the "
+        "plumbing-level path"
     )
 
 
@@ -511,6 +514,47 @@ def text_to_jpeg_media(
                 vals = np.resize(arr, n_blocks).reshape(height // 8, width // 8)
                 raster = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
                 out.append((mid, encode_jpeg_gray(raster)))
+            yield pd.DataFrame(out, columns=["media_id", "media"])
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        batches, "media_id long, media binary"
+    )
+
+
+def text_to_jpeg_color_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 48,
+    height: int = 24,
+) -> DataFrame:
+    """COLOR-JPEG twin of ``text_to_jpeg_media``: the same cycled-text
+    block values rendered as a GRAY-VALUED RGB raster (R=G=B per block)
+    and encoded through the full 4:4:4 color pipeline
+    (``jpegcodec.encode_jpeg_color`` — YCbCr transform, chroma quant +
+    Huffman tables, interleaved Y/Cb/Cr MCUs). Gray input keeps the color
+    codec exactly predictable (Cb=Cr=128 ⇒ all-zero chroma blocks), so
+    the ``multimodal_jpeg_color_decode`` oracle reuses the luma closed
+    form while the decode path exercises every color-specific moving part:
+    three DC predictor chains, both table families, and the YCbCr→RGB
+    transform."""
+    import numpy as np
+
+    from .jpegcodec import encode_jpeg_color
+
+    if width % 8 or height % 8:
+        raise ValueError("width/height must be multiples of 8")
+    n_blocks = (height // 8) * (width // 8)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                arr = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
+                vals = np.resize(arr, n_blocks).reshape(height // 8, width // 8)
+                gray = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                out.append((mid, encode_jpeg_color(rgb)))
             yield pd.DataFrame(out, columns=["media_id", "media"])
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(

@@ -644,3 +644,56 @@ def crossdoc_ngram_overlap(
             ).alias("dup_ratio"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 512,
+    overlap: int = 128,
+) -> DataFrame:
+    """Split documents into overlapping fixed-width character windows —
+    the retrieval/context-packing chunker every RAG or long-context
+    training pipeline needs in front of an embedding model. Stride is
+    ``chunk_chars - overlap``; chunk ``i`` covers
+    ``[i·stride, i·stride + chunk_chars)`` and the count is
+    ``max(1, ceil((len - overlap) / stride))`` so the final window still
+    overlaps its predecessor instead of emitting an orphan tail.
+
+    Entirely native (sequence → posexplode → substring), so the whole
+    plan stays in whole-stage codegen with NO Python in the loop and NO
+    shuffle — chunking is embarrassingly row-parallel, the natural prelude
+    to a 100 TB corpus scan. Token-budget counting per chunk rides along
+    (whitespace tokens, same rule as ``token_count``).
+
+    Returns (id, chunk_ix, chunk_text, chunk_chars_len, chunk_tokens);
+    deterministic, partitioning-invariant.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(F.col(text_col)) - F.lit(overlap)) / F.lit(stride)).cast("int"),
+    )
+    out = (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_ix", "_i"),
+        )
+        .select(
+            id_col,
+            "chunk_ix",
+            F.col(text_col)
+            .substr(F.col("chunk_ix") * stride + 1, F.lit(chunk_chars))
+            .alias("chunk_text"),
+        )
+        .withColumn("chunk_chars_len", F.length("chunk_text"))
+        .withColumn(
+            "chunk_tokens",
+            F.size(F.split(F.trim(F.col("chunk_text")), r"\s+")),
+        )
+    )
+    return out

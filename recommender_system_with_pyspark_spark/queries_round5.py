@@ -286,8 +286,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tuning-to-recall), while the pair join never goes all-pairs
     (operators/similarity.semantic_dedup_pairs)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # n_cells=32 (was 8): at threshold 0.45 the triangle bound prunes few
+    # cell-pair blocks, so 36 fat tasks were straggler-bound on 32 cores
+    # (sf1 stability study, SCALING.md round 8); ~528 small tasks average
+    # placement noise out and cap per-task memory. The pair set is exact
+    # by construction for ANY cell count — the oracle hash is unchanged.
     return S.semantic_dedup_pairs(emb, "vec_id", "embedding",
-                                  threshold=0.45, n_cells=8, seed=1)
+                                  threshold=0.45, n_cells=32, seed=1)
 
 
 @query(

@@ -188,3 +188,89 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     media = M.text_to_jpeg_media(docs, width=_JPG_W, height=_JPG_H)
     return M.extract_image_features(media)
+
+
+# Color-JPEG fixture geometry: 48×24 = 6×3 = 18 blocks per image.
+_JPGC_W, _JPGC_H = 48, 24
+_JPGC_BLOCKS = (_JPGC_W // 8) * (_JPGC_H // 8)  # 18
+
+_JPGC_BYTE_LIST = (
+    f"[ascii(x) for x in string_split(left(repeat(text, "
+    f"CAST(ceil({_JPGC_BLOCKS}.0 / length(text)) AS INT)), {_JPGC_BLOCKS}), '')]"
+)
+
+_JPGC_DECODED = (
+    "[least(255.0, greatest(0.0, 2 * round((v - 128) / 2.0) + 128)) "
+    f"for v in {_JPGC_BYTE_LIST}]"
+)
+
+
+@query(
+    "multimodal_jpeg_color_decode",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id AS media_id, {_JPGC_DECODED} AS d
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT media_id,
+           true AS decoded,
+           {_JPGC_W} AS width,
+           {_JPGC_H} AS height,
+           round(list_avg(d), 6) AS mean_r,
+           round(list_avg(d), 6) AS mean_g,
+           round(list_avg(d), 6) AS mean_b,
+           round(sqrt(greatest(
+               list_avg([x * x for x in d]) - list_avg(d) ^ 2, 0)), 6)
+               AS pixel_std
+    FROM px
+    """,
+)
+def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 4:4:4 COLOR JPEG through the Arrow batch path: the grayscale
+    entry's cycled-text block values rendered as gray-valued RGB and
+    encoded with the complete color pipeline — JFIF YCbCr transform,
+    separate luminance/chrominance quant + Huffman tables, interleaved
+    Y/Cb/Cr MCUs with three independent DC predictor chains — then decoded
+    back through the same inverse chain plus YCbCr→RGB
+    (``operators/jpegcodec.encode_jpeg_color``/``decode_jpeg``). Gray
+    input pins the chroma planes to exactly 128 (all-zero chroma blocks),
+    so every channel's decoded statistics follow the SAME luma closed form
+    the DuckDB oracle recomputes from the text — while a broken chroma
+    Huffman table, a slipped component interleave, a wrong DC predictor,
+    or a color-transform drift all corrupt the hash (chroma errors leak
+    into R/G/B through the YCbCr→RGB mix)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = M.text_to_jpeg_color_media(docs, width=_JPGC_W, height=_JPGC_H)
+    return M.extract_image_features(media)
+
+
+@query(
+    "document_chunks",
+    oracle="""
+    SELECT doc_id,
+           CAST(ix AS INT) AS chunk_ix,
+           substring(text, CAST(ix * 384 + 1 AS INT), 512) AS chunk_text,
+           CAST(length(substring(text, CAST(ix * 384 + 1 AS INT), 512)) AS INT)
+               AS chunk_chars_len,
+           CAST(length(string_split_regex(
+               trim(substring(text, CAST(ix * 384 + 1 AS INT), 512)), '\\s+'))
+               AS INT) AS chunk_tokens
+    FROM documents,
+         LATERAL (SELECT unnest(range(greatest(1, CAST(ceil(
+             (length(text) - 128) / 384.0) AS BIGINT)))) AS ix)
+    WHERE length(text) > 0
+    """,
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG / long-context chunker over the documents corpus: 512-char windows
+    with 128-char overlap (stride 384), one output row per chunk with its
+    char and whitespace-token budget — the operator that fronts every
+    embedding/indexing pass over a training corpus. The plan is pure
+    whole-stage-codegen row expansion (sequence → posexplode → substring):
+    no shuffle, no Python, no window — scan-parallel at any corpus size.
+    DuckDB recomputes every window boundary, the overlap rule, and the
+    token counts from the raw text (operators/text.chunk_documents)."""
+    from .operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return chunk_documents(docs, "doc_id", "text", chunk_chars=512, overlap=128)

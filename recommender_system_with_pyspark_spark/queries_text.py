@@ -378,7 +378,11 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tasks). ``embedding_near_dup_blas`` remains the opt-in fast path when
     one side fits in a broadcast."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_near_dup_blocked(emb, "vec_id", "embedding", threshold=0.4, n_chunks=4)
+    # n_chunks=16: 136 block tasks instead of 10 — with 32 cores, 10 fat
+    # tasks are straggler-bound (wall-clock = slowest task placement, the
+    # sf1 stability study's variance source); many small tasks average out
+    # AND cap per-task memory. Output is identical for any chunk count.
+    return S.embedding_near_dup_blocked(emb, "vec_id", "embedding", threshold=0.4, n_chunks=16)
 
 
 def _ann_exact_oracle(max_qid: int, k: int) -> str:

@@ -36,6 +36,18 @@ def get_spark(
     memory knob. On a cluster the same conf applies unchanged — the defaults
     below are all scale-safe (AQE adapts partition counts at runtime).
     """
+    # Pin BLAS pools to one thread per Python worker: Spark supplies the
+    # parallelism (one worker per core), so OpenBLAS/OMP defaulting to
+    # ncpu threads PER worker oversubscribes the box ~cores× (32 workers ×
+    # 32 BLAS threads here) and makes every cogroup-BLAS operator's
+    # wall-clock chaotic (SCALING.md round 8: semantic_dedup swung 3× run
+    # to run). setdefault so a cluster deployment that deliberately sizes
+    # BLAS pools (fat executors, few tasks) can still override. Must happen
+    # before the JVM launches — local-mode Python workers inherit this
+    # process's environment; on a cluster set the same via
+    # spark.executorEnv.* in extra_conf.
+    for _var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(_var, "1")
     cpus = shuffle_partitions if shuffle_partitions is not None else _DEFAULT_CPUS
     builder = (
         SparkSession.builder.appName(app_name)

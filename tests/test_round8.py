@@ -308,3 +308,94 @@ def test_multimodal_jpeg_decode_query_runs(spark, sf_tiny):
     assert rows and all(r["decoded"] for r in rows)
     assert all(r["width"] == 64 and r["height"] == 32 for r in rows)
     assert all(r["mean_r"] == r["mean_g"] == r["mean_b"] for r in rows)
+
+
+def test_jpeg_color_gray_fixture_exact_and_real_color_bounded():
+    from recommender_system_with_pyspark_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    def predict(v: np.ndarray) -> np.ndarray:
+        s = v - 128.0
+        qc = np.sign(s / 2) * np.floor(np.abs(s / 2) + 0.5)
+        return np.clip(2 * qc + 128, 0, 255)
+
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 256, size=(3, 4))
+    gray_rgb = np.repeat(
+        np.kron(vals, np.ones((8, 8))).astype(np.uint8)[:, :, None], 3, axis=2
+    )
+    dec = decode_jpeg(encode_jpeg_color(gray_rgb))
+    assert dec.shape == gray_rgb.shape
+    pred = np.kron(predict(vals.astype(float)), np.ones((8, 8)))
+    for ch in range(3):  # R=G=B -> zero chroma -> luma closed form per channel
+        assert np.array_equal(dec[:, :, ch].astype(float), pred)
+
+    col = rng.randint(0, 256, size=(16, 24, 3)).astype(np.uint8)
+    dec2 = decode_jpeg(encode_jpeg_color(col))  # genuine color content
+    assert dec2.shape == col.shape
+    assert np.abs(dec2.astype(int) - col.astype(int)).max() < 192  # coarse chroma
+    const = np.kron(
+        rng.randint(0, 256, size=(2, 3, 3)), np.ones((8, 8, 1))
+    ).astype(np.uint8)
+    dec3 = decode_jpeg(encode_jpeg_color(const))
+    assert np.abs(dec3.astype(int) - const.astype(int)).max() <= 3
+
+
+def test_jpeg_color_rejects_gray_entry_and_bad_shapes():
+    from recommender_system_with_pyspark_spark.operators.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_color,
+    )
+
+    rgb = np.full((8, 8, 3), 90, np.uint8)
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(encode_jpeg_color(rgb))  # color stream, gray entry
+    with pytest.raises(ValueError):
+        encode_jpeg_color(np.zeros((8, 8), np.uint8))  # missing channel dim
+    with pytest.raises(ValueError):
+        encode_jpeg_color(np.zeros((12, 8, 3), np.uint8))  # h not 8-aligned
+
+
+def test_multimodal_jpeg_color_decode_query_runs(spark, sf_tiny):
+    from recommender_system_with_pyspark_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    rows = QUERIES["multimodal_jpeg_color_decode"](spark, sf_tiny).collect()
+    assert rows and all(r["decoded"] for r in rows)
+    assert all(r["width"] == 48 and r["height"] == 24 for r in rows)
+    assert all(r["mean_r"] == r["mean_g"] == r["mean_b"] for r in rows)
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    from recommender_system_with_pyspark_spark.operators.text import chunk_documents
+
+    text = "abcdefghij" * 10  # 100 chars
+    df = spark.createDataFrame([(1, text), (2, "short"), (3, "x" * 40)],
+                               "doc_id long, text string")
+    out = chunk_documents(df, chunk_chars=40, overlap=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: len 100, stride 30 -> ceil(90/30) = 3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_ix"])
+    assert [r["chunk_ix"] for r in c1] == [0, 1, 2]
+    assert c1[0]["chunk_text"] == text[0:40]
+    assert c1[1]["chunk_text"] == text[30:70]  # 10-char overlap with chunk 0
+    assert c1[2]["chunk_text"] == text[60:100]
+    assert all(r["chunk_chars_len"] == 40 for r in c1)
+    # doc 2: shorter than one chunk -> exactly one (whole-text) chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short"
+    # doc 3: len == chunk -> one chunk
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_chars_len"] == 40
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=10, overlap=10)
+
+
+def test_chunk_documents_no_shuffle_plan(spark):
+    from recommender_system_with_pyspark_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # row-parallel: no shuffle anywhere
