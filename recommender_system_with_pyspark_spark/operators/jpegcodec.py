@@ -13,9 +13,16 @@ chrominance quant/Huffman tables, interleaved Y/Cb/Cr MCUs). No codec
 library; everything here is the public JPEG (ITU-T T.81) baseline process
 with the Annex K example tables.
 
-Remaining honest scope limits: SUBSAMPLED (non-1×1) and progressive JPEG,
-plus MP3, stay behind the documented stub in ``multimodal.decode_image``
-— real deployments plug in PIL/libvips/ffmpeg there. Constant-block
+Round-8b adds 4:2:0 CHROMA SUBSAMPLING — the dominant JPEG variant in
+real corpora: ``encode_jpeg_420`` box-averages Cb/Cr 2×2 and emits
+interleaved 16×16 MCUs (four Y blocks + one Cb + one Cr, T.81 A.2.3
+block order), and ``decode_jpeg`` now handles ARBITRARY sampling factors
+in {1,2}² per component (generic MCU geometry + per-component plane
+assembly + nearest-neighbor upsample), so 4:4:4, 4:2:2 and 4:2:0 all
+decode through one code path. Remaining honest scope limits:
+progressive JPEG and MP3 stay behind the documented stub in
+``multimodal.decode_image`` — real deployments plug in
+PIL/libvips/ffmpeg there. Constant-block
 fixtures keep the lossy pipeline exactly predictable: an 8×8 block of
 constant value ``v`` has only a DC coefficient (``8·(v−128)``), so the
 decoded block is exactly ``clamp(2·round_half_away((v−128)/2) + 128)``
@@ -405,14 +412,97 @@ def encode_jpeg_color(pixels: "np.ndarray") -> bytes:
     )
 
 
+def encode_jpeg_420(pixels: "np.ndarray") -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline 4:2:0 color JFIF
+    JPEG — the subsampled layout virtually every camera/web JPEG uses:
+    chroma planes are 2×2 box-averaged to half resolution and each
+    interleaved MCU covers 16×16 pixels as four Y blocks (raster order
+    within the MCU, T.81 A.2.3) followed by one Cb and one Cr block.
+    Dimensions must be multiples of 16 (fixture synthesizers guarantee
+    it; a general encoder would edge-pad)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.shape[0] % 16 or arr.shape[1] % 16:
+        raise ValueError("encode_jpeg_420 expects (h, w, 3) uint8 with 16|h and 16|w")
+    h, w = arr.shape[:2]
+    r = arr[:, :, 0].astype(np.float64)
+    g = arr[:, :, 1].astype(np.float64)
+    b = arr[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    # 2x2 box average to half-resolution chroma (centered planes stay centered)
+    cb_ds = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    cr_ds = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    luma_codes = (_canonical_codes(DC_BITS, DC_VALS), _canonical_codes(AC_BITS, AC_VALS))
+    chroma_codes = (
+        _canonical_codes(DC_C_BITS, DC_C_VALS),
+        _canonical_codes(AC_C_BITS, AC_C_VALS),
+    )
+    q_luma = QUANT_LUMA.astype(np.float64)
+    q_chroma = QUANT_CHROMA.astype(np.float64)
+
+    writer = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for my in range(0, h, 16):  # MCU = 4 Y blocks + Cb + Cr
+        for mx in range(0, w, 16):
+            for byi in (0, 8):
+                for bxi in (0, 8):
+                    prev_dc[0] = _encode_block(
+                        writer,
+                        y[my + byi : my + byi + 8, mx + bxi : mx + bxi + 8],
+                        q_luma,
+                        luma_codes[0],
+                        luma_codes[1],
+                        prev_dc[0],
+                    )
+            cy, cx = my // 2, mx // 2
+            for c, plane in ((1, cb_ds), (2, cr_ds)):
+                prev_dc[c] = _encode_block(
+                    writer,
+                    plane[cy : cy + 8, cx : cx + 8],
+                    q_chroma,
+                    chroma_codes[0],
+                    chroma_codes[1],
+                    prev_dc[c],
+                )
+    writer.flush()
+
+    dqt = _seg(
+        0xDB, b"\x00" + bytes(QUANT_LUMA.reshape(64)[ZIGZAG].astype(np.uint8))
+    ) + _seg(0xDB, b"\x01" + bytes(QUANT_CHROMA.reshape(64)[ZIGZAG].astype(np.uint8)))
+    # Y sampling 2x2 (0x22), chroma 1x1 — the 4:2:0 signature
+    sof = _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    dht = (
+        _seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+        + _seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+        + _seg(0xC4, b"\x01" + bytes(DC_C_BITS) + bytes(DC_C_VALS))
+        + _seg(0xC4, b"\x11" + bytes(AC_C_BITS) + bytes(AC_C_VALS))
+    )
+    sos = _seg(
+        0xDA, b"\x03" + bytes([1, 0x00]) + bytes([2, 0x11]) + bytes([3, 0x11]) + bytes([0, 63, 0])
+    )
+    return (
+        b"\xff\xd8" + _JFIF_APP0 + dqt + sof + dht + sos + bytes(writer.out) + b"\xff\xd9"
+    )
+
+
 def decode_jpeg(data: bytes) -> "np.ndarray":
     """Decode a baseline JPEG: grayscale (1 component) returns (h, w)
-    uint8; 4:4:4 color (3 components, 1×1 sampling) returns (h, w, 3)
-    uint8 RGB via the JFIF YCbCr→RGB transform. The full inverse chain:
-    marker parse → DQT/DHT load → byte-unstuffed Huffman + magnitude
-    decode with per-component DC predictors over interleaved MCUs →
-    dequantize → de-zigzag → IDCT → level shift → color transform. Raises
-    ValueError on progressive streams or subsampled (non-1×1) components —
+    uint8; color (3 components) returns (h, w, 3) uint8 RGB via the JFIF
+    YCbCr→RGB transform. Sampling factors in {1,2}² per component are
+    handled generically — 4:4:4, 4:2:2 and 4:2:0 all flow through one MCU
+    geometry (per-component hᵢ×vᵢ blocks per MCU in T.81 A.2.3 order,
+    per-component plane assembly, nearest-neighbor chroma upsample). The
+    full inverse chain: marker parse → DQT/DHT load → byte-unstuffed
+    Huffman + magnitude decode with per-component DC predictors over
+    interleaved MCUs → dequantize → de-zigzag → IDCT → level shift →
+    upsample → color transform. Raises ValueError on progressive streams —
     the remaining documented stub in ``multimodal.decode_image``."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -420,7 +510,7 @@ def decode_jpeg(data: bytes) -> "np.ndarray":
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = 0
-    comps: list[tuple[int, int]] = []  # SOF order: (comp_id, quant table id)
+    comps: list[tuple[int, int, int, int]] = []  # SOF order: (comp_id, h_i, v_i, tq)
     scan_tabs: dict[int, tuple[int, int]] = {}  # comp_id -> (dc id, ac id)
     scan: bytes = b""
     while pos < len(data):
@@ -452,9 +542,10 @@ def decode_jpeg(data: bytes) -> "np.ndarray":
                 raise ValueError(f"unsupported component count {ncomp}")
             for c in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
-                    raise ValueError("subsampled (non-4:4:4) JPEG unsupported")
-                comps.append((cid, tq))
+                hi, vi = sampling >> 4, sampling & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(f"sampling factor {hi}x{vi} unsupported")
+                comps.append((cid, hi, vi, tq))
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(body):
@@ -486,44 +577,74 @@ def decode_jpeg(data: bytes) -> "np.ndarray":
         raise ValueError("no scan data or SOF0 header found")
 
     # per-component decode state, in SOF (= interleave) order
-    qs = [qtables[tq] for _cid, tq in comps]
-    dc_tabs = [huff[(0, scan_tabs[cid][0])] for cid, _tq in comps]
-    ac_tabs = [huff[(1, scan_tabs[cid][1])] for cid, _tq in comps]
-    planes = [np.zeros((h, w), dtype=np.float64) for _ in comps]
+    qs = [qtables[tq] for _cid, _hi, _vi, tq in comps]
+    dc_tabs = [huff[(0, scan_tabs[cid][0])] for cid, _hi, _vi, _tq in comps]
+    ac_tabs = [huff[(1, scan_tabs[cid][1])] for cid, _hi, _vi, _tq in comps]
     prev_dc = [0] * len(comps)
+    # MCU geometry (T.81 A.2.3): hmax/vmax set the 8·hmax × 8·vmax pixel
+    # MCU; component c contributes h_c × v_c blocks per MCU into its own
+    # (possibly subsampled) plane, assembled independently and upsampled
+    # after entropy decode. A single-component scan is non-interleaved:
+    # the MCU is one block regardless of declared sampling.
+    if len(comps) == 1:
+        samp = [(1, 1)]
+    else:
+        samp = [(hi, vi) for _cid, hi, vi, _tq in comps]
+    hmax = max(hi for hi, _vi in samp)
+    vmax = max(vi for _hi, vi in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi), dtype=np.float64)
+        for hi, vi in samp
+    ]
 
     reader = _BitReader(scan)
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            for c in range(len(comps)):
-                zz = np.zeros(64, dtype=np.float64)
-                cat = _decode_huffman(reader, dc_tabs[c])
-                prev_dc[c] += _extend(reader.read_bits(cat), cat)
-                zz[0] = prev_dc[c]
-                k = 1
-                while k < 64:
-                    sym = _decode_huffman(reader, ac_tabs[c])
-                    if sym == 0x00:  # EOB
-                        break
-                    run, cat = sym >> 4, sym & 0xF
-                    if cat == 0 and run == 15:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _extend(reader.read_bits(cat), cat)
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[ZIGZAG] = zz
-                block = _DCT_M.T @ (coef.reshape(8, 8) * qs[c]) @ _DCT_M
-                planes[c][by : by + 8, bx : bx + 8] = block
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c, (hi, vi) in enumerate(samp):
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        zz = np.zeros(64, dtype=np.float64)
+                        cat = _decode_huffman(reader, dc_tabs[c])
+                        prev_dc[c] += _extend(reader.read_bits(cat), cat)
+                        zz[0] = prev_dc[c]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_huffman(reader, ac_tabs[c])
+                            if sym == 0x00:  # EOB
+                                break
+                            run, cat = sym >> 4, sym & 0xF
+                            if cat == 0 and run == 15:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(reader.read_bits(cat), cat)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[ZIGZAG] = zz
+                        block = _DCT_M.T @ (coef.reshape(8, 8) * qs[c]) @ _DCT_M
+                        py = my * 8 * vi + byi * 8
+                        px = mx * 8 * hi + bxi * 8
+                        planes[c][py : py + 8, px : px + 8] = block
+
+    # nearest-neighbor upsample each plane to full resolution and crop
+    full = []
+    for c, (hi, vi) in enumerate(samp):
+        p = planes[c]
+        if vi < vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        if hi < hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        full.append(p[:h, :w])
 
     if len(comps) == 1:
-        return np.clip(_round_half_away(planes[0] + 128.0), 0, 255).astype(np.uint8)
-    y = planes[0] + 128.0
-    cb = planes[1]  # already centered: stored plane = Cb - 128
-    cr = planes[2]
+        return np.clip(_round_half_away(full[0] + 128.0), 0, 255).astype(np.uint8)
+    y = full[0] + 128.0
+    cb = full[1]  # already centered: stored plane = Cb - 128
+    cr = full[2]
     rgb = np.stack(
         [
             y + 1.402 * cr,

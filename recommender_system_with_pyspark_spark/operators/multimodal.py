@@ -271,12 +271,12 @@ def decode_png(data: bytes) -> "object":
 def decode_image(data: bytes) -> "object":
     """Dispatching image decode — three formats decode FOR REAL with no
     codec library: BMP (``decode_bmp``), non-interlaced 8-bit RGB PNG
-    (``decode_png``), and baseline grayscale JPEG
-    (``jpegcodec.decode_jpeg_gray`` — full T.81 baseline chain, gray
-    raster expanded to (h, w, 3) so downstream channel features are
-    format-agnostic). COLOR/progressive JPEG and video codecs remain
-    STUBBED — real deployments plug in PIL/libvips here (the container has
-    no compressed-image codec libraries)."""
+    (``decode_png``), and baseline JPEG (``jpegcodec.decode_jpeg`` — full
+    T.81 baseline chain: grayscale, 4:4:4 color, and chroma-subsampled
+    4:2:2/4:2:0; gray rasters expand to (h, w, 3) so downstream channel
+    features are format-agnostic). Progressive JPEG and video codecs
+    remain STUBBED — real deployments plug in PIL/libvips here (the
+    container has no compressed-image codec libraries)."""
     import numpy as np
 
     if data[:2] == b"BM":
@@ -286,15 +286,15 @@ def decode_image(data: bytes) -> "object":
     if data[:2] == b"\xff\xd8":
         from .jpegcodec import decode_jpeg
 
-        px = decode_jpeg(data)  # raises ValueError on progressive/subsampled
+        px = decode_jpeg(data)  # raises ValueError on progressive streams
         if px.ndim == 2:  # grayscale: replicate so channel features align
             return np.repeat(px[:, :, None], 3, axis=2)
         return px
     raise NotImplementedError(
-        "only BMP, 8-bit RGB PNG, and baseline JPEG (grayscale or 4:4:4 "
-        "color) decode in this container; subsampled/progressive JPEG "
-        "requires a codec library — use extract_byte_features for the "
-        "plumbing-level path"
+        "only BMP, 8-bit RGB PNG, and baseline JPEG (grayscale, 4:4:4, "
+        "4:2:2/4:2:0 subsampled) decode in this container; progressive "
+        "JPEG requires a codec library — use extract_byte_features for "
+        "the plumbing-level path"
     )
 
 
@@ -555,6 +555,50 @@ def text_to_jpeg_color_media(
                 gray = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
                 rgb = np.repeat(gray[:, :, None], 3, axis=2)
                 out.append((mid, encode_jpeg_color(rgb)))
+            yield pd.DataFrame(out, columns=["media_id", "media"])
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        batches, "media_id long, media binary"
+    )
+
+
+def text_to_jpeg420_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 64,
+    height: int = 32,
+) -> DataFrame:
+    """4:2:0 SUBSAMPLED twin of ``text_to_jpeg_color_media``: cycled-text
+    values rendered as gray-valued 16×16 tiles (one value per MCU) and
+    encoded through the chroma-subsampled pipeline
+    (``jpegcodec.encode_jpeg_420`` — 2×2 chroma box-downsample,
+    four-Y-blocks-per-MCU interleave). Constant 16×16 tiles stay exactly
+    predictable end to end: each MCU's four luma blocks are constant (DC
+    only, the usual closed form), the box-average of a constant tile is
+    the same constant so the half-resolution chroma blocks are exactly
+    zero for gray input, and nearest-neighbor upsampling of a constant
+    plane is lossless — so the ``multimodal_jpeg420_decode`` oracle reuses
+    the luma closed form per tile while the decode exercises the full
+    subsampled MCU geometry (block interleave order, per-plane assembly,
+    upsample)."""
+    import numpy as np
+
+    from .jpegcodec import encode_jpeg_420
+
+    if width % 16 or height % 16:
+        raise ValueError("width/height must be multiples of 16")
+    n_tiles = (height // 16) * (width // 16)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                arr = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
+                vals = np.resize(arr, n_tiles).reshape(height // 16, width // 16)
+                gray = np.kron(vals, np.ones((16, 16), dtype=np.uint8))
+                rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                out.append((mid, encode_jpeg_420(rgb)))
             yield pd.DataFrame(out, columns=["media_id", "media"])
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(

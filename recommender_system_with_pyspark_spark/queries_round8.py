@@ -244,6 +244,62 @@ def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_image_features(media)
 
 
+# 4:2:0 fixture geometry: 64×32 pixels = 4×2 = 8 sixteen-pixel tiles (one
+# tile per MCU) per image.
+_JPG420_W, _JPG420_H = 64, 32
+_JPG420_TILES = (_JPG420_W // 16) * (_JPG420_H // 16)  # 8
+
+_JPG420_BYTE_LIST = (
+    f"[ascii(x) for x in string_split(left(repeat(text, "
+    f"CAST(ceil({_JPG420_TILES}.0 / length(text)) AS INT)), {_JPG420_TILES}), '')]"
+)
+
+_JPG420_DECODED = (
+    "[least(255.0, greatest(0.0, 2 * round((v - 128) / 2.0) + 128)) "
+    f"for v in {_JPG420_BYTE_LIST}]"
+)
+
+
+@query(
+    "multimodal_jpeg420_decode",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id AS media_id, {_JPG420_DECODED} AS d
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT media_id,
+           true AS decoded,
+           {_JPG420_W} AS width,
+           {_JPG420_H} AS height,
+           round(list_avg(d), 6) AS mean_r,
+           round(list_avg(d), 6) AS mean_g,
+           round(list_avg(d), 6) AS mean_b,
+           round(sqrt(greatest(
+               list_avg([x * x for x in d]) - list_avg(d) ^ 2, 0)), 6)
+               AS pixel_std
+    FROM px
+    """,
+)
+def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma-SUBSAMPLED 4:2:0 JPEG through the Arrow batch path — the
+    layout virtually every camera/web JPEG in a real 100 TB corpus uses,
+    and the last sampling variant between the codec and arbitrary baseline
+    JPEGs: document bytes become one gray value per 16×16 MCU, encoded
+    with 2×2 chroma box-downsampling and four-luma-blocks-per-MCU
+    interleave (``jpegcodec.encode_jpeg_420``), decoded back through the
+    generic-sampling inverse chain (per-component MCU block geometry,
+    plane assembly, nearest-neighbor upsample, YCbCr→RGB). Constant tiles
+    keep the subsampled pipeline exactly predictable (constant tiles
+    box-average to themselves; gray input zeroes the chroma planes), so
+    DuckDB recomputes every decoded statistic from the text — a slipped
+    Y-block interleave order, a wrong plane offset, a chroma upsample
+    misalignment, or a DC predictor crossing between the four Y blocks
+    all break the hash."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = M.text_to_jpeg420_media(docs, width=_JPG420_W, height=_JPG420_H)
+    return M.extract_image_features(media)
+
+
 @query(
     "document_chunks",
     oracle="""
