@@ -697,3 +697,148 @@ def chunk_documents(
         )
     )
     return out
+
+
+def normalize_unicode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    form: str = "NFC",
+    out_col: str = "text_norm",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) over a text column — the
+    canonical first pass of any real multilingual corpus pipeline: the
+    same visible string arrives from the web in composed and decomposed
+    encodings (``é`` vs ``e`` + U+0301), and every downstream exact-dedup
+    fingerprint, shingle hash, and tokenizer treats them as different
+    documents unless normalization runs first.
+
+    Spark SQL has no normalization builtin, so this is a deliberate
+    Arrow-batched Pandas UDF over ``unicodedata.normalize`` (C-accelerated
+    stdlib, no external library): a pure projection — no shuffle, scales
+    linearly with the scan, and the Python boundary is one vectorized
+    string column per batch, not per-row. Null text stays null.
+
+    Oracle story: DuckDB's ``nfc_normalize()`` recomputes the NFC form
+    independently (see ``queries_round8.unicode_nfc_normalize``), so the
+    two Unicode implementations (CPython's unicodedata vs DuckDB's
+    utf8proc) must agree byte-for-byte for the hash to pass.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def _norm_fn(s):
+        import unicodedata
+
+        return s.map(lambda t: unicodedata.normalize(form, t) if t is not None else None)
+
+    # real (non-string) annotations: this module's postponed-annotations
+    # mode would otherwise leave pandas_udf unable to resolve 'pd.Series'
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _norm = pandas_udf(_norm_fn, "string")
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))
+
+
+def _validate_bpe_fast_path(merges: Sequence[tuple[str, str, str]]) -> bool:
+    """True when the merge table provably makes a sequential global-replace
+    chain EQUAL to greedy lowest-rank-first BPE: every output is a single
+    char that never occurs in the source pair of any EARLIER-OR-EQUAL rank
+    merge. Under that condition (a) applying rank i's replace globally
+    leaves no rank-i pairs, and (b) no later merge can recreate one (its
+    fresh output char separates the neighbors and cannot itself be part of
+    an earlier pair), so one left-to-right replace pass per rank in rank
+    order reproduces the greedy merge order exactly — leftmost-first ties
+    included, because ``replace`` is left-to-right non-overlapping.
+    Output chars should come from a range absent from the corpus (the
+    PUA convention, U+E000–U+F8FF); that corpus-side assumption is the
+    caller's to guarantee and is asserted by the oracle hash in tests."""
+    seen_sources: set[str] = set()
+    for left, right, out in merges:
+        seen_sources.update(left, right)
+        if len(out) != 1 or out in seen_sources:
+            return False
+    return True
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a byte-pair-encoding merge table to a text column and emit the
+    encoded symbol string plus its token count — the token-budget
+    primitive every training-data pipeline runs over the full corpus
+    (mixture weights, packing budgets, per-source token accounting all
+    start from "how many tokens is this document").
+
+    Each merge is ``(left, right, output)`` in rank order; symbols are
+    single characters (initial alphabet = the corpus's characters, merge
+    outputs = fresh ids, conventionally private-use-area chars). Two
+    execution paths, chosen by a driver-side proof over the table alone:
+
+    - **Fast path (pure JVM)**: when ``_validate_bpe_fast_path`` holds,
+      greedy BPE is exactly a chain of native ``F.replace`` calls — one
+      whole-stage-codegen projection, zero Python, zero shuffle. This is
+      the 100 TB path: token counting rides the corpus scan.
+    - **General path (Arrow)**: arbitrary tables (merge outputs that can
+      recreate earlier pairs) fall back to true greedy lowest-rank-first
+      BPE in a Pandas UDF, still a linear projection.
+
+    Returns the input plus ``bpe_text`` (one char per token) and
+    ``bpe_tokens`` (token count). Deterministic, partitioning-invariant.
+    """
+    merges = list(merges)
+    if not merges:
+        raise ValueError("empty merge table")
+    if _validate_bpe_fast_path(merges):
+        encoded = F.col(text_col)
+        for left, right, out in merges:
+            encoded = F.replace(encoded, F.lit(left + right), F.lit(out))
+        enc = df.withColumn("bpe_text", encoded)
+    else:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        ranked = [(left + right, out) for left, right, out in merges]
+
+        def _greedy_fn(s):
+            def encode(t):
+                if t is None:
+                    return None
+                # true greedy: repeatedly apply the LOWEST-rank pair present
+                while True:
+                    for pair, out in ranked:
+                        if pair in t:
+                            t = t.replace(pair, out)
+                            break
+                    else:
+                        return t
+
+            return s.map(encode)
+
+        _greedy_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        _greedy = pandas_udf(_greedy_fn, "string")
+
+        enc = df.withColumn("bpe_text", _greedy(F.col(text_col)))
+    return enc.withColumn("bpe_tokens", F.length("bpe_text"))
+
+
+# A small realistic English merge table (rank order), outputs in the
+# private-use area; chained merges (th→the, an→and) exercise vocab growth.
+DEFAULT_BPE_MERGES: Sequence[tuple[str, str, str]] = (
+    ("t", "h", "\uE000"),          # th
+    ("\uE000", "e", "\uE001"),     # the
+    ("i", "n", "\uE002"),          # in
+    ("a", "n", "\uE003"),          # an
+    ("e", "r", "\uE004"),          # er
+    ("o", "n", "\uE005"),          # on
+    ("r", "e", "\uE006"),          # re
+    ("\uE003", "d", "\uE007"),     # and
+    ("o", "u", "\uE008"),          # ou
+    ("s", "t", "\uE009"),          # st
+)

@@ -330,3 +330,113 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     return chunk_documents(docs, "doc_id", "text", chunk_chars=512, overlap=128)
+
+
+# --- round-8b: corpus text normalization + tokenizer-apply -----------------
+
+# Decomposed-fixture construction, identical on both sides: every 'e' gains
+# a combining acute (U+0301), every 'a' a combining grave (U+0300) — the
+# decomposed byte forms real web text arrives in. NFC must re-compose them
+# to U+00E9 / U+00E0.
+_NFC_DECOMPOSED_SQL = (
+    "replace(replace(text, 'e', 'e' || chr(769)), 'a', 'a' || chr(768))"
+)
+
+
+@query(
+    "unicode_nfc_normalize",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_NFC_DECOMPOSED_SQL} AS dec
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(length(dec) AS INT) AS len_decomposed,
+           CAST(length(nfc_normalize(dec)) AS INT) AS len_nfc,
+           md5(nfc_normalize(dec)) AS nfc_md5
+    FROM d
+    """,
+)
+def unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization over the corpus — the canonical first pass
+    before any exact-dedup fingerprint or tokenizer sees multilingual web
+    text (composed vs decomposed encodings of the same visible string hash
+    differently). The fixture decomposes the documents deterministically
+    JVM-side (combining acute after 'e', combining grave after 'a'), then
+    ``text.normalize_unicode`` re-composes via an Arrow-batched
+    ``unicodedata.normalize`` projection — no shuffle, linear in the scan.
+    The DuckDB oracle recomputes NFC with its own independent Unicode
+    implementation (utf8proc's ``nfc_normalize``), so the md5 hash pins
+    CPython and utf8proc to byte-identical normalization output."""
+    from .operators.text import normalize_unicode
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    dec = docs.select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit("e"), F.lit("é")),
+            F.lit("a"),
+            F.lit("à"),
+        ).alias("dec"),
+    )
+    out = normalize_unicode(dec, id_col="doc_id", text_col="dec", out_col="nfc")
+    return out.select(
+        "doc_id",
+        F.length("dec").alias("len_decomposed"),
+        F.length("nfc").alias("len_nfc"),
+        F.md5(F.col("nfc").cast("binary")).alias("nfc_md5"),
+    )
+
+
+def _bpe_replace_chain_sql() -> str:
+    """The DuckDB twin of the fast-path replace chain, generated from the
+    SAME merge table the Spark side applies (single source of truth)."""
+    from .operators.text import DEFAULT_BPE_MERGES
+
+    def lit(sym: str) -> str:
+        parts = [
+            f"chr({ord(ch)})" if ord(ch) >= 0xE000 else f"'{ch}'" for ch in sym
+        ]
+        return " || ".join(parts)
+
+    expr = "text"
+    for left, right, out in DEFAULT_BPE_MERGES:
+        expr = f"replace({expr}, {lit(left + right)}, {lit(out)})"
+    return expr
+
+
+@query(
+    "bpe_encode_documents",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(length({_bpe_replace_chain_sql()}) AS INT) AS bpe_tokens,
+           round(length(text) / length({_bpe_replace_chain_sql()}), 6)
+               AS chars_per_token,
+           md5({_bpe_replace_chain_sql()}) AS bpe_md5
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL byte-pair-encoding application over the corpus — the
+    token-budget primitive behind mixture weights, packing budgets and
+    per-source token accounting (``text.bpe_apply``). The rank-ordered
+    merge table (with chained merges: th→the, an→and) is PROVEN
+    replace-chain-equivalent to greedy BPE by the operator's driver-side
+    validator, so the execution plan is a pure whole-stage-codegen
+    ``F.replace`` chain: zero Python, zero shuffle, token counting rides
+    the corpus scan — the 100 TB path. DuckDB applies the identical chain
+    generated from the same table object; the md5 of the encoded symbol
+    string pins every merge's rank order, leftmost-first tie handling, and
+    chained-merge composition."""
+    from .operators.text import DEFAULT_BPE_MERGES, bpe_apply
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    enc = bpe_apply(docs, DEFAULT_BPE_MERGES)
+    return enc.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.col("bpe_tokens"),
+        F.round(F.length("text") / F.col("bpe_tokens"), 6).alias("chars_per_token"),
+        F.md5(F.col("bpe_text").cast("binary")).alias("bpe_md5"),
+    )

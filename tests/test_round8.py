@@ -484,3 +484,95 @@ def test_multimodal_jpeg420_decode_query_runs(spark, sf_tiny):
     assert rows and all(r["decoded"] for r in rows)
     assert all(r["width"] == 64 and r["height"] == 32 for r in rows)
     assert all(r["mean_r"] == r["mean_g"] == r["mean_b"] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# round-8b: unicode normalization + BPE apply
+
+
+def test_normalize_unicode_nfc_composes_and_null_safe(spark):
+    from recommender_system_with_pyspark_spark.operators.text import normalize_unicode
+
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "à la carte"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["text_norm"]
+        for r in normalize_unicode(df).collect()
+    }
+    assert rows[1] == "café"
+    assert rows[2] == "à la carte"
+    assert rows[3] is None
+    with pytest.raises(ValueError):
+        normalize_unicode(df, form="NFX")
+
+
+def test_normalize_unicode_nfd_inverts_nfc(spark):
+    from recommender_system_with_pyspark_spark.operators.text import normalize_unicode
+
+    df = spark.createDataFrame([(1, "café à")], "doc_id long, text string")
+    nfd = normalize_unicode(df, form="NFD", out_col="d")
+    back = normalize_unicode(nfd, text_col="d", form="NFC", out_col="c").collect()[0]
+    assert back["d"] == "café à"
+    assert back["c"] == "café à"
+
+
+def test_bpe_fast_path_equals_general_greedy(spark):
+    from recommender_system_with_pyspark_spark.operators.text import (
+        DEFAULT_BPE_MERGES,
+        _validate_bpe_fast_path,
+        bpe_apply,
+    )
+
+    texts = [
+        (1, "the cat sat on the mat and the rest"),
+        (2, "thththe"),          # overlapping same-pair occurrences
+        (3, "interesting sound"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    assert _validate_bpe_fast_path(DEFAULT_BPE_MERGES)
+    fast = {r["doc_id"]: (r["bpe_text"], r["bpe_tokens"]) for r in bpe_apply(df, DEFAULT_BPE_MERGES).collect()}
+
+    # force the SAME table down the general greedy Arrow path by stubbing
+    # the validator — both paths must produce identical encodings
+    import recommender_system_with_pyspark_spark.operators.text as T
+
+    orig = T._validate_bpe_fast_path
+    T._validate_bpe_fast_path = lambda m: False
+    try:
+        slow = {r["doc_id"]: (r["bpe_text"], r["bpe_tokens"]) for r in bpe_apply(df, DEFAULT_BPE_MERGES).collect()}
+    finally:
+        T._validate_bpe_fast_path = orig
+    assert fast == slow
+
+
+def test_bpe_greedy_handles_pair_recreation(spark):
+    from recommender_system_with_pyspark_spark.operators.text import (
+        _validate_bpe_fast_path,
+        bpe_apply,
+    )
+
+    # merge output 'a' can recreate the source pair 'ab': greedy must
+    # re-scan ("aabb" -> "ab b" -> ...), the replace chain must NOT be used
+    merges = [("a", "b", "a")]
+    assert not _validate_bpe_fast_path(merges)
+    df = spark.createDataFrame([(1, "aabb")], "doc_id long, text string")
+    row = bpe_apply(df, merges).collect()[0]
+    # aabb -> a(ab->a)b = aab -> a(ab->a) = aa
+    assert row["bpe_text"] == "aa" and row["bpe_tokens"] == 2
+    with pytest.raises(ValueError):
+        bpe_apply(df, [])
+
+
+def test_bpe_fast_path_plan_is_pure_codegen(spark):
+    from recommender_system_with_pyspark_spark.operators.text import (
+        DEFAULT_BPE_MERGES,
+        bpe_apply,
+    )
+
+    df = spark.createDataFrame([(1, "the")], "doc_id long, text string")
+    plan = bpe_apply(df, DEFAULT_BPE_MERGES)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan          # pure projection: no shuffle
+    assert "EvalPython" not in plan        # fast path: zero Python in plan
