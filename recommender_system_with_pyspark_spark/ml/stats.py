@@ -65,3 +65,61 @@ def chi_square_test(
     return df.sparkSession.createDataFrame(
         rows, "feature string, p_value double, dof int, statistic double"
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    pair_name: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mutual information (bits) between two categorical columns, plus the
+    normalized variant nmi = MI / sqrt(H(X)·H(Y)) — the feature-selection
+    / redundancy signal ChiSquareTest (M7) doesn't give you: MI measures
+    HOW MUCH knowing one column tells you about the other, on a scale
+    comparable across feature pairs.
+
+        MI = Σ_{x,y} p(x,y) · log2( p(x,y) / (p(x)·p(y)) )
+
+    Scale shape: ONE partial-aggregating groupBy over (x, y) reduces the
+    table to its joint-frequency frame (|X|·|Y| cells — tiny for real
+    categoricals); marginals, entropies and the MI fold all run on that
+    frame with broadcast joins back. The fact table is scanned once and
+    shuffles only distinct value pairs. Degenerate columns (zero entropy)
+    yield nmi = null, mi = 0.
+
+    Returns one row: (pair, mi_bits, nmi, n_rows, n_cells).
+    """
+    name = pair_name or f"{x_col}|{y_col}"
+    joint = (
+        df.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+        .groupBy("_x", "_y")
+        .agg(F.count(F.lit(1)).cast("double").alias("_cxy"))
+    )
+    px = joint.groupBy("_x").agg(F.sum("_cxy").alias("_cx"))
+    py = joint.groupBy("_y").agg(F.sum("_cxy").alias("_cy"))
+    tot = joint.agg(F.sum("_cxy").alias("_n"))
+    cells = (
+        joint.join(F.broadcast(px), "_x")
+        .join(F.broadcast(py), "_y")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_xy = F.col("_cxy") / F.col("_n")
+    p_x = F.col("_cx") / F.col("_n")
+    p_y = F.col("_cy") / F.col("_n")
+    mi = F.sum(p_xy * F.log2(p_xy / (p_x * p_y)))
+    hx = -F.sum(F.when(F.col("_cxy") > 0, p_xy * F.log2(p_x)))  # Σp(x,y)log p(x) = Σp(x)log p(x)
+    hy = -F.sum(F.when(F.col("_cxy") > 0, p_xy * F.log2(p_y)))
+    return cells.agg(
+        F.lit(name).alias("pair"),
+        F.round(mi, round_to).alias("mi_bits"),
+        F.round(
+            F.when(
+                (hx > 0) & (hy > 0), mi / F.sqrt(hx * hy)
+            ),
+            round_to,
+        ).alias("nmi"),
+        F.sum("_cxy").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )

@@ -760,3 +760,50 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher) of N ranked lists:
+
+        rrf(d) = Σ_lists 1 / (k0 + rank_list(d))
+
+    THE standard hybrid-retrieval combiner — lexical BM25 and embedding
+    ANN rankings disagree wildly on scores but agree on ranks, and RRF
+    fuses them without any score calibration. Each input is an
+    already-ranked candidate list ``(id_col, rank_col)`` (top-k slices —
+    O(k) rows each, tiny by construction no matter the corpus size).
+
+    Scale shape: union of contributions → ONE map-side-combined groupBy on
+    the id — no join web, no window, no broadcast ceiling; cost is
+    O(N·k), independent of corpus size. With ≤2 lists the double sum is
+    order-exact (IEEE a+b == b+a); for larger N the per-list contributions
+    are rounded only after the sum, and ties are for the CALLER to break
+    (sort on (rrf_score desc, id)).
+
+    Returns (id_col, rrf_score, n_lists) — n_lists = how many input lists
+    contained the id (fusion-coverage diagnostic).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contribs = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col).cast("double"))).alias(
+                "_rrf_c"
+            ),
+        )
+        for r in rankings
+    ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionByName(c)
+    return u.groupBy(id_col).agg(
+        F.round(F.sum("_rrf_c"), round_to).alias("rrf_score"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )

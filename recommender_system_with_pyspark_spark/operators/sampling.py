@@ -262,3 +262,90 @@ def mixture_sample(
         .filter(F.col("_bucket") < F.col("_thr"))
         .drop("_bucket", "_thr")
     )
+
+
+def negative_sample(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    k: int = 4,
+    oversample: int = 3,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Deterministic NEGATIVE sampling for recommender / contrastive
+    training: for every user, draw ``k`` items they have NOT interacted
+    with — the other half of every implicit-feedback training set (ALS
+    ranking losses, BPR, two-tower contrastive batches all need
+    negatives; df.sample() can't do it because negatives are defined by
+    ABSENCE, and RNG sampling isn't reproducible across engines or
+    partitionings).
+
+    Construction (every step engine-portable, md5-keyed like the rest of
+    this module):
+
+    1. Dense item index 0..n−1 by item-id order (scale-safe global rank
+       via ``relational.two_stage_rank`` — no single-partition window).
+    2. ``k·oversample`` candidate draws per user: draw ``j`` picks index
+       ``md5(user:j:seed) mod n`` — a pure posexplode projection.
+    3. Anti-join the positives on (user, item), drop repeated draws of
+       the same item (keep the earliest attempt), keep the first ``k``
+       surviving draws per user (window partitioned by USER — maximal
+       key cardinality, never single-partition).
+
+    Oversample covers draws lost to positives/duplicates; users with very
+    dense positive sets may honestly yield fewer than ``k`` negatives
+    (raise ``oversample`` rather than silently re-rolling — determinism
+    is the contract). Shuffles are keyed by user/item only; nothing is
+    ever collected to the driver.
+
+    Returns (user_col, item_col, neg_rank) — ``neg_rank`` in 1..k.
+    """
+    from pyspark.sql import Window
+
+    from .relational import two_stage_rank
+
+    if k < 1 or oversample < 1:
+        raise ValueError("k and oversample must be >= 1")
+    pos = interactions.select(user_col, item_col).distinct()
+    items = (
+        two_stage_rank(
+            pos.select(item_col).distinct(), item_col, out_col="_r"
+        ).select(F.col(item_col).alias("_neg_item"), (F.col("_r") - 1).alias("_idx"))
+    )
+    n_items = items.agg(F.count(F.lit(1)).alias("_n"))
+    draws = (
+        pos.select(user_col)
+        .distinct()
+        .select(
+            user_col,
+            F.posexplode(F.sequence(F.lit(0), F.lit(k * oversample - 1))).alias(
+                "_j", "_jv"
+            ),
+        )
+        .crossJoin(F.broadcast(n_items))
+        .select(
+            user_col,
+            "_j",
+            F.pmod(
+                hash_bucket(
+                    F.concat(F.col(user_col).cast("string"), F.lit(":"), F.col("_j")),
+                    seed,
+                ),
+                F.col("_n"),
+            ).alias("_idx"),
+        )
+    )
+    cand = draws.join(items, "_idx").select(
+        user_col, F.col("_neg_item").alias(item_col), "_j"
+    )
+    neg = (
+        cand.join(pos, [user_col, item_col], "left_anti")
+        .groupBy(user_col, item_col)
+        .agg(F.min("_j").alias("_j"))
+    )
+    w = Window.partitionBy(user_col).orderBy(F.asc("_j"))
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(user_col, item_col, F.col("neg_rank").cast("int"))
+    )

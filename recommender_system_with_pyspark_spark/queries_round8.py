@@ -440,3 +440,211 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.length("text") / F.col("bpe_tokens"), 6).alias("chars_per_token"),
         F.md5(F.col("bpe_text").cast("binary")).alias("bpe_md5"),
     )
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('join', 'hash', 'filter') GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (
+        SELECT count(*)::DOUBLE AS n_docs,
+               avg(len(string_split_regex(trim(lower(text)), '\\s+'))) AS avgdl
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, len(string_split_regex(trim(lower(text)), '\\s+'))::DOUBLE AS dl
+        FROM documents
+    ),
+    bm25 AS (
+        SELECT tf.doc_id,
+               round(sum(
+                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+               ), 6) AS score
+        FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    ),
+    lex AS (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM bm25 ORDER BY score DESC, doc_id ASC LIMIT 50
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cos AS (
+        SELECT c.vec_id AS doc_id,
+               round(list_cosine_similarity(q.v, c.v), 6) AS sim
+        FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> 0
+    ),
+    sem AS (
+        SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS rnk
+        FROM cos ORDER BY sim DESC, doc_id ASC LIMIT 50
+    ),
+    fused AS (
+        SELECT doc_id, round(sum(c), 6) AS rrf_score,
+               CAST(count(*) AS INT) AS n_lists
+        FROM (
+            SELECT doc_id, 1.0 / (60 + rnk) AS c FROM lex
+            UNION ALL
+            SELECT doc_id, 1.0 / (60 + rnk) AS c FROM sem
+        ) GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score, n_lists FROM fused
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — THE RAG-serving query shape: BM25 lexical top-50
+    (query {join, hash, filter}) fused with embedding-cosine top-50
+    (query vector = embedding 0) by reciprocal-rank fusion
+    (``relational.rrf_fuse``, k0=60), final top-20. Scale shape: each leg
+    is its own already-scale-safe ranker (BM25's pre-shuffle term filter +
+    TakeOrdered; brute-force cosine here, swappable for the LSH/IVF ANN
+    operators at catalog scale); fusion itself is O(k) rows — a union +
+    one map-side-combined groupBy, no calibration join web. Both leg
+    rankings, the 1/(60+rank) arithmetic, tie handling, and the
+    fusion-coverage count are all recomputed closed-form by DuckDB."""
+    from .operators.relational import rrf_fuse, small_frame_ranks
+    from .operators.similarity import cosine_topk
+    from .operators.text import bm25_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex = small_frame_ranks(
+        bm25_rank(docs, ["join", "hash", "filter"], "text", "doc_id", k=50),
+        order_by=[("score", "desc"), ("doc_id", "asc")],
+    ).select("doc_id", "rank")
+    sem = (
+        cosine_topk(emb.filter(F.col("vec_id") == 0), emb, "vec_id", "embedding", k=50)
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    fused = rrf_fuse([lex, sem], id_col="doc_id", rank_col="rank", k0=60)
+    return (
+        fused.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "rrf_score", "n_lists")
+    )
+
+
+@query(
+    "mutual_information_pairs",
+    oracle="""
+    WITH pairs AS (
+        SELECT 'status|priority' AS pair, o_orderstatus AS x, o_orderpriority AS y FROM orders
+        UNION ALL
+        SELECT 'segment|nation', c_mktsegment, CAST(c_nationkey AS VARCHAR) FROM customer
+        UNION ALL
+        SELECT 'lang|source', lang, source FROM documents
+    ),
+    joint AS (
+        SELECT pair, x, y, count(*)::DOUBLE AS cxy FROM pairs GROUP BY 1, 2, 3
+    ),
+    mx AS (SELECT pair, x, sum(cxy) AS cx FROM joint GROUP BY 1, 2),
+    my AS (SELECT pair, y, sum(cxy) AS cy FROM joint GROUP BY 1, 2),
+    tot AS (SELECT pair, sum(cxy) AS n FROM joint GROUP BY 1)
+    SELECT j.pair,
+           round(sum((cxy / n) * log2((cxy / n) / ((cx / n) * (cy / n)))), 6) AS mi_bits,
+           round(CASE WHEN -sum((cxy / n) * log2(cx / n)) > 0
+                       AND -sum((cxy / n) * log2(cy / n)) > 0
+                 THEN sum((cxy / n) * log2((cxy / n) / ((cx / n) * (cy / n))))
+                      / sqrt((-sum((cxy / n) * log2(cx / n)))
+                             * (-sum((cxy / n) * log2(cy / n))))
+                 END, 6) AS nmi,
+           CAST(sum(cxy) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM joint j JOIN mx USING (pair, x) JOIN my USING (pair, y) JOIN tot USING (pair)
+    GROUP BY j.pair
+    """,
+)
+def mutual_information_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information + normalized MI for three categorical feature
+    pairs across tables (``ml/stats.mutual_information``) — the
+    feature-selection / redundancy score the reference's ChiSquareTest
+    (M7) surface doesn't provide. Each pair costs one partial-aggregating
+    groupBy to its joint-frequency frame; marginals, entropies, and the
+    MI fold run on that tiny frame (broadcast joins, no second fact
+    scan). DuckDB recomputes the full probability algebra — joint,
+    marginals, log-ratio fold, entropy normalization, the zero-entropy
+    null guard — in closed form."""
+    from .ml.stats import mutual_information
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    docs = load_table(spark, sf_dir, "documents")
+    out = (
+        mutual_information(orders, "o_orderstatus", "o_orderpriority", "status|priority")
+        .unionByName(
+            mutual_information(
+                cust.withColumn("_nat", F.col("c_nationkey").cast("string")),
+                "c_mktsegment",
+                "_nat",
+                "segment|nation",
+            )
+        )
+        .unionByName(mutual_information(docs, "lang", "source", "lang|source"))
+    )
+    return out
+
+
+@query(
+    "negative_sample_interactions",
+    oracle="""
+    WITH pos AS (
+        SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    items AS (
+        SELECT item_id, row_number() OVER (ORDER BY item_id) - 1 AS idx
+        FROM (SELECT DISTINCT item_id FROM pos)
+    ),
+    n AS (SELECT count(*) AS cnt FROM items),
+    draws AS (
+        SELECT u.user_id, t.j,
+               CAST(('0x' || substr(md5(u.user_id || ':' || t.j || ':5'), 1, 8))
+                    AS BIGINT) % n.cnt AS idx
+        FROM (SELECT DISTINCT user_id FROM pos) u, range(12) t(j), n
+    ),
+    cand AS (
+        SELECT d.user_id, i.item_id, d.j FROM draws d JOIN items i USING (idx)
+    ),
+    neg AS (
+        SELECT c.user_id, c.item_id, min(c.j) AS j
+        FROM cand c
+        ANTI JOIN pos p ON c.user_id = p.user_id AND c.item_id = p.item_id
+        GROUP BY c.user_id, c.item_id
+    )
+    SELECT user_id, item_id, CAST(neg_rank AS INT) AS neg_rank
+    FROM (
+        SELECT user_id, item_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY j) AS neg_rank
+        FROM neg
+    ) WHERE neg_rank <= 4
+    """,
+)
+def negative_sample_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling over the customer×part interaction
+    graph (``sampling.negative_sample``, k=4, 3× oversample, seed=5) — the
+    absence-defined half of every implicit-feedback training set (BPR /
+    ranking ALS / two-tower contrastive batches). DuckDB independently
+    replays the whole construction — dense item indexing, the
+    md5(user:draw:seed) draw sequence, positive anti-join, earliest-draw
+    dedup, per-user rank cut — so the hash pins that Spark's negatives
+    are exactly the portable construction, not an RNG artifact."""
+    from .operators.sampling import negative_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    inter = orders.join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id")
+    )
+    return negative_sample(inter, "user_id", "item_id", k=4, oversample=3, seed=5)

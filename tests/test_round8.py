@@ -576,3 +576,72 @@ def test_bpe_fast_path_plan_is_pure_codegen(spark):
     plan = bpe_apply(df, DEFAULT_BPE_MERGES)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan          # pure projection: no shuffle
     assert "EvalPython" not in plan        # fast path: zero Python in plan
+
+
+# ---------------------------------------------------------------------------
+# round-8b: RRF fusion, mutual information, negative sampling
+
+
+def test_rrf_fuse_exact_scores_and_coverage(spark):
+    from recommender_system_with_pyspark_spark.operators.relational import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank int")
+    rows = {r["doc_id"]: (r["rrf_score"], r["n_lists"]) for r in rrf_fuse([a, b], k0=60).collect()}
+    assert rows[1] == (round(1 / 61, 6), 1)
+    assert rows[2] == (round(1 / 62 + 1 / 61, 6), 2)
+    assert rows[3] == (round(1 / 62, 6), 1)
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_mutual_information_independent_and_dependent(spark):
+    from recommender_system_with_pyspark_spark.ml.stats import mutual_information
+
+    # balanced independent columns: p(x,y) == p(x)p(y) exactly -> MI 0
+    indep = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd" for _ in range(5)], "x string, y string"
+    )
+    r = mutual_information(indep, "x", "y").collect()[0]
+    assert r["mi_bits"] == 0.0 and r["nmi"] == 0.0
+    assert r["n_rows"] == 20 and r["n_cells"] == 4
+
+    # y == f(x) bijective: MI == H(X) == 1 bit for a fair binary, nmi == 1
+    dep = spark.createDataFrame(
+        [("a", "c")] * 5 + [("b", "d")] * 5, "x string, y string"
+    )
+    r = mutual_information(dep, "x", "y").collect()[0]
+    assert r["mi_bits"] == 1.0 and r["nmi"] == 1.0
+
+    # degenerate constant column: zero entropy -> mi 0, nmi null
+    const = spark.createDataFrame([("a", "c"), ("b", "c")], "x string, y string")
+    r = mutual_information(const, "x", "y").collect()[0]
+    assert r["mi_bits"] == 0.0 and r["nmi"] is None
+
+
+def test_negative_sample_contract(spark):
+    from recommender_system_with_pyspark_spark.operators.sampling import negative_sample
+
+    inter = spark.createDataFrame(
+        [(u, i) for u in range(20) for i in range(50) if (u * 7 + i) % 5 == 0],
+        "user_id long, item_id long",
+    )
+    neg = negative_sample(inter, "user_id", "item_id", k=3, oversample=4, seed=9)
+    rows = neg.collect()
+    pos = {(r["user_id"], r["item_id"]) for r in inter.collect()}
+    # negatives never collide with positives
+    assert all((r["user_id"], r["item_id"]) not in pos for r in rows)
+    # at most k per user, ranks are 1..k without gaps
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append(r["neg_rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3 for v in per_user.values())
+    # deterministic and partitioning-invariant
+    again = negative_sample(
+        inter.repartition(17), "user_id", "item_id", k=3, oversample=4, seed=9
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError):
+        negative_sample(inter, "user_id", "item_id", k=0)
