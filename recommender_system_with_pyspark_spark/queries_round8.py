@@ -648,3 +648,64 @@ def negative_sample_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id")
     )
     return negative_sample(inter, "user_id", "item_id", k=4, oversample=3, seed=5)
+
+
+@query(
+    "cms_user_counts",
+    oracle="""
+    WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    cells AS (
+        SELECT t.r AS sketch_row,
+               CAST(('0x' || substr(md5(k || ':cms5' || ':' || t.r), 1, 8))
+                    AS BIGINT) % 64 AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM keys, range(4) t(r)
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt FROM events
+        GROUP BY user_id ORDER BY true_cnt DESC, user_id ASC LIMIT 20
+    ),
+    probe_cells AS (
+        SELECT p.user_id, p.true_cnt, t.r AS sketch_row,
+               CAST(('0x' || substr(md5(CAST(p.user_id AS VARCHAR) || ':cms5' || ':' || t.r), 1, 8))
+                    AS BIGINT) % 64 AS bucket
+        FROM truth p, range(4) t(r)
+    )
+    SELECT p.user_id, p.true_cnt,
+           min(coalesce(c.cnt, 0)) AS est_cnt,
+           CAST(min(coalesce(c.cnt, 0)) - p.true_cnt AS BIGINT) AS overcount,
+           min(coalesce(c.cnt, 0)) >= p.true_cnt AS never_undercounts
+    FROM probe_cells p LEFT JOIN cells c USING (sketch_row, bucket)
+    GROUP BY p.user_id, p.true_cnt
+    """,
+)
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–Min sketch frequency estimation over the event stream
+    (``operators/sketches``, depth=4, width=64 — deliberately tight so
+    collisions actually occur and the overcount column is non-trivial):
+    build the mergeable sketch table with one partial-aggregating groupBy
+    (state capped at 256 cells no matter how many distinct users), then
+    estimate the true top-20 users' counts from the sketch alone. The
+    sketch is md5-deterministic, so DuckDB rebuilds EVERY cell and every
+    min-estimate bit-for-bit — including the structural never-undercount
+    guarantee — while the exact-vs-estimate deltas document the ε·N error
+    a 256-cell summary of the whole stream costs."""
+    from .operators.sketches import cms_estimate, count_min_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = count_min_table(ev, "user_id", depth=4, width=64, seed=5)
+    truth = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("user_id"))
+        .limit(20)
+    )
+    est = cms_estimate(sketch, truth, "user_id", depth=4, width=64, seed=5)
+    return truth.join(est, "user_id").select(
+        "user_id",
+        "true_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("true_cnt")).cast("long").alias("overcount"),
+        (F.col("est_cnt") >= F.col("true_cnt")).alias("never_undercounts"),
+    )

@@ -645,3 +645,36 @@ def test_negative_sample_contract(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
     with pytest.raises(ValueError):
         negative_sample(inter, "user_id", "item_id", k=0)
+
+
+def test_cms_mergeable_and_never_undercounts(spark):
+    from recommender_system_with_pyspark_spark.operators.sketches import (
+        cms_estimate,
+        count_min_table,
+    )
+
+    rows = [(i % 37,) for i in range(500)] + [(999,)] * 50
+    df = spark.createDataFrame(rows, "k long")
+    sketch = count_min_table(df, "k", depth=4, width=32, seed=1)
+    # mergeability: two half-sketches unioned + re-grouped == full sketch
+    a = count_min_table(df.limit(300), "k", depth=4, width=32, seed=1)
+    b = count_min_table(
+        spark.createDataFrame(rows[300:], "k long"), "k", depth=4, width=32, seed=1
+    )
+    merged = (
+        a.unionByName(b)
+        .groupBy("sketch_row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, sketch.collect())) == sorted(map(tuple, merged.collect()))
+
+    probes = spark.createDataFrame([(999,), (0,), (12345,)], "k long")
+    est = {r["k"]: r["est_cnt"] for r in cms_estimate(sketch, probes, "k", depth=4, width=32, seed=1).collect()}
+    true = {999: 50, 0: 14, 12345: 0}
+    assert all(est[k] >= v for k, v in true.items())  # never undercounts
+    # wide sketch (no collisions expected with 37 keys / 4x4096 cells) is exact
+    wide = count_min_table(df, "k", depth=4, width=4096, seed=1)
+    est_w = {r["k"]: r["est_cnt"] for r in cms_estimate(wide, probes, "k", depth=4, width=4096, seed=1).collect()}
+    assert est_w[999] == 50 and est_w[0] == 14 and est_w[12345] == 0
+    with pytest.raises(ValueError):
+        count_min_table(df, "k", depth=0)
