@@ -842,3 +842,66 @@ DEFAULT_BPE_MERGES: Sequence[tuple[str, str, str]] = (
     ("o", "u", "\uE008"),          # ou
     ("s", "t", "\uE009"),          # st
 )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    pua_base: int = 0xE100,
+) -> "list[tuple[int, str, int, str]]":
+    """Learn a byte-pair-encoding merge table FROM the corpus — the
+    training half of the tokenizer story (``bpe_apply`` is inference):
+    repeat ``n_merges`` times: count all adjacent symbol pairs across the
+    corpus, take the most frequent (ties → lexicographically smallest
+    pair: fully deterministic), replace it everywhere with a fresh
+    private-use symbol. Pairs containing whitespace are excluded (the
+    classic pre-tokenization boundary — merges never bridge words).
+
+    Scale shape per iteration: positional pair extraction is a
+    posexplode projection (no Python), pair counting is ONE map-side-
+    combined groupBy on 2-char keys, and the argmax is a 1-row TakeOrdered
+    — the only driver traffic is that single (pair, count) row, the same
+    k-row-per-iteration pattern as the oracle-checked k-means. The corpus
+    is cached between iterations so step k doesn't replay steps 0..k−1.
+
+    Returns ``[(step, pair, count, new_symbol), ...]`` (≤ n_merges rows —
+    shorter if the corpus runs out of repeated pairs). The learned table
+    feeds ``bpe_apply`` directly: outputs are fresh PUA chars, so the
+    fast replace-chain path is always valid for a trained table.
+    """
+    cur = docs.select(F.col(text_col).alias("_s")).filter(F.length("_s") > 1)
+    cur = cur.localCheckpoint()
+    merges: list[tuple[int, str, int, str]] = []
+    try:
+        for step in range(n_merges):
+            pairs = (
+                cur.select(
+                    F.posexplode(F.sequence(F.lit(1), F.length("_s") - 1)).alias(
+                        "_p", "_i"
+                    ),
+                    F.col("_s"),
+                )
+                .select(F.col("_s").substr(F.col("_i"), F.lit(2)).alias("pair"))
+                .filter(~F.col("pair").contains(" "))
+            )
+            best = (
+                pairs.groupBy("pair")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .orderBy(F.desc("c"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["c"] < 2:
+                break
+            pair, cnt = best[0]["pair"], int(best[0]["c"])
+            out = chr(pua_base + step)
+            merges.append((step, pair, cnt, out))
+            nxt = cur.select(
+                F.replace(F.col("_s"), F.lit(pair), F.lit(out)).alias("_s")
+            ).localCheckpoint()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return merges

@@ -709,3 +709,55 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_cnt") - F.col("true_cnt")).cast("long").alias("overcount"),
         (F.col("est_cnt") >= F.col("true_cnt")).alias("never_undercounts"),
     )
+
+
+def _bpe_step_sql(k: int) -> str:
+    """CTE block for BPE-training step k: count whitespace-free positional
+    char pairs of corpus state c{k}, pick (max count, lexicographically
+    smallest), rewrite the corpus for step k+1."""
+    return f"""
+    p{k} AS (
+        SELECT substring(s, CAST(i AS INT), 2) AS pair, count(*) AS c
+        FROM c{k}, LATERAL (SELECT unnest(range(1, length(s))) AS i)
+        WHERE NOT contains(substring(s, CAST(i AS INT), 2), ' ')
+        GROUP BY 1
+    ),
+    b{k} AS (SELECT pair, c FROM p{k} ORDER BY c DESC, pair ASC LIMIT 1),
+    c{k + 1} AS (
+        SELECT replace(s, (SELECT pair FROM b{k}), chr({0xE100 + k})) AS s
+        FROM c{k}
+    )"""
+
+
+@query(
+    "bpe_train_merges",
+    oracle=f"""
+    WITH c0 AS (SELECT text AS s FROM documents WHERE length(text) > 1),
+    {",".join(_bpe_step_sql(k) for k in range(3))}
+    SELECT 0 AS step, pair, CAST(c AS BIGINT) AS pair_count, {0xE100} AS new_cp FROM b0
+    UNION ALL
+    SELECT 1, pair, CAST(c AS BIGINT), {0xE101} FROM b1
+    UNION ALL
+    SELECT 2, pair, CAST(c AS BIGINT), {0xE102} FROM b2
+    """,
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING over the corpus (``text.bpe_train``, 3
+    merges) — the iterative learn-the-vocabulary loop, distributed: each
+    round is one posexplode pair-count groupBy (map-side combined, 2-char
+    shuffle keys), a 1-row TakeOrdered argmax (the only driver traffic,
+    same pattern as the k-means centroid collect), and a pure-projection
+    corpus rewrite, localCheckpointed so round k never replays rounds
+    0..k−1. Deterministic by construction (count-desc, pair-asc
+    tie-break; fresh PUA output symbols), so DuckDB unrolls the SAME
+    three rounds in closed form — including chained merges whose pairs
+    contain round-0/1 output symbols — and the hash pins the argmax, the
+    tie rule, the whitespace-boundary exclusion, and the rewrite."""
+    from .operators.text import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=3)
+    return spark.createDataFrame(
+        [(s, p, c, ord(o)) for s, p, c, o in merges],
+        "step int, pair string, pair_count long, new_cp int",
+    )

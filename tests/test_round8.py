@@ -678,3 +678,37 @@ def test_cms_mergeable_and_never_undercounts(spark):
     assert est_w[999] == 50 and est_w[0] == 14 and est_w[12345] == 0
     with pytest.raises(ValueError):
         count_min_table(df, "k", depth=0)
+
+
+def test_bpe_train_learns_expected_merges_and_feeds_apply(spark):
+    from recommender_system_with_pyspark_spark.operators.text import (
+        _validate_bpe_fast_path,
+        bpe_apply,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [("the cat and the hat",), ("that thing and the other thing",)],
+        "text string",
+    )
+    merges = bpe_train(df, n_merges=3)
+    # corpus 'th' count: the,the (doc1) + that,thing,the,other,thing = 7
+    steps = [(s, p, c) for s, p, c, _o in merges]
+    assert steps[0] == (0, "th", 7)
+    assert merges[0][3] == ""
+    assert steps[1][1] in ("e", "at", "an")  # count ties broken by pair asc
+    # learned table is always fast-path valid (fresh PUA outputs)
+    table = [(p[0], p[1:], o) if len(p) == 2 else (p[0], p[1], o) for _s, p, _c, o in merges]
+    assert _validate_bpe_fast_path(table)
+    enc = bpe_apply(df, table, id_col="text").collect()
+    assert all("th" not in r["bpe_text"] for r in enc)
+    # whitespace never participates in a merge
+    assert all(" " not in p for _s, p, _c, _o in merges)
+
+
+def test_bpe_train_stops_when_no_repeats(spark):
+    from recommender_system_with_pyspark_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([("abcdefg",)], "text string")
+    merges = bpe_train(df, n_merges=5)
+    assert merges == []  # every pair occurs once -> below the c>=2 floor
