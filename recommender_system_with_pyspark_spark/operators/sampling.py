@@ -298,6 +298,20 @@ def negative_sample(
     is the contract). Shuffles are keyed by user/item only; nothing is
     ever collected to the driver.
 
+    The distinct positives frame is eagerly ``localCheckpoint``-ed (the
+    ``funnel``/``triangle_stats`` policy): users, the item index, and the
+    anti-join all derive from it, and WITHOUT materialization the
+    interactions join is re-planned once per consumer — the first sf10
+    run of this operator OOMed exactly there, when the column-pruned
+    item-index subtrees size-underestimated a 15M-row fact table into a
+    BuildLeft broadcast (three concurrent ~500 MB broadcast builds in one
+    shared heap). Checkpointing gives every consumer the one real frame
+    with real stats. The two joins that grow with the data are
+    additionally PINNED to shuffle strategies (hash on the uniform md5
+    item index, merge for the positives anti-join) — the item catalog is
+    not a broadcastable dim at real scale, and the hints keep per-task
+    memory bounded by partition size even if size estimates drift.
+
     Returns (user_col, item_col, neg_rank) — ``neg_rank`` in 1..k.
     """
     from pyspark.sql import Window
@@ -306,7 +320,7 @@ def negative_sample(
 
     if k < 1 or oversample < 1:
         raise ValueError("k and oversample must be >= 1")
-    pos = interactions.select(user_col, item_col).distinct()
+    pos = interactions.select(user_col, item_col).distinct().localCheckpoint()
     items = (
         two_stage_rank(
             pos.select(item_col).distinct(), item_col, out_col="_r"
@@ -335,11 +349,11 @@ def negative_sample(
             ).alias("_idx"),
         )
     )
-    cand = draws.join(items, "_idx").select(
+    cand = draws.join(items.hint("shuffle_hash"), "_idx").select(
         user_col, F.col("_neg_item").alias(item_col), "_j"
     )
     neg = (
-        cand.join(pos, [user_col, item_col], "left_anti")
+        cand.join(pos.hint("shuffle_merge"), [user_col, item_col], "left_anti")
         .groupBy(user_col, item_col)
         .agg(F.min("_j").alias("_j"))
     )
