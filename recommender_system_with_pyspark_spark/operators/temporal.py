@@ -552,3 +552,51 @@ def funnel(
         rows, "step int, event_type string, users bigint, "
               "conv_from_prev double, conv_from_first double"
     )
+
+
+def decayed_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    ref_ts_us: int,
+    half_life_days: float = 7.0,
+    value_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exponentially time-decayed aggregates per key — the feature-store
+    primitive behind every "recent activity" signal (recency-weighted
+    event counts, decayed spend, half-life engagement scores): each event
+    at age ``a`` days (relative to ``ref_ts_us``, microseconds since
+    epoch) contributes ``w = 2^(−a / half_life_days)``, so yesterday
+    counts ~0.9 and last month ~0.05 at a 7-day half-life, and the
+    aggregate never needs a windowed backfill — ONE scan, ONE
+    partial-aggregating groupBy on the key, linear at any history length.
+    Events at or after the reference instant are excluded (point-in-time
+    correctness: a feature computed "as of T" must not see T's future).
+
+    The weight arithmetic is plain IEEE double (exp/log2), reproducible
+    closed-form by any engine; ``ref_ts_us`` is an explicit argument —
+    never now() — so the feature is deterministic and backfillable.
+
+    Returns (key, decayed_count, decayed_value?, n_events, last_ts).
+    """
+    import math
+
+    if half_life_days <= 0:
+        raise ValueError("half_life_days must be > 0")
+    age_days = (F.lit(ref_ts_us) - F.unix_micros(F.col(ts_col))) / F.lit(86400e6)
+    w = F.exp(F.lit(-math.log(2.0) / half_life_days) * age_days)
+    aggs = [
+        F.round(F.sum(w), round_to).alias("decayed_count"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(ts_col).alias("last_ts"),
+    ]
+    if value_col is not None:
+        aggs.insert(
+            1, F.round(F.sum(w * F.col(value_col)), round_to).alias("decayed_value")
+        )
+    return (
+        df.filter(F.unix_micros(F.col(ts_col)) < F.lit(ref_ts_us))
+        .groupBy(key_col)
+        .agg(*aggs)
+    )

@@ -905,3 +905,76 @@ def bpe_train(
     finally:
         cur.unpersist()
     return merges
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_frac: float = 0.1,
+    delim: str = "\n",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal — the web-pipeline cleaning
+    pass that deletes navigation bars, cookie banners, and footer lines
+    BEFORE dedup/quality ever see them: a line occurring in at least
+    ``min_doc_frac`` of documents is boilerplate by definition (no real
+    sentence appears verbatim in 10% of a corpus), and every such line is
+    stripped from every document while line order is preserved.
+
+    Scale shape: lines explode once; the document-frequency aggregate
+    shuffles 16-byte md5 line keys (never text); the boilerplate set is
+    BROADCAST — it is small BY CONSTRUCTION (at most
+    total_lines / (min_doc_frac·N) distinct lines can clear the bar); the
+    anti-join is therefore map-side, and the only doc-keyed shuffle is
+    the ordered reassembly groupBy. Empty lines are dropped (they carry
+    no signal and every engine splits trailing delimiters differently).
+
+    Returns (id, clean_text, n_lines_kept, n_lines_removed). Documents
+    whose every line was boilerplate come back with ``clean_text = ''``.
+    """
+    if not 0 < min_doc_frac <= 1:
+        raise ValueError("min_doc_frac must be in (0, 1]")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_nd"))
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("_pos", "_line"),
+    ).filter(F.length("_line") > 0)
+    line_df = (
+        lines.groupBy(F.md5(F.col("_line").cast("binary")).alias("_lh"))
+        .agg(F.countDistinct(id_col).alias("_df"))
+    )
+    boiler = (
+        line_df.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("_df") >= F.lit(min_doc_frac) * F.col("_nd"))
+        .select("_lh")
+    )
+    kept = lines.withColumn("_lh", F.md5(F.col("_line").cast("binary"))).join(
+        F.broadcast(boiler), "_lh", "left_anti"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda x: x["_line"],
+            ),
+            delim,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("n_lines_kept"),
+    )
+    totals = docs.select(
+        id_col,
+        F.size(
+            F.filter(F.split(F.col(text_col), delim), lambda x: F.length(x) > 0)
+        ).alias("_n_total"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0)).cast("int").alias("n_lines_kept"),
+            (F.col("_n_total") - F.coalesce("n_lines_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_lines_removed"),
+        )
+    )

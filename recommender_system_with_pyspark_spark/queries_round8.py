@@ -761,3 +761,118 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(s, p, c, ord(o)) for s, p, c, o in merges],
         "step int, pair string, pair_count long, new_cp int",
     )
+
+
+_DECAY_REF_US = 1706745600000000  # 2024-02-01T00:00:00Z, just past max(events.ts)
+
+
+@query(
+    "decayed_user_activity",
+    oracle=f"""
+    SELECT user_id,
+           round(sum(exp(-ln(2) / 7.0 * (({_DECAY_REF_US} - epoch_us(ts)) / 86400000000.0))), 6)
+               AS decayed_count,
+           round(sum(exp(-ln(2) / 7.0 * (({_DECAY_REF_US} - epoch_us(ts)) / 86400000000.0)) * value), 6)
+               AS decayed_value,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(ts) AS last_ts
+    FROM events
+    WHERE epoch_us(ts) < {_DECAY_REF_US}
+    GROUP BY user_id
+    """,
+)
+def decayed_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed per-user activity features
+    (``temporal.decayed_agg``, 7-day half-life, explicit as-of reference
+    instant — never now()): recency-weighted event count and decayed value
+    sum in ONE scan + ONE partial-aggregating groupBy, no windowed
+    backfill, linear at any history depth; events at/after the reference
+    are excluded (point-in-time correctness). DuckDB recomputes the
+    half-life weights and both decayed sums in closed form."""
+    from .operators.temporal import decayed_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return decayed_agg(
+        ev, "user_id", "ts", ref_ts_us=_DECAY_REF_US,
+        half_life_days=7.0, value_col="value",
+    )
+
+
+# Boilerplate fixture: three 100-char content chunks + one universal footer
+# + one per-language footer + one per-source footer, newline-joined — the
+# multi-line web-document shape the flat synthetic corpus lacks. At 10%:
+# universal (100%) and lang footers (13-44%) strip, source footers (5%) and
+# content chunks stay.
+_BP_LINES_SQL = (
+    "concat_ws(chr(10), substring(text, 1, 100), substring(text, 101, 100), "
+    "substring(text, 201, 100), 'subscribe to our newsletter', "
+    "'copyright ' || lang, 'source: ' || source)"
+)
+
+
+@query(
+    "strip_boilerplate_docs",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_BP_LINES_SQL} AS t
+        FROM documents WHERE length(text) > 0
+    ),
+    split_ AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM raw),
+    lines AS (
+        SELECT doc_id, CAST(i AS INT) AS pos, ls[CAST(i AS INT)] AS line
+        FROM split_, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i)
+        WHERE length(ls[CAST(i AS INT)]) > 0
+    ),
+    dfreq AS (SELECT line, count(DISTINCT doc_id) AS d FROM lines GROUP BY 1),
+    n AS (SELECT count(*) AS nd FROM raw),
+    boiler AS (SELECT line FROM dfreq, n WHERE d >= 0.10 * nd),
+    kept AS (
+        SELECT l.doc_id, l.pos, l.line FROM lines l
+        ANTI JOIN boiler b ON l.line = b.line
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_total FROM lines GROUP BY doc_id)
+    SELECT t.doc_id,
+           md5(coalesce(r.clean, '')) AS clean_md5,
+           CAST(coalesce(r.n_kept, 0) AS INT) AS n_lines_kept,
+           CAST(t.n_total - coalesce(r.n_kept, 0) AS INT) AS n_lines_removed
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def strip_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate stripping (``text.strip_boilerplate``,
+    10% document-frequency bar) over a deterministically synthesized
+    multi-line corpus: every document gains a universal footer (100% df —
+    stripped), a per-language footer (13–44% — stripped), and a
+    per-source footer (5% — KEPT, below the bar), around its real content
+    chunks. Line df counts shuffle md5 keys only; the boilerplate set is
+    broadcast (small by construction); reassembly preserves line order.
+    DuckDB replays the fixture construction, the df threshold, the
+    anti-join, and the ordered rebuild — the md5 of every cleaned
+    document pins all of it."""
+    from .operators.text import strip_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 100),
+            F.substring("text", 101, 100),
+            F.substring("text", 201, 100),
+            F.lit("subscribe to our newsletter"),
+            F.concat(F.lit("copyright "), F.col("lang")),
+            F.concat(F.lit("source: "), F.col("source")),
+        ).alias("text"),
+    )
+    out = strip_boilerplate(multi, min_doc_frac=0.10)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+        "n_lines_kept",
+        "n_lines_removed",
+    )

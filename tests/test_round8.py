@@ -712,3 +712,56 @@ def test_bpe_train_stops_when_no_repeats(spark):
     df = spark.createDataFrame([("abcdefg",)], "text string")
     merges = bpe_train(df, n_merges=5)
     assert merges == []  # every pair occurs once -> below the c>=2 floor
+
+
+def test_decayed_agg_hand_case(spark):
+    import math
+
+    from recommender_system_with_pyspark_spark.operators.temporal import decayed_agg
+
+    day_us = 86_400_000_000
+    ref = 100 * day_us
+    rows = [
+        (1, ref - 7 * day_us, 10.0),   # exactly one half-life -> w = 0.5
+        (1, ref - 14 * day_us, 4.0),   # two half-lives -> w = 0.25
+        (2, ref, 99.0),                # AT the reference -> excluded
+        (2, ref - 0, 1.0),             # duplicate at ref -> excluded
+    ]
+    df = spark.createDataFrame(
+        [(k, t, v) for k, t, v in rows], "user_id long, us long, value double"
+    ).select("user_id", F.timestamp_micros(F.col("us")).alias("ts"), "value")
+    out = {r["user_id"]: r for r in decayed_agg(df, "user_id", "ts", ref_ts_us=ref, value_col="value").collect()}
+    assert out[1]["decayed_count"] == round(0.5 + 0.25, 6)
+    assert out[1]["decayed_value"] == round(0.5 * 10 + 0.25 * 4, 6)
+    assert out[1]["n_events"] == 2
+    assert 2 not in out  # everything at/after ref excluded
+    with pytest.raises(ValueError):
+        decayed_agg(df, "user_id", "ts", ref_ts_us=ref, half_life_days=0)
+    del math
+
+
+def test_strip_boilerplate_hand_case(spark):
+    from recommender_system_with_pyspark_spark.operators.text import strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "real content one\nFOOTER\nmore real text"),
+            (2, "different stuff\nFOOTER"),
+            (3, "unique line\nFOOTER\n\nafter empty"),
+            (4, "FOOTER"),  # all-boilerplate doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_boilerplate(docs, min_doc_frac=0.8).collect()}
+    assert out[1]["clean_text"] == "real content one\nmore real text"
+    assert out[1]["n_lines_kept"] == 2 and out[1]["n_lines_removed"] == 1
+    assert out[2]["clean_text"] == "different stuff"
+    # empty line dropped silently (not counted as removed boilerplate)
+    assert out[3]["clean_text"] == "unique line\nafter empty"
+    assert out[3]["n_lines_kept"] == 2 and out[3]["n_lines_removed"] == 1
+    assert out[4]["clean_text"] == "" and out[4]["n_lines_kept"] == 0
+    # threshold above FOOTER's df (4/4=1.0 > 0.8 stripped; at 1.01 nothing is)
+    with pytest.raises(ValueError):
+        strip_boilerplate(docs, min_doc_frac=1.5)
+    all_kept = strip_boilerplate(docs, min_doc_frac=1.0)
+    assert all_kept.filter(F.col("n_lines_removed") > 0).count() == 4  # df==N still strips at 1.0
