@@ -211,3 +211,28 @@ def snapshot_diff(
         )
         .select(*keys, "status", "n_cols_changed")
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: "Sequence[str]",
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit: return every quasi-identifier combination shared
+    by FEWER than ``k`` rows — the re-identification risk set a privacy
+    release must suppress or generalize (Sweeney's k-anonymity: an
+    individual is protected only if at least k−1 others share their
+    quasi-identifier tuple).
+
+    Scale shape: one partial-aggregating groupBy over the quasi columns +
+    a HAVING filter. The OUTPUT is bounded by construction — fewer than
+    n_rows / k groups can be risky — so the audit is always small enough
+    to collect/alert on, no matter the table size. Returns the quasi
+    columns + ``group_size``."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (k=1 is vacuous)")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )

@@ -58,16 +58,31 @@ def count_min_table(
     Sketches built per partition/day/source can be unioned and re-grouped
     (cell-wise sum) to sketch the whole — the mergeability contract tests
     pin."""
+    return cms_cells(df, key_col, depth, width, seed).groupBy(
+        "sketch_row", "bucket"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def cms_cells(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    seed: int | str = 0,
+) -> DataFrame:
+    """The pre-aggregation cell projection of the Count–Min sketch: each
+    input row becomes its ``depth`` (sketch_row, bucket) cells. Exposed
+    separately because it is a pure per-row projection — it composes with
+    a STREAMING groupBy unchanged (the streaming state store then IS the
+    sketch, capped at depth×width entries forever), which is the whole
+    point of a mergeable sketch."""
     if depth < 1 or width < 1:
         raise ValueError("depth and width must be >= 1")
     k = F.col(key_col)
-    cells = df.select(
+    return df.select(
         F.posexplode(
             F.array(*[_bucket(k, r, width, seed) for r in range(depth)])
         ).alias("sketch_row", "bucket")
-    )
-    return cells.groupBy("sketch_row", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
     )
 
 

@@ -650,9 +650,9 @@ def negative_sample_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_sample(inter, "user_id", "item_id", k=4, oversample=3, seed=5)
 
 
-@query(
-    "cms_user_counts",
-    oracle="""
+# Shared by the batch query and its streaming twin: the streaming state
+# store holds the SAME cells, so both hash against one closed form.
+_CMS_ORACLE = """
     WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
     cells AS (
         SELECT t.r AS sketch_row,
@@ -678,8 +678,10 @@ def negative_sample_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(coalesce(c.cnt, 0)) >= p.true_cnt AS never_undercounts
     FROM probe_cells p LEFT JOIN cells c USING (sketch_row, bucket)
     GROUP BY p.user_id, p.true_cnt
-    """,
-)
+    """
+
+
+@query("cms_user_counts", oracle=_CMS_ORACLE)
 def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count–Min sketch frequency estimation over the event stream
     (``operators/sketches``, depth=4, width=64 — deliberately tight so
@@ -876,3 +878,68 @@ def strip_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines_kept",
         "n_lines_removed",
     )
+
+
+@query("stream_cms_user_counts", oracle=_CMS_ORACLE)
+def stream_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Count–Min: the sketch cells are a pure per-row projection
+    (``sketches.cms_cells``), so piping the event STREAM through them and
+    a complete-mode groupBy makes the streaming state store itself the
+    sketch — bounded at depth×width entries FOREVER, the textbook use of
+    a mergeable sketch (per-micro-batch partial sketches fold into state
+    cell-wise, exactly the operator's map-side combine). The streamed
+    sketch must equal the batch sketch bit-for-bit on bounded input, so
+    this entry hashes against the SAME closed-form oracle as
+    ``cms_user_counts`` — a streaming state bug, a lost micro-batch, or a
+    double-counted replay all break the hash."""
+    from .operators.sketches import cms_cells, cms_estimate
+    from .streaming.windows import run_to_memory_sink, stream_events
+
+    ev_stream = stream_events(spark, sf_dir)
+    sketch_stream = (
+        cms_cells(ev_stream, "user_id", depth=4, width=64, seed=5)
+        .groupBy("sketch_row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    sketch = run_to_memory_sink(sketch_stream, "complete")
+
+    ev = load_table(spark, sf_dir, "events")
+    truth = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("user_id"))
+        .limit(20)
+    )
+    est = cms_estimate(sketch, truth, "user_id", depth=4, width=64, seed=5)
+    return truth.join(est, "user_id").select(
+        "user_id",
+        "true_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("true_cnt")).cast("long").alias("overcount"),
+        (F.col("est_cnt") >= F.col("true_cnt")).alias("never_undercounts"),
+    )
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    HAVING count(*) < 8
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifier combinations
+    (``quality.k_anonymity_audit``, k=8 on (nation, segment)): any
+    combination shared by fewer than k individuals is a re-identification
+    risk the release pipeline must suppress or generalize. One
+    partial-aggregating groupBy over the quasi columns; output is only
+    the RISKY groups (bounded by construction — at most n_rows/k such
+    groups can exist), so the audit result is always collectable no
+    matter the table size."""
+    from .operators.quality import k_anonymity_audit as audit
+
+    cust = load_table(spark, sf_dir, "customer")
+    return audit(cust, ["c_nationkey", "c_mktsegment"], k=8)

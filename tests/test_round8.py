@@ -765,3 +765,26 @@ def test_strip_boilerplate_hand_case(spark):
         strip_boilerplate(docs, min_doc_frac=1.5)
     all_kept = strip_boilerplate(docs, min_doc_frac=1.0)
     assert all_kept.filter(F.col("n_lines_removed") > 0).count() == 4  # df==N still strips at 1.0
+
+
+def test_k_anonymity_audit_contract(spark):
+    from recommender_system_with_pyspark_spark.operators.quality import (
+        k_anonymity_audit,
+    )
+
+    rows = [("us", "a")] * 5 + [("us", "b")] * 2 + [("de", "a")] * 1
+    df = spark.createDataFrame(rows, "country string, seg string")
+    risky = {(r["country"], r["seg"]): r["group_size"] for r in k_anonymity_audit(df, ["country", "seg"], k=3).collect()}
+    assert risky == {("us", "b"): 2, ("de", "a"): 1}
+    assert k_anonymity_audit(df, ["country", "seg"], k=2).count() == 1
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, ["country"], k=1)
+
+
+def test_stream_cms_equals_batch_sketch(spark, sf_tiny):
+    from recommender_system_with_pyspark_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    batch = sorted(map(tuple, QUERIES["cms_user_counts"](spark, sf_tiny).collect()))
+    streamed = sorted(map(tuple, QUERIES["stream_cms_user_counts"](spark, sf_tiny).collect()))
+    assert batch == streamed
