@@ -818,3 +818,49 @@ def kmeans_lloyd(
     return base.withColumn("cluster", assign(centers)).select(
         F.col("_id").alias(id_col), "cluster"
     )
+
+
+def truncate_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 16,
+    renormalize: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Matryoshka-style embedding truncation: keep the first ``dim``
+    coordinates and (optionally) re-normalize to unit length — the
+    standard cheap-tier trade for MRL-trained embeddings (store/search at
+    a prefix dimension, re-rank at full width). A pure native projection
+    (slice + one aggregate fold); combined with the ANN operators this
+    gives a coarse-search-fine-rerank pipeline without ever touching
+    Python.
+
+    Raises if ``dim`` exceeds the vector width at runtime? No — slice
+    simply returns the shorter vector; callers wanting strictness pair
+    this with a dq check. dim must be >= 1."""
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    out = out_col or vec_col
+    sliced = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
+    if renormalize:
+        sliced = _bind_vec(
+            sliced,
+            lambda v: F.transform(
+                v,
+                lambda x: x
+                / F.sqrt(
+                    F.greatest(
+                        F.aggregate(v, F.lit(0.0), lambda a, b: a + b * b),
+                        F.lit(1e-30),
+                    )
+                ),
+            ),
+        )
+    return df.withColumn(out, sliced)
+
+
+def _bind_vec(expr: Column, fn) -> Column:
+    """Bind an array expression to a real lambda variable so nested
+    lambdas reference it without Catalyst re-inlining (same trick as
+    ``text._bind`` — without it the norm fold re-runs once per element)."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)

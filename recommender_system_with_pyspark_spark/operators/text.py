@@ -978,3 +978,25 @@ def strip_boilerplate(
             .alias("n_lines_removed"),
         )
     )
+
+
+def bpe_decode(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str, str]],
+    encoded_col: str = "bpe_text",
+    out_col: str = "decoded_text",
+) -> DataFrame:
+    """Invert ``bpe_apply``: expand every merge output symbol back to its
+    source pair, applying merges in REVERSE rank order so chained symbols
+    unwrap outside-in (``the`` → ``th``+e → t+h+e). For fresh-output
+    tables (everything ``bpe_train`` produces, and everything the
+    fast-path validator accepts) this is an exact inverse — pinned
+    corpus-wide by the ``bpe_roundtrip_docs`` oracle. Pure
+    whole-stage-codegen ``F.replace`` chain: zero Python, zero shuffle,
+    same 100 TB scan-parallel story as encoding."""
+    if not merges:
+        raise ValueError("empty merge table")
+    decoded = F.col(encoded_col)
+    for left, right, out in reversed(list(merges)):
+        decoded = F.replace(decoded, F.lit(out), F.lit(left + right))
+    return df.withColumn(out_col, decoded)

@@ -943,3 +943,69 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     return audit(cust, ["c_nationkey", "c_mktsegment"], k=8)
+
+
+@query(
+    "bpe_roundtrip_docs",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5, true AS roundtrip_ok
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def bpe_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer LOSSLESSNESS gate: encode the whole corpus with the BPE
+    merge table, decode it back (``text.bpe_apply`` → ``text.bpe_decode``,
+    both pure codegen replace chains), and hash the DECODED text against
+    DuckDB's md5 of the ORIGINAL — the end-to-end proof that tokenization
+    loses nothing, the property every training pipeline silently assumes
+    and never checks at corpus scale. ``roundtrip_ok`` additionally
+    compares decoded == original inside Spark so a failure is legible
+    row-by-row, while the oracle hash enforces it corpus-wide."""
+    from .operators.text import DEFAULT_BPE_MERGES, bpe_apply, bpe_decode
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    enc = bpe_apply(docs, DEFAULT_BPE_MERGES)
+    dec = bpe_decode(enc, DEFAULT_BPE_MERGES)
+    return dec.select(
+        "doc_id",
+        F.md5(F.col("decoded_text").cast("binary")).alias("text_md5"),
+        (F.col("decoded_text") == F.col("text")).alias("roundtrip_ok"),
+    )
+
+
+@query(
+    "embedding_truncate_topk",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.v, c.v), 6) AS sim
+        FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rnk AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def embedding_truncate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-tier retrieval: cosine top-5 computed on 16-of-64-dim
+    PREFIX-truncated embeddings (``similarity.truncate_embeddings``) —
+    the coarse tier of a coarse-search-fine-rerank pipeline (search at a
+    prefix dimension for 4× less compute and memory bandwidth, re-rank
+    survivors at full width; pairs with `ann_*` operators at catalog
+    scale). Truncation is a pure native slice projection; ranking reuses
+    the exact brute-force scorer, so DuckDB recomputes the truncated
+    similarities and the ranking in closed form."""
+    from .operators.similarity import cosine_topk, truncate_embeddings
+
+    emb = truncate_embeddings(
+        load_table(spark, sf_dir, "embeddings"), "embedding", dim=16,
+        renormalize=False,
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(queries, emb, "vec_id", "embedding", k=5)

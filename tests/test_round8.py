@@ -788,3 +788,47 @@ def test_stream_cms_equals_batch_sketch(spark, sf_tiny):
     batch = sorted(map(tuple, QUERIES["cms_user_counts"](spark, sf_tiny).collect()))
     streamed = sorted(map(tuple, QUERIES["stream_cms_user_counts"](spark, sf_tiny).collect()))
     assert batch == streamed
+
+
+def test_bpe_decode_inverts_apply_including_chains(spark):
+    from recommender_system_with_pyspark_spark.operators.text import (
+        DEFAULT_BPE_MERGES,
+        bpe_apply,
+        bpe_decode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the theatre is interesting and outstanding"), (2, ""), (3, "zzz")],
+        "doc_id long, text string",
+    )
+    enc = bpe_apply(df, DEFAULT_BPE_MERGES)
+    dec = bpe_decode(enc, DEFAULT_BPE_MERGES)
+    rows = dec.select("text", "decoded_text").collect()
+    assert all(r["decoded_text"] == r["text"] for r in rows)
+    with pytest.raises(ValueError):
+        bpe_decode(enc, [])
+
+
+def test_truncate_embeddings_renorm_and_cosine_invariance(spark):
+    import math
+
+    from recommender_system_with_pyspark_spark.operators.similarity import (
+        cosine_topk,
+        truncate_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 100.0, 100.0]), (2, [6.0, 8.0, -50.0, 1.0]), (3, [4.0, -3.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    t = truncate_embeddings(df, dim=2)  # renormalize=True default
+    got = {r["vec_id"]: r["embedding"] for r in t.collect()}
+    assert all(abs(math.hypot(*v) - 1.0) < 1e-12 for v in got.values())
+    assert got[1] == pytest.approx([0.6, 0.8])
+    # cosine is identical with and without renormalization (scale invariance)
+    a = cosine_topk(t.filter("vec_id=1"), t, k=2).collect()
+    raw = truncate_embeddings(df, dim=2, renormalize=False)
+    b = cosine_topk(raw.filter("vec_id=1"), raw, k=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError):
+        truncate_embeddings(df, dim=0)
