@@ -123,3 +123,61 @@ def mutual_information(
         F.sum("_cxy").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_cells"),
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Classifier calibration diagnostics — the evaluator the reference's
+    AUC-centric surface (M19–M21) lacks: a model can rank perfectly and
+    still lie about probabilities, and calibration is what decides
+    whether a 0.9 score can be TREATED as 90%. Scores (in [0, 1]) are
+    equal-width-bucketed; per bucket the report compares mean predicted
+    score against the observed positive rate, and the summary folds into
+    the expected calibration error and Brier score.
+
+    One partial-aggregating groupBy over at most ``n_bins`` groups — the
+    fact table is scanned once, the calibration fold runs on the tiny
+    bucket frame. All arithmetic is plain IEEE double + integer counts,
+    reproducible closed-form by any engine.
+
+    Returns one row per non-empty bucket: (bin, n, mean_score,
+    positive_rate, abs_gap) plus the same ece/brier on every row (they
+    are corpus-level scalars; keeping the output single-table makes the
+    report one artifact)."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    binned = df.select(
+        F.least(F.lit(n_bins - 1), F.floor(s * n_bins)).cast("int").alias("bin"),
+        s.alias("_s"),
+        y.alias("_y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("_s").alias("_ms"),
+        F.avg("_y").alias("_pr"),
+        F.sum((F.col("_s") - F.col("_y")) * (F.col("_s") - F.col("_y"))).alias("_sqerr"),
+    )
+    tot = per_bin.agg(
+        F.sum("n").alias("_n_tot"),
+        F.sum(F.col("n") * F.abs(F.col("_ms") - F.col("_pr"))).alias("_gap_w"),
+        F.sum("_sqerr").alias("_sq_tot"),
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            F.round("_ms", round_to).alias("mean_score"),
+            F.round("_pr", round_to).alias("positive_rate"),
+            F.round(F.abs(F.col("_ms") - F.col("_pr")), round_to).alias("abs_gap"),
+            F.round(F.col("_gap_w") / F.col("_n_tot"), round_to).alias("ece"),
+            F.round(F.col("_sq_tot") / F.col("_n_tot"), round_to).alias("brier"),
+        )
+    )

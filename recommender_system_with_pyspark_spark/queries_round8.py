@@ -1009,3 +1009,49 @@ def embedding_truncate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.filter(F.col("vec_id") < 10)
     return cosine_topk(queries, emb, "vec_id", "embedding", k=5)
+
+
+@query(
+    "calibration_orders",
+    oracle="""
+    WITH scored AS (
+        SELECT least(1.0, greatest(0.0, o_totalprice / 500000.0)) AS s,
+               CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+        FROM orders
+    ),
+    binned AS (
+        SELECT CAST(least(9, floor(s * 10)) AS INT) AS bin, s, y FROM scored
+    ),
+    per_bin AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n, avg(s) AS ms, avg(y) AS pr,
+               sum((s - y) * (s - y)) AS sqerr
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT sum(n) AS n_tot, sum(n * abs(ms - pr)) AS gap_w,
+               sum(sqerr) AS sq_tot
+        FROM per_bin
+    )
+    SELECT bin, n, round(ms, 6) AS mean_score, round(pr, 6) AS positive_rate,
+           round(abs(ms - pr), 6) AS abs_gap,
+           round(gap_w / n_tot, 6) AS ece,
+           round(sq_tot / n_tot, 6) AS brier
+    FROM per_bin, tot
+    """,
+)
+def calibration_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability report (``ml/stats.calibration_report``,
+    10 bins): a deterministic price-derived score in [0,1] against the
+    order-fulfillment label — per-bin mean-predicted vs observed rate,
+    expected calibration error, Brier score. The evaluator family's
+    missing member next to AUC (M19–M21): ranking quality says nothing
+    about whether 0.9 MEANS 90%. One groupBy to a ≤10-row bucket frame;
+    DuckDB recomputes buckets, gaps, ECE and Brier in closed form."""
+    from .ml.stats import calibration_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col("o_totalprice") / 500000.0)).alias("score"),
+        (F.col("o_orderstatus") == "F").alias("label"),
+    )
+    return calibration_report(scored, "score", "label", n_bins=10)

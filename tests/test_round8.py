@@ -832,3 +832,26 @@ def test_truncate_embeddings_renorm_and_cosine_invariance(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     with pytest.raises(ValueError):
         truncate_embeddings(df, dim=0)
+
+
+def test_calibration_report_hand_case(spark):
+    from recommender_system_with_pyspark_spark.ml.stats import calibration_report
+
+    # perfectly calibrated per bin: bin 0.0-0.1 has score .05 / 5% positives
+    rows = [(0.05, 1.0)] + [(0.05, 0.0)] * 19 + [(0.95, 1.0)] * 9 + [(0.95, 0.0)]
+    df = spark.createDataFrame(rows, "score double, label double")
+    out = {r["bin"]: r for r in calibration_report(df, "score", "label", n_bins=10).collect()}
+    assert set(out) == {0, 9}
+    assert out[0]["mean_score"] == 0.05 and out[0]["positive_rate"] == 0.05
+    assert out[9]["mean_score"] == 0.95 and out[9]["positive_rate"] == 0.9
+    assert out[0]["abs_gap"] == 0.0 and out[9]["abs_gap"] == pytest.approx(0.05)
+    # ece = (20*0 + 10*0.05)/30
+    assert out[0]["ece"] == out[9]["ece"] == pytest.approx(round(0.5 / 30, 6))
+    # score 1.0 lands in the top bin (clamp), not an 11th
+    edge = calibration_report(
+        spark.createDataFrame([(1.0, 1.0)], "score double, label double"),
+        "score", "label",
+    ).collect()
+    assert edge[0]["bin"] == 9
+    with pytest.raises(ValueError):
+        calibration_report(df, "score", "label", n_bins=1)
