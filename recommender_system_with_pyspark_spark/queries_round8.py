@@ -1055,3 +1055,46 @@ def calibration_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") == "F").alias("label"),
     )
     return calibration_report(scored, "score", "label", n_bins=10)
+
+
+@query(
+    "stream_decayed_features",
+    oracle=f"""
+    SELECT user_id,
+           round(sum(exp(-ln(2) / 7.0 * (({_DECAY_REF_US} - epoch_us(ts)) / 86400000000.0))), 6)
+               AS decayed_count,
+           round(sum(exp(-ln(2) / 7.0 * (({_DECAY_REF_US} - epoch_us(ts)) / 86400000000.0)) * value), 6)
+               AS decayed_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE epoch_us(ts) < {_DECAY_REF_US}
+    GROUP BY user_id
+    """,
+)
+def stream_decayed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of ``decayed_user_activity``: per-user decayed
+    features carried in applyInPandasWithState state across micro-batches
+    (``streaming/stateful.decayed_user_features``). Fixed-reference
+    accumulation makes the state update associative — contributions add
+    whatever the micro-batch split — so the LAST emission per user (the
+    event count is monotone) must equal the batch closed form, and the
+    entry hashes against the same DuckDB oracle as the batch twin. A
+    state-store bug, a dropped micro-batch, or a double replay breaks
+    the hash."""
+    from .streaming.stateful import decayed_user_features
+    from .streaming.windows import run_to_memory_sink, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    updates = run_to_memory_sink(
+        decayed_user_features(ev, ref_ts_us=_DECAY_REF_US, half_life_days=7.0),
+        "update",
+    )
+    return (
+        updates.groupBy("user_id")
+        .agg(
+            F.round(F.max_by("decayed_count", "n_events"), 6).alias("decayed_count"),
+            F.round(F.max_by("decayed_value", "n_events"), 6).alias("decayed_value"),
+            F.max("n_events").alias("n_events"),
+        )
+        .filter(F.col("n_events") > 0)
+    )

@@ -78,3 +78,80 @@ def running_user_totals(events: DataFrame, idle_timeout_ms: int | None = None) -
             timeout,
         )
     )
+
+
+DECAY_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("decayed_count", T.DoubleType()),
+        T.StructField("decayed_value", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+DECAY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("dc", T.DoubleType()),
+        T.StructField("dv", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def decayed_user_features(
+    events: DataFrame,
+    ref_ts_us: int,
+    half_life_days: float = 7.0,
+) -> DataFrame:
+    """STREAMING half-life-decayed per-user features — the feature-store
+    pattern online: per-key state carries the decayed aggregates across
+    micro-batches. The state accumulates each event's weight AT A FIXED
+    reference instant (``2^(−(ref − t)/hl)``), which makes the update
+    associative and commutative — contributions simply add, whatever the
+    micro-batch split — and equal to the batch ``temporal.decayed_agg``
+    at the same reference. (A serving deployment re-anchors the reference
+    periodically with the rescale identity
+    ``decayed(ref') = decayed(ref) · 2^(−(ref'−ref)/hl)`` — one multiply
+    per key, state shape unchanged.) Events at/after the reference are
+    excluded, same point-in-time rule as the batch twin.
+
+    State per user: (double, double, long). One shuffle on the key."""
+    import math
+
+    import numpy as np
+
+    lam = math.log(2.0) / (half_life_days * 86400e6)
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        dc, dv, n = state.get if state.exists else (0.0, 0.0, 0)
+        for pdf in pdfs:
+            t_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            mask = t_us < ref_ts_us
+            if not mask.any():
+                continue
+            w = np.exp(-lam * (ref_ts_us - t_us[mask]).astype("float64"))
+            dc += float(w.sum())
+            dv += float((w * pdf["value"].values[mask]).sum())
+            n += int(mask.sum())
+        state.update((dc, dv, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "decayed_count": [dc],
+                "decayed_value": [dv],
+                "n_events": [n],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            DECAY_OUTPUT_SCHEMA,
+            DECAY_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -855,3 +855,27 @@ def test_calibration_report_hand_case(spark):
     assert edge[0]["bin"] == 9
     with pytest.raises(ValueError):
         calibration_report(df, "score", "label", n_bins=1)
+
+
+def test_stream_decayed_equals_batch(spark, sf_tiny):
+    from recommender_system_with_pyspark_spark.io import load_table
+    from recommender_system_with_pyspark_spark.operators.temporal import decayed_agg
+    from recommender_system_with_pyspark_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    ref = 1706745600000000
+    streamed = {
+        r["user_id"]: (r["decayed_count"], r["decayed_value"], r["n_events"])
+        for r in QUERIES["stream_decayed_features"](spark, sf_tiny).collect()
+    }
+    ev = load_table(spark, sf_tiny, "events")
+    batch = {
+        r["user_id"]: (r["decayed_count"], r["decayed_value"], r["n_events"])
+        for r in decayed_agg(ev, "user_id", "ts", ref_ts_us=ref, value_col="value").collect()
+    }
+    assert set(streamed) == set(batch)
+    for u, (dc, dv, n) in batch.items():
+        sdc, sdv, sn = streamed[u]
+        assert sn == n
+        assert sdc == pytest.approx(dc, abs=2e-6)
+        assert sdv == pytest.approx(dv, abs=2e-6)
