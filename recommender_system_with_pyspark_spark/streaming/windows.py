@@ -34,11 +34,23 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir.rstrip('/')}/events.parquet"
     schema = spark.read.parquet(path).schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-    )
+    # `events.parquet` is a single FILE in the driver's testdata but a
+    # Spark-written DIRECTORY of part files at the generated scale tiers.
+    # pathGlobFilter matches LEAF file names, so the single-file trick
+    # (filtering the parent dir) silently streams ZERO rows against the
+    # directory layout — the round-8 sf10 sweep caught exactly that. A
+    # directory streams directly; only the bare-file layout needs the
+    # parent-dir + glob workaround (readStream requires a directory).
+    import os
+
+    if os.path.isdir(path):
+        raw = spark.readStream.schema(schema).parquet(path)
+    else:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir.rstrip("/"))
+        )
     ts_type = schema["ts"].dataType.typeName()
     if ts_type == "long":  # nanos-as-long
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
