@@ -54,6 +54,11 @@ HEADLINE = [
     # round-7 surface
     "multimodal_image_decode",  # real BMP encode+decode through Arrow batches
     "vocab_topk",               # TakeOrdered + window-free rank (was single-partition)
+    # round-8 surface
+    "bpe_encode_documents",         # tokenizer apply: pure codegen replace chain
+    "hybrid_search_rrf",            # BM25 + embedding cosine fused by RRF
+    "cms_user_counts",              # mergeable Count-Min sketch build + estimate
+    "negative_sample_interactions", # md5-draw negatives over dense item index
 ]
 
 
