@@ -600,3 +600,49 @@ def decayed_agg(
         .groupBy(key_col)
         .agg(*aggs)
     )
+
+
+def point_in_time_join(
+    labels: DataFrame,
+    features: DataFrame,
+    label_key: str,
+    feature_key: str,
+    label_time: str,
+    feature_time: str,
+    payload_cols: "Sequence[str]",
+    embargo_seconds: int = 0,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Point-in-time-correct feature join with an EMBARGO — the
+    feature-store primitive that keeps training sets leakage-free: each
+    label row gets the latest feature row at most
+    ``label_time − embargo_seconds`` (strictly older than the embargo
+    horizon, not merely older than the label). The embargo models
+    feature-pipeline latency: a feature that lands in the store at time t
+    was not SERVABLE at t, and training on it teaches the model to rely
+    on information it will never have online. ``tolerance_seconds``
+    additionally nulls out features staler than the window.
+
+    Implementation: shift the label clock back by the embargo and reuse
+    the as-of machinery (`as_of_join` — union + ordered last(ignorenulls),
+    ONE shuffle of |L|+|R| rows on the key, no per-key cross product).
+    LEFT semantics: label rows always survive."""
+    if embargo_seconds < 0:
+        raise ValueError("embargo_seconds must be >= 0")
+    shifted = labels.withColumn(
+        "_pit_ts",
+        F.timestamp_micros(
+            F.unix_micros(F.col(label_time)) - F.lit(embargo_seconds * 1_000_000)
+        ),
+    )
+    out = as_of_join(
+        shifted,
+        features,
+        left_key=label_key,
+        right_key=feature_key,
+        left_time="_pit_ts",
+        right_time=feature_time,
+        payload_cols=payload_cols,
+        tolerance_seconds=tolerance_seconds,
+    )
+    return out.drop("_pit_ts")

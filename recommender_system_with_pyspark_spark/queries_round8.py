@@ -1098,3 +1098,54 @@ def stream_decayed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_events") > 0)
     )
+
+
+@query(
+    "point_in_time_features",
+    oracle="""
+    WITH labels AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    feats AS (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY value DESC) AS rn
+        FROM events WHERE event_type = 'view'
+    ),
+    fd AS (SELECT user_id, ts, value FROM feats WHERE rn = 1),
+    shifted AS (
+        SELECT event_id, user_id, ts,
+               to_timestamp(CAST(epoch_us(ts) - 3600000000 AS BIGINT) / 1000000.0)
+                   AS pit_ts
+        FROM labels
+    )
+    SELECT s.event_id, s.user_id,
+           round(f.value, 2) AS last_view_value
+    FROM shifted s ASOF LEFT JOIN fd f
+    ON s.user_id = f.user_id AND s.pit_ts >= f.ts
+    """,
+)
+def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free feature join (``temporal.point_in_time_join``, 1-hour
+    embargo): every purchase gets the user's latest view-event value that
+    was SERVABLE an hour before the purchase — features younger than the
+    embargo horizon are exactly the ones an online store could not have
+    materialized yet, and training on them is silent leakage. One
+    |L|+|R| key shuffle (as-of union machinery, no per-key cross
+    product); LEFT semantics keeps every label. DuckDB recomputes the
+    embargo shift and the ASOF match."""
+    from .operators.temporal import point_in_time_join
+
+    ev = load_table(spark, sf_dir, "events")
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    feats = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = point_in_time_join(
+        labels, feats,
+        label_key="user_id", feature_key="user_id",
+        label_time="ts", feature_time="ts",
+        payload_cols=["value"], embargo_seconds=3600,
+    )
+    return out.select(
+        "event_id", "user_id", F.round("value", 2).alias("last_view_value")
+    )

@@ -879,3 +879,33 @@ def test_stream_decayed_equals_batch(spark, sf_tiny):
         assert sn == n
         assert sdc == pytest.approx(dc, abs=2e-6)
         assert sdv == pytest.approx(dv, abs=2e-6)
+
+
+def test_point_in_time_join_embargo_excludes_recent_features(spark):
+    from recommender_system_with_pyspark_spark.operators.temporal import (
+        point_in_time_join,
+    )
+
+    us = 1_000_000
+    labels = spark.createDataFrame(
+        [(1, 10_000 * us)], "user long, lus long"
+    ).select("user", F.timestamp_micros("lus").alias("lts"))
+    feats = spark.createDataFrame(
+        [
+            (1, 9_999 * us, 111.0),   # 1s before label: inside embargo -> excluded
+            (1, 6_000 * us, 222.0),   # 4000s before: servable -> the match
+            (1, 2_000 * us, 333.0),   # older
+        ],
+        "user long, fus long, v double",
+    ).select("user", F.timestamp_micros("fus").alias("fts"), "v")
+    out = point_in_time_join(
+        labels, feats, "user", "user", "lts", "fts", ["v"], embargo_seconds=3600
+    ).collect()
+    assert len(out) == 1 and out[0]["v"] == 222.0
+    # zero embargo picks the freshest strictly-preceding (as-of <=) feature
+    out0 = point_in_time_join(
+        labels, feats, "user", "user", "lts", "fts", ["v"], embargo_seconds=0
+    ).collect()
+    assert out0[0]["v"] == 111.0
+    with pytest.raises(ValueError):
+        point_in_time_join(labels, feats, "user", "user", "lts", "fts", ["v"], embargo_seconds=-1)
