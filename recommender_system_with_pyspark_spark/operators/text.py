@@ -932,12 +932,16 @@ def strip_boilerplate(
     Returns (id, clean_text, n_lines_kept, n_lines_removed). Documents
     whose every line was boilerplate come back with ``clean_text = ''``.
     """
+    import re as _re
+
     if not 0 < min_doc_frac <= 1:
         raise ValueError("min_doc_frac must be in (0, 1]")
+    # F.split takes a REGEX; the delimiter contract here is a LITERAL
+    delim_re = _re.escape(delim)
     n_docs = docs.agg(F.count(F.lit(1)).alias("_nd"))
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delim)).alias("_pos", "_line"),
+        F.posexplode(F.split(F.col(text_col), delim_re)).alias("_pos", "_line"),
     ).filter(F.length("_line") > 0)
     line_df = (
         lines.groupBy(F.md5(F.col("_line").cast("binary")).alias("_lh"))
@@ -964,7 +968,7 @@ def strip_boilerplate(
     totals = docs.select(
         id_col,
         F.size(
-            F.filter(F.split(F.col(text_col), delim), lambda x: F.length(x) > 0)
+            F.filter(F.split(F.col(text_col), delim_re), lambda x: F.length(x) > 0)
         ).alias("_n_total"),
     )
     return (
