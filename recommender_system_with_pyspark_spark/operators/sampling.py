@@ -363,3 +363,88 @@ def negative_sample(
         .filter(F.col("neg_rank") <= k)
         .select(user_col, item_col, F.col("neg_rank").cast("int"))
     )
+
+
+def rolling_origin_folds(
+    df: DataFrame,
+    ts_col: str,
+    n_folds: int = 3,
+    min_train_frac: float = 0.5,
+    ts_min_us: int | None = None,
+    ts_max_us: int | None = None,
+) -> DataFrame:
+    """Rolling-origin (expanding-window) cross-validation folds for
+    temporal data — the CV scheme that respects causality where k-fold
+    silently leaks the future into training: the time axis between
+    ``min_train_frac`` and 1.0 is cut into ``n_folds`` equal spans; in
+    fold ``i`` everything before cut ``i`` trains and the span between
+    cuts ``i`` and ``i+1`` tests. Each row is emitted once per fold it
+    participates in, tagged (fold, role) — the natural input to a
+    groupBy-fold metric pass or a per-fold ``ml`` fit loop.
+
+    Cut points are LINEAR IN TIME (affine from the observed or provided
+    [min, max] micros), not row quantiles: quantile cuts move with the
+    data volume and would let a traffic spike shift what "the past"
+    means; time cuts are deterministic, engine-portable arithmetic. Pass
+    ``ts_min_us`` / ``ts_max_us`` to pin the window externally (a frozen
+    experiment config); otherwise one tiny min/max aggregate is computed
+    and broadcast.
+
+    Scale shape: one optional 2-value aggregate + a pure projection with
+    a ≤ n_folds posexplode — no shuffle beyond the aggregate; output is
+    at most ``n_folds`` × input rows (exactly the multiplicity CV
+    requires).
+    """
+    if n_folds < 1:
+        raise ValueError("n_folds must be >= 1")
+    if not 0 < min_train_frac < 1:
+        raise ValueError("min_train_frac must be in (0, 1)")
+    if (ts_min_us is None) != (ts_max_us is None):
+        raise ValueError("provide both ts_min_us and ts_max_us, or neither")
+    t_us = F.unix_micros(F.col(ts_col))
+    if ts_min_us is None:
+        rng = df.agg(
+            F.min(t_us).alias("_t0"), F.max(t_us).alias("_t1")
+        )
+        base = df.crossJoin(F.broadcast(rng))
+        t0, t1 = F.col("_t0"), F.col("_t1")
+    else:
+        base = df
+        t0, t1 = F.lit(int(ts_min_us)), F.lit(int(ts_max_us))
+    # fold-i boundaries: cut_i = t0 + span*(min_train_frac + i*step),
+    # test window = [cut_i, cut_{i+1}) (the last fold's window closes at
+    # t1 inclusive so the newest row is never orphaned)
+    span = (t1 - t0).cast("double")
+    step = (1.0 - min_train_frac) / n_folds
+    folds = F.sequence(F.lit(0), F.lit(n_folds - 1))
+    exploded = base.select(
+        *df.columns,
+        t_us.alias("_t"),
+        span.alias("_span"),
+        t0.alias("_o"),
+        F.explode(folds).alias("fold"),
+    )
+    cut_lo = F.col("_o") + F.col("_span") * (
+        F.lit(min_train_frac) + F.col("fold") * F.lit(step)
+    )
+    cut_hi = F.col("_o") + F.col("_span") * (
+        F.lit(min_train_frac) + (F.col("fold") + 1) * F.lit(step)
+    )
+    role = (
+        F.when(F.col("_t") < cut_lo, F.lit("train"))
+        .when(
+            (F.col("_t") >= cut_lo)
+            & (
+                (F.col("_t") < cut_hi)
+                | ((F.col("fold") == n_folds - 1) & (F.col("_t") <= F.col("_o") + F.col("_span")))
+            ),
+            F.lit("test"),
+        )
+        .otherwise(F.lit(None))
+    )
+    return (
+        exploded.withColumn("role", role)
+        .filter(F.col("role").isNotNull())
+        .drop("_t", "_span", "_o")
+        .withColumn("fold", F.col("fold").cast("int"))
+    )

@@ -1149,3 +1149,55 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", F.round("value", 2).alias("last_view_value")
     )
+
+
+@query(
+    "rolling_origin_folds",
+    oracle="""
+    WITH rng AS (
+        SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events
+    ),
+    x AS (
+        SELECT e.event_id, epoch_us(e.ts) AS t, r.t0,
+               (r.t1 - r.t0)::DOUBLE AS span, f.fold
+        FROM events e CROSS JOIN rng r,
+             LATERAL (SELECT unnest(range(3)) AS fold) f
+    ),
+    tagged AS (
+        SELECT fold,
+               CASE
+                 WHEN t < t0 + span * (0.5 + fold * (0.5 / 3)) THEN 'train'
+                 WHEN t >= t0 + span * (0.5 + fold * (0.5 / 3))
+                  AND (t < t0 + span * (0.5 + (fold + 1) * (0.5 / 3))
+                       OR (fold = 2 AND t <= t0 + span)) THEN 'test'
+               END AS role,
+               t
+        FROM x
+    )
+    SELECT CAST(fold AS INT) AS fold, role,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(t) AS BIGINT) AS min_ts_us,
+           CAST(max(t) AS BIGINT) AS max_ts_us
+    FROM tagged WHERE role IS NOT NULL
+    GROUP BY fold, role
+    """,
+)
+def rolling_origin_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) temporal cross-validation
+    (``sampling.rolling_origin_folds``, 3 folds, 50% minimum train span):
+    the CV scheme that respects causality — fold i trains on everything
+    before time-cut i and tests on the span [cut_i, cut_{i+1}) — where
+    vanilla k-fold silently trains on the future. Cuts are affine in
+    TIME (not row quantiles), so they are deterministic arithmetic both
+    engines reproduce; the per-(fold, role) row counts and micros
+    boundaries pin every cut, the half-open window rule, and the
+    closed top of the last fold."""
+    from .operators.sampling import rolling_origin_folds as rof
+
+    ev = load_table(spark, sf_dir, "events")
+    folds = rof(ev, "ts", n_folds=3, min_train_frac=0.5)
+    return folds.groupBy("fold", "role").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min(F.unix_micros("ts")).alias("min_ts_us"),
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
+    )

@@ -909,3 +909,34 @@ def test_point_in_time_join_embargo_excludes_recent_features(spark):
     assert out0[0]["v"] == 111.0
     with pytest.raises(ValueError):
         point_in_time_join(labels, feats, "user", "user", "lts", "fts", ["v"], embargo_seconds=-1)
+
+
+def test_rolling_origin_folds_causality_and_coverage(spark):
+    from recommender_system_with_pyspark_spark.operators.sampling import (
+        rolling_origin_folds,
+    )
+
+    us = 1_000_000
+    rows = [(i, i * 100 * us) for i in range(101)]  # t in [0, 10000s]
+    df = spark.createDataFrame(rows, "id long, tus long").select(
+        "id", F.timestamp_micros("tus").alias("ts")
+    )
+    out = rolling_origin_folds(df, "ts", n_folds=2, min_train_frac=0.5).collect()
+    by = {}
+    for r in out:
+        by.setdefault((r["fold"], r["role"]), []).append(r["id"])
+    # fold 0: train < 50% of span, test [50%, 75%); fold 1: train < 75%, test [75%, 100%]
+    assert max(by[(0, "train")]) < min(by[(0, "test")])
+    assert max(by[(1, "train")]) < min(by[(1, "test")])
+    assert set(by[(0, "train")]) < set(by[(1, "train")])  # expanding window
+    assert 100 in by[(1, "test")]  # newest row never orphaned (closed top)
+    assert not (set(by[(0, "test")]) & set(by[(1, "test")]))  # disjoint test spans
+    # every row at/after the first cut tests exactly once
+    tested = sorted(by[(0, "test")] + by[(1, "test")])
+    assert tested == list(range(min(tested), 101))
+    with pytest.raises(ValueError):
+        rolling_origin_folds(df, "ts", n_folds=0)
+    with pytest.raises(ValueError):
+        rolling_origin_folds(df, "ts", min_train_frac=1.0)
+    with pytest.raises(ValueError):
+        rolling_origin_folds(df, "ts", ts_min_us=0)
