@@ -21,7 +21,7 @@ from pyspark.sql import types as T
 
 from .schemas import TESTDATA_TABLES
 
-_SHIPPED_SESSIONS: set[int] = set()
+_SHIPPED_SESSIONS: set[str] = set()
 
 
 def ensure_package_on_workers(spark: SparkSession) -> None:
@@ -37,7 +37,11 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
     real 1000-executor cluster (files are fetched per executor, added to
     worker sys.path). Cost: one ~100 KB zip per session."""
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED_SESSIONS:
+    # key on applicationId, NOT id(sc): CPython recycles object addresses,
+    # so a fresh SparkContext can collide with a dead one's id and silently
+    # skip the shipment — reintroducing the worker-side ModuleNotFoundError
+    app_id = sc.applicationId
+    if app_id in _SHIPPED_SESSIONS:
         return
     import os
     import shutil
@@ -52,7 +56,7 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
         base_dir=os.path.basename(pkg_dir),
     )
     sc.addPyFile(zpath)
-    _SHIPPED_SESSIONS.add(id(sc))
+    _SHIPPED_SESSIONS.add(app_id)
 
 
 def read_csv(

@@ -97,12 +97,16 @@ def mutual_information(
         .groupBy("_x", "_y")
         .agg(F.count(F.lit(1)).cast("double").alias("_cxy"))
     )
-    px = joint.groupBy("_x").agg(F.sum("_cxy").alias("_cx"))
-    py = joint.groupBy("_y").agg(F.sum("_cxy").alias("_cy"))
+    px = joint.groupBy("_x").agg(F.sum("_cxy").alias("_cx")).withColumnRenamed("_x", "_px_x")
+    py = joint.groupBy("_y").agg(F.sum("_cxy").alias("_cy")).withColumnRenamed("_y", "_py_y")
     tot = joint.agg(F.sum("_cxy").alias("_n"))
+    # NULL is a legitimate category (groupBy keeps it); the marginal joins
+    # must be NULL-SAFE or every null-keyed cell silently drops out of the
+    # MI sum while the total still counts its rows — probabilities then no
+    # longer sum to 1 and the statistic is wrong on any column with nulls
     cells = (
-        joint.join(F.broadcast(px), "_x")
-        .join(F.broadcast(py), "_y")
+        joint.join(F.broadcast(px), F.col("_x").eqNullSafe(F.col("_px_x")))
+        .join(F.broadcast(py), F.col("_y").eqNullSafe(F.col("_py_y")))
         .crossJoin(F.broadcast(tot))
     )
     p_xy = F.col("_cxy") / F.col("_n")

@@ -199,6 +199,15 @@ class _BitWriter:
             pad = 8 - self._n
             self.write((1 << pad) - 1, pad)  # 1-fill per F.1.2.3
 
+    def restart(self, n: int) -> None:
+        """Close the entropy segment (1-pad) and emit RSTn — written RAW:
+        restart markers are markers, never byte-stuffed (B.1.1.5 stuffs
+        only 0xFF DATA bytes; the flush's own 0xFF pad bytes DO get
+        stuffed, which is why this appends after flush)."""
+        self.flush()
+        self.out.append(0xFF)
+        self.out.append(0xD0 + (n & 7))
+
 
 class _BitReader:
     def __init__(self, data: bytes) -> None:
@@ -227,6 +236,19 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def consume_restart(self) -> int:
+        """Byte-align and consume an RSTn marker (T.81 E.1.4: restart
+        markers stand BETWEEN entropy segments, so any partial byte is
+        padding to discard). Returns n in 0..7 for sequence checking."""
+        self._n = 0  # drop pad bits of the closed entropy segment
+        if self.pos + 1 >= len(self.data) or self.data[self.pos] != 0xFF:
+            raise ValueError("expected restart marker at interval boundary")
+        m = self.data[self.pos + 1]
+        if not 0xD0 <= m <= 0xD7:
+            raise ValueError(f"expected RSTn, found marker 0x{m:02x}")
+        self.pos += 2
+        return m - 0xD0
 
 
 def _decode_huffman(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -311,11 +333,14 @@ def _seg(marker: int, body: bytes) -> bytes:
 _JFIF_APP0 = _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
 
 
-def encode_jpeg_gray(pixels: "np.ndarray") -> bytes:
+def encode_jpeg_gray(pixels: "np.ndarray", restart_interval: int = 0) -> bytes:
     """Encode an (h, w) uint8 grayscale array as a baseline JFIF JPEG
     (single component, Annex K luminance quant + Huffman tables).
     Dimensions must be multiples of 8 (fixture synthesizers guarantee it;
-    a general encoder would edge-pad)."""
+    a general encoder would edge-pad). ``restart_interval`` > 0 emits a
+    DRI segment and an RSTn marker every that-many MCUs (cyclic n, DC
+    predictor reset, byte-aligned) — the error-resilience layout most
+    camera/web JPEGs use."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim != 2 or arr.shape[0] % 8 or arr.shape[1] % 8:
         raise ValueError("encode_jpeg_gray expects (h, w) uint8 with 8|h and 8|w")
@@ -327,21 +352,30 @@ def encode_jpeg_gray(pixels: "np.ndarray") -> bytes:
     writer = _BitWriter()
     prev_dc = 0
     shifted = arr.astype(np.float64) - 128.0
+    mcu_ix = 0
+    n_mcus = (h // 8) * (w // 8)
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
+            if restart_interval and mcu_ix and mcu_ix % restart_interval == 0:
+                writer.restart((mcu_ix // restart_interval - 1) % 8)
+                prev_dc = 0  # E.1.4: predictors reset at every restart
             prev_dc = _encode_block(
                 writer, shifted[by : by + 8, bx : bx + 8], q, dc_codes, ac_codes, prev_dc
             )
+            mcu_ix += 1
     writer.flush()
+    assert mcu_ix == n_mcus
 
     dqt = _seg(0xDB, b"\x00" + bytes(QUANT_LUMA.reshape(64)[ZIGZAG].astype(np.uint8)))
+    dri = _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sof = _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
     dht = _seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)) + _seg(
         0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)
     )
     sos = _seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([0, 63, 0]))
     return (
-        b"\xff\xd8" + _JFIF_APP0 + dqt + sof + dht + sos + bytes(writer.out) + b"\xff\xd9"
+        b"\xff\xd8" + _JFIF_APP0 + dqt + dri + sof + dht + sos
+        + bytes(writer.out) + b"\xff\xd9"
     )
 
 
@@ -510,6 +544,7 @@ def decode_jpeg(data: bytes) -> "np.ndarray":
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = 0
+    restart_interval = 0
     comps: list[tuple[int, int, int, int]] = []  # SOF order: (comp_id, h_i, v_i, tq)
     scan_tabs: dict[int, tuple[int, int]] = {}  # comp_id -> (dc id, ac id)
     scan: bytes = b""
@@ -534,6 +569,8 @@ def decode_jpeg(data: bytes) -> "np.ndarray":
                 zz = np.frombuffer(body, dtype=np.uint8, count=64, offset=off + 1)
                 qtables[tq] = zz[UNZIGZAG].reshape(8, 8).astype(np.float64)
                 off += 65
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xC0:  # SOF0
@@ -600,8 +637,18 @@ def decode_jpeg(data: bytes) -> "np.ndarray":
     ]
 
     reader = _BitReader(scan)
+    mcu_ix = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_ix and mcu_ix % restart_interval == 0:
+                # T.81 E.1.4: byte-align, consume RSTn (cyclic modulo 8),
+                # reset every component's DC predictor
+                n = reader.consume_restart()
+                expect = (mcu_ix // restart_interval - 1) % 8
+                if n != expect:
+                    raise ValueError(f"restart marker out of sequence: RST{n}, expected RST{expect}")
+                prev_dc = [0] * len(comps)
+            mcu_ix += 1
             for c, (hi, vi) in enumerate(samp):
                 for byi in range(vi):
                     for bxi in range(hi):

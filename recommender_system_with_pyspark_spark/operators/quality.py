@@ -217,6 +217,7 @@ def k_anonymity_audit(
     df: DataFrame,
     quasi_cols: "Sequence[str]",
     k: int = 5,
+    histogram: bool = False,
 ) -> DataFrame:
     """k-anonymity audit: return every quasi-identifier combination shared
     by FEWER than ``k`` rows — the re-identification risk set a privacy
@@ -225,14 +226,25 @@ def k_anonymity_audit(
     quasi-identifier tuple).
 
     Scale shape: one partial-aggregating groupBy over the quasi columns +
-    a HAVING filter. The OUTPUT is bounded by construction — fewer than
-    n_rows / k groups can be risky — so the audit is always small enough
-    to collect/alert on, no matter the table size. Returns the quasi
-    columns + ``group_size``."""
+    a HAVING filter. Output size: one row per RISKY group — small when
+    the quasi columns are genuinely categorical, but O(n_rows) in the
+    worst case (a near-key quasi set makes every row its own singleton
+    group), so do NOT blindly collect it. For near-key quasi sets, or as
+    the always-safe first look, pass ``histogram=True`` to get the
+    (group_size, n_groups) distribution instead — at most ``k − 1`` rows
+    out, whatever the table.
+
+    Returns the quasi columns + ``group_size`` (default), or
+    (group_size, n_groups) with ``histogram=True``."""
     if k < 2:
         raise ValueError("k must be >= 2 (k=1 is vacuous)")
-    return (
+    risky = (
         df.groupBy(*quasi_cols)
         .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
         .filter(F.col("group_size") < k)
     )
+    if histogram:
+        return risky.groupBy("group_size").agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups")
+        )
+    return risky

@@ -312,6 +312,14 @@ def negative_sample(
     not a broadcastable dim at real scale, and the hints keep per-task
     memory bounded by partition size even if size estimates drift.
 
+    Lifetime note: the positives checkpoint lives until the session ends
+    (localCheckpoint blocks are not auto-released; the returned frame's
+    lineage points INTO them, so the operator cannot unpersist before the
+    caller materializes). Loops calling this many times per session
+    should checkpoint/persist their interactions frame themselves and
+    truncate with ``spark.catalog.clearCache()`` between experiments —
+    the same caller-owned policy as ``temporal.funnel``.
+
     Returns (user_col, item_col, neg_rank) — ``neg_rank`` in 1..k.
     """
     from pyspark.sql import Window

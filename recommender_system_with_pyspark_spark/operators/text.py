@@ -875,8 +875,14 @@ def bpe_train(
     merges: list[tuple[int, str, int, str]] = []
     try:
         for step in range(n_merges):
+            # re-filter each round: a doc whose working string collapsed to
+            # ONE symbol has no pairs — without this, sequence(1, 0) is the
+            # DESCENDING [1, 0] and single-symbol docs contribute phantom
+            # 1-char "pairs" (DuckDB's range(1, 1) is empty, so the oracle
+            # would diverge the moment a corpus collapses that far)
             pairs = (
-                cur.select(
+                cur.filter(F.length("_s") > 1)
+                .select(
                     F.posexplode(F.sequence(F.lit(1), F.length("_s") - 1)).alias(
                         "_p", "_i"
                     ),
@@ -938,11 +944,14 @@ def strip_boilerplate(
         raise ValueError("min_doc_frac must be in (0, 1]")
     # F.split takes a REGEX; the delimiter contract here is a LITERAL
     delim_re = _re.escape(delim)
-    n_docs = docs.agg(F.count(F.lit(1)).alias("_nd"))
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), delim_re)).alias("_pos", "_line"),
     ).filter(F.length("_line") > 0)
+    # the df denominator counts documents that CONTRIBUTE lines — a corpus
+    # padded with null/empty docs must not inflate the boilerplate bar
+    # ("occurring in >= frac of documents" means documents that have lines)
+    n_docs = lines.agg(F.countDistinct(id_col).alias("_nd"))
     line_df = (
         lines.groupBy(F.md5(F.col("_line").cast("binary")).alias("_lh"))
         .agg(F.countDistinct(id_col).alias("_df"))
@@ -967,8 +976,11 @@ def strip_boilerplate(
     )
     totals = docs.select(
         id_col,
-        F.size(
-            F.filter(F.split(F.col(text_col), delim_re), lambda x: F.length(x) > 0)
+        F.coalesce(
+            F.size(
+                F.filter(F.split(F.col(text_col), delim_re), lambda x: F.length(x) > 0)
+            ),
+            F.lit(0),
         ).alias("_n_total"),
     )
     return (
@@ -977,7 +989,7 @@ def strip_boilerplate(
             id_col,
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
             F.coalesce("n_lines_kept", F.lit(0)).cast("int").alias("n_lines_kept"),
-            (F.col("_n_total") - F.coalesce("n_lines_kept", F.lit(0)))
+            (F.coalesce("_n_total", F.lit(0)) - F.coalesce("n_lines_kept", F.lit(0)))
             .cast("int")
             .alias("n_lines_removed"),
         )

@@ -940,3 +940,78 @@ def test_rolling_origin_folds_causality_and_coverage(spark):
         rolling_origin_folds(df, "ts", min_train_frac=1.0)
     with pytest.raises(ValueError):
         rolling_origin_folds(df, "ts", ts_min_us=0)
+
+
+# ---------------------------------------------------------------------------
+# round-8b review fixes (regression pins)
+
+
+def test_bpe_train_no_phantom_pairs_on_collapsed_docs(spark):
+    from recommender_system_with_pyspark_spark.operators.text import bpe_train
+
+    # after round 0 rewrites 'ab'->E100 those docs are single-symbol; the
+    # descending-sequence phantom pair bug would learn a 1-char "pair" next
+    df = spark.createDataFrame([("ab",), ("ab",), ("cd",)], "text string")
+    merges = bpe_train(df, n_merges=2)
+    assert merges == [(0, "ab", 2, "\uE100")]
+    assert all(len(p) == 2 for _s, p, _c, _o in merges)
+
+
+def test_mutual_information_null_categories_counted(spark):
+    from recommender_system_with_pyspark_spark.ml.stats import mutual_information
+
+    df = spark.createDataFrame(
+        [("a", "c"), ("a", "c"), ("b", "d"), ("b", "d"), (None, "c"), (None, "d")],
+        "x string, y string",
+    )
+    r = mutual_information(df, "x", "y").collect()[0]
+    assert r["n_rows"] == 6 and r["n_cells"] == 4  # null cells are categories
+    import math
+
+    cells = [(2 / 6, 2 / 6, 3 / 6), (2 / 6, 2 / 6, 3 / 6), (1 / 6, 2 / 6, 3 / 6), (1 / 6, 2 / 6, 3 / 6)]
+    mi = sum(pxy * math.log2(pxy / (px * py)) for pxy, px, py in cells)
+    assert r["mi_bits"] == pytest.approx(round(mi, 6), abs=2e-6)
+
+
+def test_jpeg_restart_interval_roundtrip_and_sequence_check():
+    from recommender_system_with_pyspark_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(24, 40)).astype(np.uint8)  # 15 MCUs
+    plain = decode_jpeg(encode_jpeg_gray(img))
+    for ri in (1, 3, 7, 14):
+        blob = encode_jpeg_gray(img, restart_interval=ri)
+        assert b"\xff\xdd" in blob  # DRI segment present
+        assert np.array_equal(decode_jpeg(blob), plain)
+    corrupted = bytearray(encode_jpeg_gray(img, restart_interval=2))
+    i = corrupted.index(b"\xff\xd0", 20)
+    corrupted[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg(bytes(corrupted))
+
+
+def test_strip_boilerplate_empty_docs_do_not_dilute_threshold(spark):
+    from recommender_system_with_pyspark_spark.operators.text import strip_boilerplate
+
+    df = spark.createDataFrame(
+        [(1, "x\nFOOTER"), (2, "y\nFOOTER"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: (r["clean_text"], r["n_lines_kept"], r["n_lines_removed"]) for r in strip_boilerplate(df, min_doc_frac=0.6).collect()}
+    # FOOTER df = 2/2 line-bearing docs (not 2/4 of all rows) -> stripped
+    assert rows[1] == ("x", 1, 1) and rows[2] == ("y", 1, 1)
+    assert rows[3] == ("", 0, 0) and rows[4] == ("", 0, 0)  # never null counts
+
+
+def test_k_anonymity_histogram_mode_bounded(spark):
+    from recommender_system_with_pyspark_spark.operators.quality import (
+        k_anonymity_audit,
+    )
+
+    df = spark.createDataFrame([(i, i) for i in range(50)], "a long, b long")
+    # near-key quasi set: every group is a singleton; histogram stays tiny
+    h = k_anonymity_audit(df, ["a", "b"], k=5, histogram=True).collect()
+    assert len(h) == 1 and h[0]["group_size"] == 1 and h[0]["n_groups"] == 50
