@@ -354,3 +354,40 @@ def robust_scale(
             scaled = F.round(scaled, round_to)
         out = out.withColumn(f"{c}_scaled", scaled)
     return out.drop(*[f"_{tag}_{c}" for c in columns for tag in ("q1", "med", "q3")])
+
+
+def winsorize(
+    df: DataFrame,
+    columns: Sequence[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Winsorization: clip each column to its [lower, upper] exact
+    linear-interpolation percentiles — the outlier treatment that KEEPS
+    the row (unlike the IQR/MAD FILTERS in this module, which drop it):
+    regression-style models want the observation with its tail influence
+    capped, not a smaller dataset. Percentiles use the same ANSI
+    ``percentile_cont`` definition as ``robust_scale``, so an oracle
+    restates them verbatim.
+
+    One aggregate pass computes every column's two cut points together
+    (tiny 1-row frame, broadcast back); the clip itself is a pure
+    projection. Null values pass through untouched."""
+    if not 0 <= lower < upper <= 1:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    aggs = []
+    for c in columns:
+        aggs.append(F.expr(f"percentile({c}, {lower})").alias(f"_lo_{c}"))
+        aggs.append(F.expr(f"percentile({c}, {upper})").alias(f"_hi_{c}"))
+    cuts = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(cuts))
+    for c in columns:
+        clipped = F.least(
+            F.greatest(F.col(c).cast("double"), F.col(f"_lo_{c}")),
+            F.col(f"_hi_{c}"),
+        )
+        if round_to is not None:
+            clipped = F.round(clipped, round_to)
+        out = out.withColumn(c, F.when(F.col(c).isNotNull(), clipped))
+    return out.drop(*[f"_lo_{c}" for c in columns], *[f"_hi_{c}" for c in columns])

@@ -248,3 +248,52 @@ def k_anonymity_audit(
             F.count(F.lit(1)).cast("long").alias("n_groups")
         )
     return risky
+
+
+def schema_drift(
+    before: DataFrame,
+    after: DataFrame,
+    round_to: int = 6,
+) -> DataFrame:
+    """Schema + column-statistics drift between two snapshots of "the same"
+    table — the upstream-broke-the-contract detector that runs before any
+    value-level check can even apply: columns appearing/disappearing or a
+    null-rate jumping from 0.1% to 40% are how producer changes actually
+    reach a pipeline. For every column in either snapshot, emit its
+    status (added / removed / common) and, for common columns, the
+    null-rate on both sides plus the delta.
+
+    Scale shape: ONE aggregate pass per snapshot computing every column's
+    null count in a single job (no per-column scans), then a tiny
+    driver-side column-name alignment — column COUNTS are driver data by
+    definition. The shuffle carries one row per snapshot. Complements
+    ``snapshot_diff`` (row-level churn) and ``population_stability``
+    (value drift): schema first, rows second, values third.
+
+    Returns (column, status, null_rate_before, null_rate_after,
+    null_rate_delta) — rates null for non-common columns."""
+    def _null_rates(df: DataFrame) -> dict[str, float]:
+        aggs = [F.count(F.lit(1)).alias("__n")] + [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in df.columns
+        ]
+        row = df.agg(*aggs).first()
+        n = max(row["__n"], 1)
+        return {c: row[c] / n for c in df.columns}
+
+    rb, ra = _null_rates(before), _null_rates(after)
+    rows = []
+    for c in sorted(set(rb) | set(ra)):
+        if c in rb and c in ra:
+            rows.append(
+                (c, "common", round(rb[c], round_to), round(ra[c], round_to),
+                 round(ra[c] - rb[c], round_to))
+            )
+        elif c in ra:
+            rows.append((c, "added", None, round(ra[c], round_to), None))
+        else:
+            rows.append((c, "removed", round(rb[c], round_to), None, None))
+    return before.sparkSession.createDataFrame(
+        rows,
+        "column string, status string, null_rate_before double, "
+        "null_rate_after double, null_rate_delta double",
+    )

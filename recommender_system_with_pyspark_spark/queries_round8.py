@@ -1201,3 +1201,84 @@ def rolling_origin_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).alias("min_ts_us"),
         F.max(F.unix_micros("ts")).alias("max_ts_us"),
     )
+
+
+@query(
+    "schema_drift_orders",
+    oracle="""
+    WITH b AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS o_orderkey,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS o_custkey,
+               sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS o_orderstatus,
+               sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS o_totalprice,
+               sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS o_orderdate
+        FROM orders WHERE o_orderstatus = 'F'
+    ),
+    a AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS o_orderkey,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS o_custkey,
+               sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS o_orderstatus,
+               sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS o_totalprice,
+               sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS o_orderpriority
+        FROM orders
+    )
+    SELECT * FROM (
+        SELECT 'o_custkey' AS column, 'common' AS status,
+               round(b.o_custkey / b.n, 6) AS null_rate_before,
+               round(a.o_custkey / a.n, 6) AS null_rate_after,
+               round(a.o_custkey / a.n - b.o_custkey / b.n, 6) AS null_rate_delta
+        FROM b, a
+        UNION ALL SELECT 'o_orderdate', 'removed', round(b.o_orderdate / b.n, 6), NULL, NULL FROM b
+        UNION ALL SELECT 'o_orderkey', 'common', round(b.o_orderkey / b.n, 6),
+               round(a.o_orderkey / a.n, 6), round(a.o_orderkey / a.n - b.o_orderkey / b.n, 6) FROM b, a
+        UNION ALL SELECT 'o_orderpriority', 'added', NULL, round(a.o_orderpriority / a.n, 6), NULL FROM a
+        UNION ALL SELECT 'o_orderstatus', 'common', round(b.o_orderstatus / b.n, 6),
+               round(a.o_orderstatus / a.n, 6), round(a.o_orderstatus / a.n - b.o_orderstatus / b.n, 6) FROM b, a
+        UNION ALL SELECT 'o_totalprice', 'common', round(b.o_totalprice / b.n, 6),
+               round(a.o_totalprice / a.n, 6), round(a.o_totalprice / a.n - b.o_totalprice / b.n, 6) FROM b, a
+    )
+    """,
+)
+def schema_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema + null-rate drift between two deterministic snapshots of the
+    orders table (``quality.schema_drift``): the "before" snapshot is the
+    fulfilled-orders slice WITHOUT o_orderpriority (simulating a producer
+    that later added the column and dropped o_orderdate), the "after" is
+    the current table without o_orderdate. Added/removed columns and every
+    common column's null-rate delta are recomputed by DuckDB in closed
+    form — one aggregate pass per snapshot, no per-column scans."""
+    from .operators.quality import schema_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    before = orders.filter(F.col("o_orderstatus") == "F").drop("o_orderpriority")
+    after = orders.drop("o_orderdate")
+    return schema_drift(before, after)
+
+
+@query(
+    "winsorized_acctbal",
+    oracle="""
+    WITH cuts AS (
+        SELECT quantile_cont(c_acctbal, 0.05) AS lo,
+               quantile_cont(c_acctbal, 0.95) AS hi
+        FROM customer
+    )
+    SELECT c_custkey,
+           round(least(greatest(c_acctbal, lo), hi), 6) AS acctbal_w
+    FROM customer, cuts
+    """,
+)
+def winsorized_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization at the 5th/95th percentiles (``cleaning.winsorize``):
+    tail influence capped while every row survives — the
+    keep-the-observation counterpart of the IQR/MAD outlier FILTERS
+    (P6/`mad_outliers`). Exact percentile_cont cut points (one aggregate
+    pass for both, broadcast back), clip is pure projection; DuckDB
+    restates the percentile definition and the clip verbatim."""
+    from .operators.cleaning import winsorize
+
+    cust = load_table(spark, sf_dir, "customer")
+    out = winsorize(cust, ["c_acctbal"], lower=0.05, upper=0.95, round_to=6)
+    return out.select("c_custkey", F.col("c_acctbal").alias("acctbal_w"))

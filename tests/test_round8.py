@@ -1015,3 +1015,37 @@ def test_k_anonymity_histogram_mode_bounded(spark):
     # near-key quasi set: every group is a singleton; histogram stays tiny
     h = k_anonymity_audit(df, ["a", "b"], k=5, histogram=True).collect()
     assert len(h) == 1 and h[0]["group_size"] == 1 and h[0]["n_groups"] == 50
+
+
+def test_schema_drift_statuses_and_rates(spark):
+    from recommender_system_with_pyspark_spark.operators.quality import schema_drift
+
+    before = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "d")], "id long, x string"
+    )
+    after = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None)], "id long, x string, y double"
+    )
+    rows = {r["column"]: r for r in schema_drift(before, after).collect()}
+    assert rows["id"]["status"] == "common" and rows["id"]["null_rate_delta"] == 0.0
+    assert rows["x"]["null_rate_before"] == 0.5 and rows["x"]["null_rate_after"] == 0.0
+    assert rows["x"]["null_rate_delta"] == -0.5
+    assert rows["y"]["status"] == "added" and rows["y"]["null_rate_after"] == 0.5
+    assert rows["y"]["null_rate_before"] is None
+
+
+def test_winsorize_clips_tails_keeps_rows_and_nulls(spark):
+    from recommender_system_with_pyspark_spark.operators.cleaning import winsorize
+
+    vals = [float(i) for i in range(1, 101)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)] + [(999, None)], "id long, v double"
+    )
+    out = {r["id"]: r["v"] for r in winsorize(df, ["v"], 0.10, 0.90).collect()}
+    assert len(out) == 101  # every row survives
+    assert out[999] is None  # nulls pass through
+    # exact percentile_cont on 1..100: p10 = 10.9, p90 = 90.1 (float ulps)
+    assert out[0] == pytest.approx(10.9) and out[99] == pytest.approx(90.1)
+    assert out[49] == 50.0  # interior untouched
+    with pytest.raises(ValueError):
+        winsorize(df, ["v"], 0.9, 0.1)
