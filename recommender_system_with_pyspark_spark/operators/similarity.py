@@ -864,3 +864,44 @@ def _bind_vec(expr: Column, fn) -> Column:
     lambdas reference it without Catalyst re-inlining (same trick as
     ``text._bind`` — without it the norm fold re-runs once per element)."""
     return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+def nn_distance_profile(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_ids: int = 200,
+    round_to: int = 6,
+) -> DataFrame:
+    """Nearest-neighbor similarity profile — the threshold-calibration
+    report every near-dup deployment needs BEFORE picking 0.9-vs-0.95:
+    for a deterministic id-prefix sample of vectors, find each one's
+    single nearest neighbor (exact cosine) and summarize the NN-similarity
+    distribution (min/quartiles/p90/p99/max). Read it as "what similarity
+    does a RANDOM item have to its closest catalog neighbor" — the dedup
+    threshold must sit well ABOVE this background curve or it will merge
+    genuinely distinct items.
+
+    Scale shape: the sample side is broadcast (``sample_ids`` rows by
+    construction), candidates stream once through the exact scorer
+    (``cosine_topk`` k=1), and the percentile fold runs on the
+    sample-sized result. At catalog scale swap the scorer for the
+    LSH/IVF operators; the report shape is unchanged.
+
+    Returns one row: (n_sampled, nn_sim_min, nn_sim_p25, nn_sim_p50,
+    nn_sim_p75, nn_sim_p90, nn_sim_p99, nn_sim_max)."""
+    if sample_ids < 1:
+        raise ValueError("sample_ids must be >= 1")
+    queries = df.filter(F.col(id_col) < sample_ids)
+    nn = cosine_topk(queries, df, id_col, vec_col, k=1)
+    pct = lambda p: F.expr(f"percentile(sim, {p})")  # noqa: E731
+    return nn.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.round(F.min("sim"), round_to).alias("nn_sim_min"),
+        F.round(pct(0.25), round_to).alias("nn_sim_p25"),
+        F.round(pct(0.50), round_to).alias("nn_sim_p50"),
+        F.round(pct(0.75), round_to).alias("nn_sim_p75"),
+        F.round(pct(0.90), round_to).alias("nn_sim_p90"),
+        F.round(pct(0.99), round_to).alias("nn_sim_p99"),
+        F.round(F.max("sim"), round_to).alias("nn_sim_max"),
+    )

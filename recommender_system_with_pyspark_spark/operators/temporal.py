@@ -646,3 +646,39 @@ def point_in_time_join(
         tolerance_seconds=tolerance_seconds,
     )
     return out.drop("_pit_ts")
+
+
+def gap_report(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    max_gap_seconds: int = 3600,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key event-gap audit — the time-series completeness check that
+    runs BEFORE resampling/forecasting trusts a series: for every key,
+    the number of inter-event gaps, the max/mean gap, and how many gaps
+    exceed ``max_gap_seconds`` (sensor dropouts, ingestion stalls, silent
+    producer deaths all show up here first; `resample_timeseries` then
+    decides fill policy knowing how bad the holes are).
+
+    One window partitioned by the KEY (maximal cardinality — never
+    single-partition) for the lag, one partial-aggregating groupBy for
+    the stats. Keys with a single event report zero gaps, null gap stats.
+
+    Returns (key, n_events, n_gaps, max_gap_s, mean_gap_s, n_gaps_over).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    gap_s = (
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+    ) / F.lit(1e6)
+    gapped = df.select(key_col, gap_s.alias("_gap"))
+    return gapped.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("_gap").cast("long").alias("n_gaps"),
+        F.round(F.max("_gap"), round_to).alias("max_gap_s"),
+        F.round(F.avg("_gap"), round_to).alias("mean_gap_s"),
+        F.count(F.when(F.col("_gap") > max_gap_seconds, 1))
+        .cast("long")
+        .alias("n_gaps_over"),
+    )

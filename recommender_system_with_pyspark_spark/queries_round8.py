@@ -1282,3 +1282,69 @@ def winsorized_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     out = winsorize(cust, ["c_acctbal"], lower=0.05, upper=0.95, round_to=6)
     return out.select("c_custkey", F.col("c_acctbal").alias("acctbal_w"))
+
+
+@query(
+    "event_gap_report",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts))) / 1000000.0 AS gap
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           round(max(gap), 6) AS max_gap_s,
+           round(avg(gap), 6) AS mean_gap_s,
+           CAST(count(CASE WHEN gap > 86400 THEN 1 END) AS BIGINT) AS n_gaps_over
+    FROM g GROUP BY user_id
+    """,
+)
+def event_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-gap audit (``temporal.gap_report``, 1-day dropout
+    bar): inter-event gap counts/max/mean and the number of
+    over-threshold holes — the completeness gate a forecaster or
+    resampler consults before trusting a series. One user-partitioned lag
+    window + one groupBy; DuckDB recomputes every gap from the raw
+    timestamps."""
+    from .operators.temporal import gap_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return gap_report(ev, "user_id", "ts", max_gap_seconds=86400)
+
+
+@query(
+    "nn_distance_profile",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    nn AS (
+        SELECT q.vec_id,
+               max(round(list_cosine_similarity(q.v, c.v), 6)) AS sim
+        FROM e q JOIN e c ON q.vec_id < 200 AND q.vec_id <> c.vec_id
+        GROUP BY q.vec_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+           round(min(sim), 6) AS nn_sim_min,
+           round(quantile_cont(sim, 0.25), 6) AS nn_sim_p25,
+           round(quantile_cont(sim, 0.50), 6) AS nn_sim_p50,
+           round(quantile_cont(sim, 0.75), 6) AS nn_sim_p75,
+           round(quantile_cont(sim, 0.90), 6) AS nn_sim_p90,
+           round(quantile_cont(sim, 0.99), 6) AS nn_sim_p99,
+           round(max(sim), 6) AS nn_sim_max
+    FROM nn
+    """,
+)
+def nn_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold calibration (``similarity.nn_distance_profile``):
+    the exact nearest-neighbor similarity distribution for a 200-vector
+    id-prefix sample — the background curve a dedup threshold must clear
+    (a 0.9 bar is only meaningful if a random item's closest catalog
+    neighbor sits well below 0.9). Sample side broadcast, one candidate
+    scan, percentile fold on the sample-sized frame. DuckDB recomputes
+    the exact NN similarities and all percentiles."""
+    from .operators.similarity import nn_distance_profile as prof
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return prof(emb, "vec_id", "embedding", sample_ids=200)

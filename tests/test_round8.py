@@ -1049,3 +1049,40 @@ def test_winsorize_clips_tails_keeps_rows_and_nulls(spark):
     assert out[49] == 50.0  # interior untouched
     with pytest.raises(ValueError):
         winsorize(df, ["v"], 0.9, 0.1)
+
+
+def test_gap_report_hand_case(spark):
+    from recommender_system_with_pyspark_spark.operators.temporal import gap_report
+
+    us = 1_000_000
+    rows = [(1, 0), (1, 10 * us), (1, 5000 * us), (2, 0)]
+    df = spark.createDataFrame(rows, "k long, tus long").select(
+        "k", F.timestamp_micros("tus").alias("ts")
+    )
+    out = {r["k"]: r for r in gap_report(df, "k", "ts", max_gap_seconds=60).collect()}
+    assert out[1]["n_events"] == 3 and out[1]["n_gaps"] == 2
+    assert out[1]["max_gap_s"] == 4990.0 and out[1]["mean_gap_s"] == 2500.0
+    assert out[1]["n_gaps_over"] == 1
+    # single-event key: zero gaps, null stats
+    assert out[2]["n_gaps"] == 0 and out[2]["max_gap_s"] is None
+
+
+def test_nn_distance_profile_monotone_and_bounds(spark):
+    from recommender_system_with_pyspark_spark.operators.similarity import (
+        nn_distance_profile,
+    )
+
+    import math
+
+    vecs = [
+        (i, [math.cos(i * 0.37), math.sin(i * 0.37), float(i % 3)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    r = nn_distance_profile(df, sample_ids=10).collect()[0]
+    assert r["n_sampled"] == 10
+    vals = [r["nn_sim_min"], r["nn_sim_p25"], r["nn_sim_p50"], r["nn_sim_p75"],
+            r["nn_sim_p90"], r["nn_sim_p99"], r["nn_sim_max"]]
+    assert all(a <= b for a, b in zip(vals, vals[1:]))  # monotone profile
+    assert -1.0 <= r["nn_sim_min"] and r["nn_sim_max"] <= 1.0
+    with pytest.raises(ValueError):
+        nn_distance_profile(df, sample_ids=0)
