@@ -682,3 +682,63 @@ def gap_report(
         .cast("long")
         .alias("n_gaps_over"),
     )
+
+
+def residual_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket: str = "day",
+    z: float = 2.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Volume-anomaly detection on per-key event counts: bucket the
+    series, forecast each bucket naively from its predecessor, and flag
+    buckets whose residual sits more than ``z`` sample standard
+    deviations from the key's mean residual — the pager-rule baseline
+    ("traffic halved vs yesterday") that real monitoring starts from,
+    and the sanity bar fancier detectors must beat (same philosophy as
+    ``seasonal_naive_mae`` for forecasting).
+
+    Plan shape mirrors the other series ops: bucket pre-aggregation
+    FIRST, so the lag window and the residual-moment join run over the
+    tiny (key, bucket) frame, never raw events. Keys need ≥ 3 buckets
+    for a defined sample stddev; zero-variance residuals flag nothing.
+    Output is the FLAGGED buckets only (bounded by construction: at most
+    a ~5% tail at z=2 of an already-aggregated frame).
+
+    Returns (key, bucket_start, n_events, prev_events, residual,
+    resid_z)."""
+    if z <= 0:
+        raise ValueError("z must be > 0")
+    counts = df.groupBy(
+        F.col(key_col), F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = Window.partitionBy(key_col).orderBy(F.col("bucket_start").asc())
+    lagged = counts.withColumn("prev_events", F.lag("n_events").over(w)).filter(
+        F.col("prev_events").isNotNull()
+    )
+    resid = lagged.withColumn(
+        "residual", (F.col("n_events") - F.col("prev_events")).cast("double")
+    )
+    stats = resid.groupBy(key_col).agg(
+        F.avg("residual").alias("_mu"), F.stddev_samp("residual").alias("_sd")
+    )
+    return (
+        resid.join(F.broadcast(stats), key_col)
+        .filter(
+            F.col("_sd").isNotNull()
+            & (F.col("_sd") > 0)
+            & (F.abs(F.col("residual") - F.col("_mu")) > F.lit(z) * F.col("_sd"))
+        )
+        .select(
+            key_col,
+            "bucket_start",
+            "n_events",
+            "prev_events",
+            F.round("residual", round_to).alias("residual"),
+            F.round(
+                (F.col("residual") - F.col("_mu")) / F.col("_sd"), round_to
+            ).alias("resid_z"),
+        )
+    )

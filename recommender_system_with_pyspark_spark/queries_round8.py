@@ -1348,3 +1348,47 @@ def nn_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return prof(emb, "vec_id", "embedding", sample_ids=200)
+
+
+@query(
+    "event_volume_anomalies",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS bucket_start,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, bucket_start, n_events,
+               lag(n_events) OVER (PARTITION BY event_type ORDER BY bucket_start)
+                   AS prev_events
+        FROM daily
+    ),
+    resid AS (
+        SELECT *, (n_events - prev_events)::DOUBLE AS residual
+        FROM lagged WHERE prev_events IS NOT NULL
+    ),
+    stats AS (
+        SELECT event_type, avg(residual) AS mu, stddev_samp(residual) AS sd
+        FROM resid GROUP BY event_type
+    )
+    SELECT r.event_type, r.bucket_start, r.n_events, r.prev_events,
+           round(r.residual, 6) AS residual,
+           round((r.residual - s.mu) / s.sd, 6) AS resid_z
+    FROM resid r JOIN stats s USING (event_type)
+    WHERE s.sd IS NOT NULL AND s.sd > 0
+      AND abs(r.residual - s.mu) > 2.0 * s.sd
+    """,
+)
+def event_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume-anomaly flags per event type
+    (``temporal.residual_anomalies``, z=2): day-over-day residuals
+    z-scored against each type's own residual distribution — the
+    pager-rule baseline monitoring starts from. Pre-aggregated to the
+    (type, day) frame before any window; flagged output bounded by
+    construction. DuckDB recomputes buckets, lags, residual moments and
+    the z-cut."""
+    from .operators.temporal import residual_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    return residual_anomalies(ev, "event_type", "ts", bucket="day", z=2.0)

@@ -1086,3 +1086,30 @@ def test_nn_distance_profile_monotone_and_bounds(spark):
     assert -1.0 <= r["nn_sim_min"] and r["nn_sim_max"] <= 1.0
     with pytest.raises(ValueError):
         nn_distance_profile(df, sample_ids=0)
+
+
+def test_residual_anomalies_flags_the_spike_only(spark):
+    from recommender_system_with_pyspark_spark.operators.temporal import (
+        residual_anomalies,
+    )
+
+    day_us = 86_400_000_000
+    rows = []
+    # steady 10/day for 9 days, then a 100-event spike on day 9
+    for d in range(10):
+        n = 100 if d == 9 else 10
+        rows += [(1, d * day_us + i) for i in range(n)]
+    df = spark.createDataFrame(rows, "k long, tus long").select(
+        "k", F.timestamp_micros("tus").alias("ts")
+    )
+    out = residual_anomalies(df, "k", "ts", bucket="day", z=2.0).collect()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 100 and out[0]["prev_events"] == 10
+    assert out[0]["resid_z"] > 2.0
+    # constant series: zero-variance residuals flag nothing
+    const = spark.createDataFrame(
+        [(1, d * day_us + i) for d in range(5) for i in range(10)], "k long, tus long"
+    ).select("k", F.timestamp_micros("tus").alias("ts"))
+    assert residual_anomalies(const, "k", "ts").count() == 0
+    with pytest.raises(ValueError):
+        residual_anomalies(df, "k", "ts", z=0)
