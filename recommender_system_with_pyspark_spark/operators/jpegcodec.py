@@ -364,7 +364,8 @@ def encode_jpeg_gray(pixels: "np.ndarray", restart_interval: int = 0) -> bytes:
             )
             mcu_ix += 1
     writer.flush()
-    assert mcu_ix == n_mcus
+    if mcu_ix != n_mcus:
+        raise ValueError(f"MCU count mismatch: emitted {mcu_ix}, expected {n_mcus}")
 
     dqt = _seg(0xDB, b"\x00" + bytes(QUANT_LUMA.reshape(64)[ZIGZAG].astype(np.uint8)))
     dri = _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""

@@ -724,8 +724,12 @@ def residual_anomalies(
     stats = resid.groupBy(key_col).agg(
         F.avg("residual").alias("_mu"), F.stddev_samp("residual").alias("_sd")
     )
+    # stats is one row per key — unbounded with a high-cardinality key_col,
+    # so no broadcast hint: AQE picks broadcast when the key space is small
+    # and falls back to a shuffle join when it isn't (same policy as
+    # sampling.negative_sample's shuffle-pinned joins).
     return (
-        resid.join(F.broadcast(stats), key_col)
+        resid.join(stats, key_col)
         .filter(
             F.col("_sd").isNotNull()
             & (F.col("_sd") > 0)

@@ -826,7 +826,9 @@ _BP_LINES_SQL = (
         WHERE length(ls[CAST(i AS INT)]) > 0
     ),
     dfreq AS (SELECT line, count(DISTINCT doc_id) AS d FROM lines GROUP BY 1),
-    n AS (SELECT count(*) AS nd FROM raw),
+    -- denominator matches the operator's contract: docs with >=1 non-empty
+    -- line (a delimiter-only doc must not dilute the boilerplate bar)
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM lines),
     boiler AS (SELECT line FROM dfreq, n WHERE d >= 0.10 * nd),
     kept AS (
         SELECT l.doc_id, l.pos, l.line FROM lines l
@@ -1073,20 +1075,27 @@ def calibration_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_decayed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING twin of ``decayed_user_activity``: per-user decayed
-    features carried in applyInPandasWithState state across micro-batches
-    (``streaming/stateful.decayed_user_features``). Fixed-reference
-    accumulation makes the state update associative — contributions add
-    whatever the micro-batch split — so the LAST emission per user (the
-    event count is monotone) must equal the batch closed form, and the
-    entry hashes against the same DuckDB oracle as the batch twin. A
-    state-store bug, a dropped micro-batch, or a double replay breaks
-    the hash."""
-    from .streaming.stateful import decayed_user_features
-    from .streaming.windows import run_to_memory_sink, stream_events
+    features as a NATIVE update-mode streaming aggregation
+    (``streaming/windows.decayed_user_features_native``). Fixed-reference
+    accumulation makes the decayed sums plain associative SUMs of a
+    projected per-row weight, so the plan is the engine's own streaming
+    HashAggregate + StateStoreSave — JVM state, map-side partial agg per
+    micro-batch, zero Python in the hot path (the applyInPandasWithState
+    twin, ``stateful.decayed_user_features``, remains as the documented
+    demo of the custom-state surface and is pinned equal in tests). The
+    LAST emission per user (the event count is monotone) must equal the
+    batch closed form, and the entry hashes against the same DuckDB
+    oracle as the batch twin. A state-store bug, a dropped micro-batch,
+    or a double replay breaks the hash."""
+    from .streaming.windows import (
+        decayed_user_features_native,
+        run_to_memory_sink,
+        stream_events,
+    )
 
     ev = stream_events(spark, sf_dir)
     updates = run_to_memory_sink(
-        decayed_user_features(ev, ref_ts_us=_DECAY_REF_US, half_life_days=7.0),
+        decayed_user_features_native(ev, ref_ts_us=_DECAY_REF_US, half_life_days=7.0),
         "update",
     )
     return (

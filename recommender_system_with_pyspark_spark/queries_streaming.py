@@ -153,7 +153,12 @@ def stream_filter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful operator (applyInPandasWithState) oracle-checked:
+    """Custom stateful operator (applyInPandasWithState) oracle-checked —
+    this entry is the registry's deliberate DEMO of the custom-state
+    surface (the update is associative, so a native update-mode
+    ``groupBy().agg()`` would also express it — see
+    ``streaming/stateful`` module doc; ``stream_decayed_features`` shows
+    the native form):
     per-user running (count, sum) state carried across micro-batches; the
     LAST emission per user (highest n_events — the count is monotone) must
     equal the batch aggregate exactly. State is one (long, double) pair per

@@ -2,11 +2,17 @@
 (engine extension — the escape hatch when windowed aggregates can't express
 the semantics; state lives in the state store, partitioned by key).
 
-``running_user_totals`` — the canonical shape: per-key running aggregates
-carried across micro-batches with an idle-timeout eviction. Structure
-generalizes to CDC accumulators, per-entity anomaly detectors, and
-session-carrying enrichment.
-"""
+DEMO SURFACE, not the default path. Both operators here have associative
+state updates, so each has a NATIVE streaming-aggregation form that is
+strictly cheaper (JVM state, map-side partial agg, no Arrow round-trip):
+``running_user_totals`` ≡ ``groupBy(user).agg(count, sum)`` in update mode
+(what the ``stream_stateful_totals`` oracle effectively checks), and
+``decayed_user_features`` ≡ ``windows.decayed_user_features_native`` —
+the registered ``stream_decayed_features`` entry runs the native form;
+tests pin the two equal. Keep THIS module as the template for state that
+is genuinely non-associative (per-key model state, pattern detection over
+ordered events, idle-timeout session eviction — ``running_user_totals``
+demonstrates the timeout API natively-unreachable by aggregates)."""
 
 from __future__ import annotations
 
@@ -103,9 +109,13 @@ def decayed_user_features(
     ref_ts_us: int,
     half_life_days: float = 7.0,
 ) -> DataFrame:
-    """STREAMING half-life-decayed per-user features — the feature-store
-    pattern online: per-key state carries the decayed aggregates across
-    micro-batches. The state accumulates each event's weight AT A FIXED
+    """STREAMING half-life-decayed per-user features, custom-state DEMO
+    form (the production path is ``windows.decayed_user_features_native``
+    — a native update-mode aggregation with identical output; this
+    version exists to exercise/document the applyInPandasWithState
+    surface and the serving-time re-anchor pattern). Per-key state
+    carries the decayed aggregates across micro-batches.
+    The state accumulates each event's weight AT A FIXED
     reference instant (``2^(−(ref − t)/hl)``), which makes the update
     associative and commutative — contributions simply add, whatever the
     micro-batch split — and equal to the batch ``temporal.decayed_agg``

@@ -128,6 +128,49 @@ def dedup_stream(
     return events.dropDuplicates(keys)
 
 
+def decayed_user_features_native(
+    events: DataFrame,
+    ref_ts_us: int,
+    half_life_days: float = 7.0,
+) -> DataFrame:
+    """Half-life-decayed per-user features as a NATIVE streaming aggregation
+    — the default path for this operator (batch and streaming; the
+    custom-state twin in ``stateful.decayed_user_features`` is the
+    documented demo of the applyInPandasWithState surface).
+
+    The key observation: weighting every event at a FIXED reference instant
+    (``2^(−(ref − t)/hl)``) makes the decayed sums plain associative SUMs of
+    a per-row projected weight — so the whole operator is
+    ``withColumn(w, exp(−λ·(ref−t))) → groupBy(user).agg(sum(w), sum(w·v),
+    count)``. In update mode that compiles to Spark's native streaming
+    HashAggregate + StateStoreSave: JVM/RocksDB state, map-side partial
+    aggregation inside each micro-batch, no Python workers and no Arrow
+    round-trip in the hot path. State per user is the same (double, double,
+    long) triple the custom-state version carries, but merged by the
+    engine. Events at/after the reference are excluded (point-in-time
+    rule), matching the batch ``temporal.decayed_agg`` closed form.
+
+    A serving deployment re-anchors the reference periodically with the
+    rescale identity ``decayed(ref') = decayed(ref) · 2^(−(ref'−ref)/hl)``
+    — one multiply per key on the OUTPUT, state shape unchanged."""
+    import math
+
+    lam = math.log(2.0) / (half_life_days * 86400e6)
+    t_us = F.unix_micros(F.col("ts"))
+    w = F.exp(F.lit(-lam) * (F.lit(ref_ts_us) - t_us).cast("double"))
+    return (
+        events.select("user_id", "ts", "value")
+        .filter(t_us < F.lit(ref_ts_us))
+        .withColumn("_w", w)
+        .groupBy("user_id")
+        .agg(
+            F.sum("_w").alias("decayed_count"),
+            F.sum(F.col("_w") * F.col("value")).alias("decayed_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 def write_foreach_batch(
     stream_df: DataFrame,
     batch_fn,
