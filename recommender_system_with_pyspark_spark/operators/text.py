@@ -764,11 +764,64 @@ def _validate_bpe_fast_path(merges: Sequence[tuple[str, str, str]]) -> bool:
     return True
 
 
+def bpe_table(
+    trained: Sequence[tuple[int, str, int, str]],
+) -> list[tuple[str, str, str]]:
+    """Convert ``bpe_train``/``bpe_train_batched`` output rows
+    ``(step, pair, count, new_symbol)`` into the ``(left, right, out)``
+    triples ``bpe_apply``/``bpe_decode`` consume. Pairs are always exactly
+    two symbols (each a single char — initial alphabet or an earlier
+    merge's fresh output), so the split is positional."""
+    return [(pair[0], pair[1], out) for _step, pair, _count, out in trained]
+
+
+def _merge_fold_frame(df: DataFrame, pairs: list[tuple[str, str]]):
+    """One-row broadcastable frame holding an ORDERED array<struct<src,out>>
+    merge table — the merge list as DATA, not expression nodes, so a 50k
+    table adds O(1) plan depth (constant-depth ``F.aggregate`` fold)
+    instead of a 50k-deep replace chain that overflows Catalyst's
+    recursive tree walks long before codegen even sees it."""
+    spark = df.sparkSession
+    rows = [(i, src, out) for i, (src, out) in enumerate(pairs)]
+    mt = spark.createDataFrame(rows, "rank int, src string, out string")
+    return mt.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "src", "out"))),
+            lambda m: F.struct(m["src"].alias("src"), m["out"].alias("out")),
+        ).alias("_merges")
+    )
+
+
+def _fold_replace(df: DataFrame, pairs: list[tuple[str, str]],
+                  in_col: str, out_col: str) -> DataFrame:
+    """Apply an ordered (src, out) replace list via a single higher-order
+    ``F.aggregate`` fold over a broadcast merge array: per document the
+    engine runs one left-to-right ``replace`` pass per merge rank — the
+    exact semantics of the nested codegen chain — but the plan holds ONE
+    aggregate node whatever the table size. All JVM, zero Python, zero
+    shuffle, zero materialization barriers; the table ships once per
+    executor via broadcast."""
+    tbl = _merge_fold_frame(df, pairs)
+    return (
+        df.crossJoin(F.broadcast(tbl))
+        .withColumn(
+            out_col,
+            F.aggregate(
+                "_merges",
+                F.col(in_col),
+                lambda acc, m: F.replace(acc, m["src"], m["out"]),
+            ),
+        )
+        .drop("_merges")
+    )
+
+
 def bpe_apply(
     df: DataFrame,
     merges: Sequence[tuple[str, str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_chain: int = 64,
 ) -> DataFrame:
     """Apply a byte-pair-encoding merge table to a text column and emit the
     encoded symbol string plus its token count — the token-budget
@@ -778,13 +831,24 @@ def bpe_apply(
 
     Each merge is ``(left, right, output)`` in rank order; symbols are
     single characters (initial alphabet = the corpus's characters, merge
-    outputs = fresh ids, conventionally private-use-area chars). Two
-    execution paths, chosen by a driver-side proof over the table alone:
+    outputs = fresh ids, conventionally private-use-area chars). Three
+    execution paths, chosen by a driver-side proof over the table alone
+    plus its size:
 
-    - **Fast path (pure JVM)**: when ``_validate_bpe_fast_path`` holds,
-      greedy BPE is exactly a chain of native ``F.replace`` calls — one
-      whole-stage-codegen projection, zero Python, zero shuffle. This is
-      the 100 TB path: token counting rides the corpus scan.
+    - **Fast path, small table (pure codegen)**: when
+      ``_validate_bpe_fast_path`` holds and the table has at most
+      ``max_chain`` entries, greedy BPE is exactly a chain of native
+      ``F.replace`` calls — one whole-stage-codegen projection, zero
+      Python, zero shuffle.
+    - **Fast path, REAL-VOCAB table (HOF fold)**: past ``max_chain`` the
+      nested chain stops being viable — a 30–50k-deep expression tree
+      overflows Catalyst's recursive tree transforms before codegen is
+      even attempted — so the same semantics run as a constant-plan-depth
+      ``F.aggregate`` fold over a BROADCAST array of (src, out) structs:
+      the merge table becomes data, one replace pass per rank per doc,
+      still all-JVM and scan-parallel. This is the 100 TB path for
+      production vocabularies (tested at 1k+ merges); per-doc cost is
+      O(n_merges × doc_len) either way.
     - **General path (Arrow)**: arbitrary tables (merge outputs that can
       recreate earlier pairs) fall back to true greedy lowest-rank-first
       BPE in a Pandas UDF, still a linear projection.
@@ -796,10 +860,16 @@ def bpe_apply(
     if not merges:
         raise ValueError("empty merge table")
     if _validate_bpe_fast_path(merges):
-        encoded = F.col(text_col)
-        for left, right, out in merges:
-            encoded = F.replace(encoded, F.lit(left + right), F.lit(out))
-        enc = df.withColumn("bpe_text", encoded)
+        if len(merges) > max_chain:
+            enc = _fold_replace(
+                df, [(left + right, out) for left, right, out in merges],
+                text_col, "bpe_text",
+            )
+        else:
+            encoded = F.col(text_col)
+            for left, right, out in merges:
+                encoded = F.replace(encoded, F.lit(left + right), F.lit(out))
+            enc = df.withColumn("bpe_text", encoded)
     else:
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
@@ -866,9 +936,17 @@ def bpe_train(
     is cached between iterations so step k doesn't replay steps 0..k−1.
 
     Returns ``[(step, pair, count, new_symbol), ...]`` (≤ n_merges rows —
-    shorter if the corpus runs out of repeated pairs). The learned table
-    feeds ``bpe_apply`` directly: outputs are fresh PUA chars, so the
-    fast replace-chain path is always valid for a trained table.
+    shorter if the corpus runs out of repeated pairs). Convert with
+    ``bpe_table`` to the ``(left, right, out)`` triples ``bpe_apply``
+    consumes: outputs are fresh PUA chars, so the fast replace path is
+    always valid for a trained table.
+
+    REAL-VOCAB CEILING: each merge costs one pair-count round (one
+    groupBy + a 1-row argmax), so a 30–50k-merge production vocabulary
+    means 30–50k sequential Spark jobs — use ``bpe_train_batched``, which
+    learns up to ``batch_size`` pairwise-disjoint merges per round and
+    reduces the round count by that factor (it degenerates to exactly
+    this function at ``batch_size=1``).
     """
     cur = docs.select(F.col(text_col).alias("_s")).filter(F.length("_s") > 1)
     cur = cur.localCheckpoint()
@@ -906,6 +984,95 @@ def bpe_train(
             nxt = cur.select(
                 F.replace(F.col("_s"), F.lit(pair), F.lit(out)).alias("_s")
             ).localCheckpoint()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return merges
+
+
+def bpe_train_batched(
+    docs: DataFrame,
+    n_merges: int = 256,
+    batch_size: int = 16,
+    text_col: str = "text",
+    pua_base: int = 0xE100,
+    candidate_factor: int = 8,
+) -> "list[tuple[int, str, int, str]]":
+    """Distributed BPE training at REAL vocabulary scale: learn up to
+    ``batch_size`` merges per corpus pass instead of one, so a 30–50k
+    vocabulary costs thousands of rounds, not tens of thousands — the
+    standard batched-BPE trick, and the production path next to the
+    single-merge reference trainer ``bpe_train``.
+
+    Per round: ONE positional pair-count (posexplode projection +
+    map-side-combined groupBy, identical to ``bpe_train``), collect the
+    top ``batch_size × candidate_factor`` (pair, count) rows (the only
+    driver traffic), then greedily accept candidates in (count desc,
+    pair asc) order, SKIPPING any pair that shares a symbol with an
+    already-accepted one. Symbol-disjointness is what makes the batch
+    sound: replacing one accepted pair can neither create, destroy, nor
+    overlap occurrences of another, so all accepted counts stay exact and
+    the ≤``batch_size`` replaces compose into one projection applied in
+    a single corpus rewrite (localCheckpointed, as in ``bpe_train``).
+
+    Equivalence contract: at ``batch_size=1`` this IS ``bpe_train``
+    (same argmax, same tie-break, same output). At ``batch_size>1`` the
+    merge SET may differ from the strictly-sequential trainer's — a
+    skipped overlapping pair (e.g. ``he`` after ``th``) is deferred to
+    the next round, where sequential BPE would have recounted it
+    immediately — but every accepted count is exact for the corpus state
+    it was measured on, the result is a valid greedy-family BPE table,
+    and the whole procedure is deterministic. Outputs are fresh PUA
+    symbols in acceptance order, so ``bpe_table`` output always validates
+    onto ``bpe_apply``'s fast path.
+
+    Returns ``[(step, pair, count, new_symbol), ...]`` like ``bpe_train``.
+    """
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    cur = docs.select(F.col(text_col).alias("_s")).filter(F.length("_s") > 1)
+    cur = cur.localCheckpoint()
+    merges: list[tuple[int, str, int, str]] = []
+    try:
+        while len(merges) < n_merges:
+            pairs = (
+                cur.filter(F.length("_s") > 1)
+                .select(
+                    F.posexplode(F.sequence(F.lit(1), F.length("_s") - 1)).alias(
+                        "_p", "_i"
+                    ),
+                    F.col("_s"),
+                )
+                .select(F.col("_s").substr(F.col("_i"), F.lit(2)).alias("pair"))
+                .filter(~F.col("pair").contains(" "))
+            )
+            top = (
+                pairs.groupBy("pair")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") >= 2)
+                .orderBy(F.desc("c"), F.asc("pair"))
+                .limit(batch_size * candidate_factor)
+                .collect()
+            )
+            accepted: list[tuple[str, int]] = []
+            used: set[str] = set()
+            for row in top:
+                if len(accepted) == batch_size or len(merges) + len(accepted) == n_merges:
+                    break
+                syms = set(row["pair"])
+                if syms & used:
+                    continue
+                accepted.append((row["pair"], int(row["c"])))
+                used |= syms
+            if not accepted:
+                break
+            rewritten = F.col("_s")
+            for pair, cnt in accepted:
+                out = chr(pua_base + len(merges))
+                merges.append((len(merges), pair, cnt, out))
+                rewritten = F.replace(rewritten, F.lit(pair), F.lit(out))
+            nxt = cur.select(rewritten.alias("_s")).localCheckpoint()
             cur.unpersist()
             cur = nxt
     finally:
@@ -1001,18 +1168,28 @@ def bpe_decode(
     merges: Sequence[tuple[str, str, str]],
     encoded_col: str = "bpe_text",
     out_col: str = "decoded_text",
+    max_chain: int = 64,
 ) -> DataFrame:
     """Invert ``bpe_apply``: expand every merge output symbol back to its
     source pair, applying merges in REVERSE rank order so chained symbols
     unwrap outside-in (``the`` → ``th``+e → t+h+e). For fresh-output
     tables (everything ``bpe_train`` produces, and everything the
     fast-path validator accepts) this is an exact inverse — pinned
-    corpus-wide by the ``bpe_roundtrip_docs`` oracle. Pure
-    whole-stage-codegen ``F.replace`` chain: zero Python, zero shuffle,
-    same 100 TB scan-parallel story as encoding."""
+    corpus-wide by the ``bpe_roundtrip_docs`` oracle. Zero Python, zero
+    shuffle, same 100 TB scan-parallel story as encoding: a
+    whole-stage-codegen ``F.replace`` chain up to ``max_chain`` merges,
+    and the same constant-plan-depth broadcast ``F.aggregate`` fold as
+    ``bpe_apply`` beyond it (real 30–50k vocabularies)."""
+    merges = list(merges)
     if not merges:
         raise ValueError("empty merge table")
+    if len(merges) > max_chain:
+        return _fold_replace(
+            df,
+            [(out, left + right) for left, right, out in reversed(merges)],
+            encoded_col, out_col,
+        )
     decoded = F.col(encoded_col)
-    for left, right, out in reversed(list(merges)):
+    for left, right, out in reversed(merges):
         decoded = F.replace(decoded, F.lit(out), F.lit(left + right))
     return df.withColumn(out_col, decoded)

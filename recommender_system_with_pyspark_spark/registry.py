@@ -52,3 +52,26 @@ def load_all_queries() -> None:
     from . import queries_round6  # noqa: F401
     from . import queries_round7  # noqa: F401
     from . import queries_round8  # noqa: F401
+    from . import queries_round9  # noqa: F401
+    _stratify_driver_window()
+
+
+def _stratify_driver_window() -> None:
+    """Re-order QUERIES so the driver's first-50 correctness window samples
+    EVERY query module (≈ every build round) instead of freezing on the
+    oldest entries: round-robin one query per source module, preserving
+    within-module registration order. Deterministic (module import order ×
+    registration order), idempotent, and a pure re-insertion — names,
+    callables, and oracles are untouched."""
+    by_mod: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        by_mod.setdefault(fn.__module__, []).append(name)
+    queues = [list(names) for names in by_mod.values()]
+    order: list[str] = []
+    while queues:
+        for q in queues:
+            order.append(q.pop(0))
+        queues = [q for q in queues if q]
+    rebuilt = {n: QUERIES[n] for n in order}
+    QUERIES.clear()
+    QUERIES.update(rebuilt)

