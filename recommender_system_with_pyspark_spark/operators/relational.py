@@ -271,6 +271,37 @@ def dense_id_compaction(
     return out.select(*df.columns), maps
 
 
+def assert_int32_ids(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """LOUD guard for code paths that hand ids to an int32-only consumer
+    DIRECTLY (MLlib's ``ALS.fit`` being the canonical one — it casts
+    user/item ids to int and a long surrogate key CAST_OVERFLOWs deep
+    inside block construction with an error that names neither the column
+    nor the fix). ``ml.models.als_prediction`` compacts automatically;
+    call this before any direct MLlib usage this package doesn't wrap.
+
+    Raises ``ValueError`` naming the offending column, its observed range,
+    and the remedy (``dense_id_compaction`` + ``restore_ids``) when any
+    value falls outside int32; returns ``df`` unchanged otherwise."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    mm = df.agg(F.count(F.lit(1)).alias("_n"), *aggs).first()
+    if mm["_n"] == 0:
+        return df
+    for c in cols:
+        lo, hi = mm[f"_mn_{c}"], mm[f"_mx_{c}"]
+        if any(v is not None and not _INT32_MIN <= v <= _INT32_MAX for v in (lo, hi)):
+            raise ValueError(
+                f"column {c!r} holds ids outside int32 (observed range "
+                f"[{lo}, {hi}]); MLlib consumers such as ALS cast ids to "
+                f"int and overflow. Re-key with "
+                f"operators.relational.dense_id_compaction(df, [{c!r}]) "
+                f"and translate outputs back with restore_ids — or use "
+                f"ml.models.als_prediction, which does both automatically."
+            )
+    return df
+
+
 def restore_ids(
     df: DataFrame,
     col: str,

@@ -131,6 +131,157 @@ def _large_vocab_merges() -> "list[tuple[str, str, str]]":
     return merges
 
 
+_B32 = 1 << 32
+_T_TRAIN = int(0.8 * _B32)          # stable_split's cumulative thresholds
+_T_VAL = int((0.8 + 0.1) * _B32)    # (same float accumulation as the operator)
+
+# 5-gram shingle list for the contamination stage (DuckDB side), same
+# construction as the standalone `decontaminate` oracle
+_SH5 = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 5, 0) + 2), "
+    "i -> array_to_string(list_slice(toks, i, i + 4), ' ')))"
+)
+
+
+def _e2e_oracle() -> str:
+    from .queries_round8 import _bpe_replace_chain_sql
+
+    return f"""
+    WITH raw AS (SELECT doc_id, source, text FROM documents),
+    q AS MATERIALIZED (
+        SELECT doc_id, source, text,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM raw
+    ),
+    quality AS MATERIALIZED (
+        SELECT doc_id, source, text FROM q
+        WHERE len(toks) >= 20
+          AND len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1) >= 0.3
+    ),
+    dedup AS MATERIALIZED (
+        SELECT doc_id, source, text FROM quality
+        WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY text)
+    ),
+    dsh AS (
+        SELECT doc_id, {_SH5} AS sh
+        FROM q
+        WHERE doc_id IN (SELECT doc_id FROM dedup WHERE source <> 'src0')
+    ),
+    bench AS MATERIALIZED (
+        SELECT list_distinct(flatten(list(sh))) AS bsh
+        FROM (SELECT {_SH5} AS sh FROM q WHERE source = 'src0')
+    ),
+    clean AS MATERIALIZED (
+        SELECT d.doc_id, dd.text
+        FROM dsh d CROSS JOIN bench b
+        JOIN dedup dd ON dd.doc_id = d.doc_id
+        WHERE len(list_intersect(d.sh, b.bsh)) = 0
+    ),
+    split_ AS (
+        SELECT CASE
+            WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
+                 < {_T_TRAIN} THEN 'train'
+            WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
+                 < {_T_VAL} THEN 'val'
+            ELSE 'test' END AS split,
+            length(text) AS n_chars,
+            length({_bpe_replace_chain_sql()}) AS n_tok
+        FROM clean
+    ),
+    stage AS (
+        SELECT (SELECT count(*) FROM raw) AS n_raw,
+               (SELECT count(*) FROM quality) AS n_quality,
+               (SELECT count(*) FROM dedup) AS n_dedup,
+               (SELECT count(*) FROM clean) AS n_clean
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(ceil(sum(n_tok) / 1024.0) AS BIGINT) AS packed_bins_1k,
+           round(sum(n_chars)::DOUBLE / sum(n_tok), 6) AS chars_per_token,
+           CAST(n_raw AS BIGINT) AS n_raw,
+           CAST(n_quality AS BIGINT) AS n_quality,
+           CAST(n_dedup AS BIGINT) AS n_dedup,
+           CAST(n_clean AS BIGINT) AS n_clean
+    FROM split_, stage
+    GROUP BY split, n_raw, n_quality, n_dedup, n_clean
+    """
+
+
+@query("training_pipeline_e2e", oracle=_e2e_oracle())
+def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END LLM training-data pipeline as ONE oracle-checked
+    composite — every stage is an existing first-class operator, chained
+    the way a production corpus build runs them:
+
+    quality gate (≥20 tokens, ≥0.3 distinct ratio — the Gopher-style
+    rules) → exact dedup (min-id survivor per text) → benchmark
+    decontamination (drop any doc sharing a 5-gram with the 'src0'
+    held-out set; benchmark-source docs are excluded from training
+    entirely) → deterministic train/val/test split
+    (``sampling.stable_split`` 0.8/0.1/0.1, md5 key buckets) → BPE
+    tokenization (``text.bpe_apply``) → per-split packed-token
+    accounting (total tokens, GPT-style concatenate-and-chunk bin count
+    at budget 1024, chars/token) plus the stage-by-stage funnel counts.
+
+    Scale shape: every stage is linear — the quality gate and split are
+    pure projections, dedup shuffles doc-keyed aggregates once, the
+    benchmark shingle set broadcasts (eval sets are MBs), tokenization
+    rides the scan, and the accounting is a 3-row groupBy. DuckDB
+    replays the ENTIRE chain in closed form; the hash pins every stage
+    boundary (a doc wrongly dropped/kept at any stage shifts a split's
+    token totals)."""
+    from .operators.dedup import dedup_exact
+    from .operators.sampling import stable_split
+    from .operators.text import (
+        DEFAULT_BPE_MERGES,
+        bpe_apply,
+        contamination_flags,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    quality = docs.filter(
+        (F.size(toks) >= 20)
+        & (
+            (F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)))
+            >= 0.3
+        )
+    )
+    survivors = quality.join(
+        dedup_exact(quality).select(F.col("keep_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    bench = docs.filter(F.col("source") == "src0")
+    cands = survivors.filter(F.col("source") != "src0")
+    flags = contamination_flags(cands, bench, "text", "doc_id", n=5)
+    clean = cands.join(
+        flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
+    )
+    splits = stable_split(
+        clean, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=0
+    )
+    enc = bpe_apply(splits, DEFAULT_BPE_MERGES)
+    acct = enc.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("bpe_tokens").cast("long").alias("total_tokens"),
+        F.ceil(F.sum("bpe_tokens") / F.lit(1024.0)).cast("long").alias("packed_bins_1k"),
+        F.round(F.sum(F.length("text")) / F.sum("bpe_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+    )
+    stage = (
+        docs.agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+        .crossJoin(quality.agg(F.count(F.lit(1)).cast("long").alias("n_quality")))
+        .crossJoin(survivors.agg(F.count(F.lit(1)).cast("long").alias("n_dedup")))
+        .crossJoin(clean.agg(F.count(F.lit(1)).cast("long").alias("n_clean")))
+    )
+    return acct.crossJoin(F.broadcast(stage))
+
+
 @query(
     "bpe_encode_large_vocab",
     oracle=f"""
