@@ -6,13 +6,15 @@ batch shape, UDF signatures) is real and tested, and four container
 formats decode FOR REAL with no external library: uncompressed 24-bit BMP
 (pure struct/numpy header + raster parse, VERDICT r6 #6), non-interlaced
 8-bit RGB PNG (stdlib zlib inflate + numpy per-row unfilter over all five
-filter types, VERDICT r7 #6), baseline JPEG (full T.81 baseline chain in
-pure numpy — grayscale, 4:4:4 color, 4:2:0 chroma-subsampled, and
-restart-interval/DRI streams; ``operators/jpegcodec.py``, round 8), and
-PCM WAV (stdlib ``wave``). The remaining compressed codecs (progressive
-JPEG, MP3) stay stubbed behind ``NotImplementedError`` because the codec
-libraries are not in this container — real deployments plug in
-PIL/libvips/ffmpeg at the marked dispatch point in ``decode_image``.
+filter types, VERDICT r7 #6), JPEG (full T.81 chain in pure numpy —
+baseline grayscale, 4:4:4 color, 4:2:0 chroma-subsampled,
+restart-interval/DRI streams (round 8), and PROGRESSIVE SOF2 with
+spectral selection + successive approximation (round 9);
+``operators/jpegcodec.py``), and PCM WAV (stdlib ``wave``). The one
+remaining compressed codec (MP3) stays stubbed behind
+``NotImplementedError`` because no audio codec library is in this
+container — real deployments plug in ffmpeg next to ``decode_wav`` and
+at the marked dispatch point in ``decode_image``.
 
 Scale notes: media rows are large — keep ``spark.sql.files.maxPartitionBytes``
 small enough that a batch of decoded frames fits executor memory, and always
@@ -272,12 +274,13 @@ def decode_png(data: bytes) -> "object":
 def decode_image(data: bytes) -> "object":
     """Dispatching image decode — three formats decode FOR REAL with no
     codec library: BMP (``decode_bmp``), non-interlaced 8-bit RGB PNG
-    (``decode_png``), and baseline JPEG (``jpegcodec.decode_jpeg`` — full
-    T.81 baseline chain: grayscale, 4:4:4 color, and chroma-subsampled
-    4:2:2/4:2:0; gray rasters expand to (h, w, 3) so downstream channel
-    features are format-agnostic). Progressive JPEG and video codecs
-    remain STUBBED — real deployments plug in PIL/libvips here (the
-    container has no compressed-image codec libraries)."""
+    (``decode_png``), and JPEG (``jpegcodec.decode_jpeg`` — the full
+    T.81 chain: baseline grayscale, 4:4:4 color, chroma-subsampled
+    4:2:2/4:2:0, AND progressive SOF2 with spectral selection +
+    successive approximation via scan accumulation; gray rasters expand
+    to (h, w, 3) so downstream channel features are format-agnostic).
+    Video codecs remain STUBBED — real deployments plug in PIL/libvips/
+    ffmpeg here (the container has no compressed-media libraries)."""
     import numpy as np
 
     if data[:2] == b"BM":
@@ -287,15 +290,15 @@ def decode_image(data: bytes) -> "object":
     if data[:2] == b"\xff\xd8":
         from .jpegcodec import decode_jpeg
 
-        px = decode_jpeg(data)  # raises ValueError on progressive streams
+        px = decode_jpeg(data)  # baseline AND progressive streams
         if px.ndim == 2:  # grayscale: replicate so channel features align
             return np.repeat(px[:, :, None], 3, axis=2)
         return px
     raise NotImplementedError(
-        "only BMP, 8-bit RGB PNG, and baseline JPEG (grayscale, 4:4:4, "
-        "4:2:2/4:2:0 subsampled) decode in this container; progressive "
-        "JPEG requires a codec library — use extract_byte_features for "
-        "the plumbing-level path"
+        "only BMP, 8-bit RGB PNG, and JPEG (baseline grayscale/4:4:4/"
+        "4:2:2/4:2:0 + progressive) decode in this container; other "
+        "formats require a codec library — use extract_byte_features "
+        "for the plumbing-level path"
     )
 
 
@@ -515,6 +518,44 @@ def text_to_jpeg_media(
                 vals = np.resize(arr, n_blocks).reshape(height // 8, width // 8)
                 raster = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
                 out.append((mid, encode_jpeg_gray(raster)))
+            yield pd.DataFrame(out, columns=["media_id", "media"])
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        batches, "media_id long, media binary"
+    )
+
+
+def text_to_jpeg_progressive_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 40,
+    height: int = 24,
+) -> DataFrame:
+    """PROGRESSIVE-JPEG twin of ``text_to_jpeg_media``: the same cycled-
+    text constant blocks encoded as a real SOF2 progressive stream
+    (``jpegcodec.encode_jpeg_progressive`` — DC at Al=1 + refinement,
+    AC spectral bands at Al=2 refined twice). Constant blocks keep the
+    closed form: progressive scan accumulation reconstructs the identical
+    DC-only coefficient array baseline would transmit, so the decoded
+    block value stays ``clamp(2·round((v−128)/2) + 128)`` and the same
+    DuckDB oracle shape applies."""
+    import numpy as np
+
+    from .jpegcodec import encode_jpeg_progressive
+
+    if width % 8 or height % 8:
+        raise ValueError("width/height must be multiples of 8")
+    n_blocks = (height // 8) * (width // 8)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                arr = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
+                vals = np.resize(arr, n_blocks).reshape(height // 8, width // 8)
+                raster = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                out.append((mid, encode_jpeg_progressive(raster)))
             yield pd.DataFrame(out, columns=["media_id", "media"])
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(

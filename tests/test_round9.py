@@ -142,6 +142,95 @@ def test_assert_int32_ids_contract(spark):
     assert {r["user_id"] for r in restored.collect()} == {2**33, 2**33 + 1}
 
 
+# ------------------------------------------------------ progressive JPEG
+
+
+def _rasters():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    return {
+        "const": np.full((32, 64), 137, np.uint8),
+        "gradient": (np.add.outer(np.arange(32) * 4, np.arange(64) * 2) % 256).astype(
+            np.uint8
+        ),
+        "noise": rng.randint(0, 256, (40, 48)).astype(np.uint8),
+        "extremes": np.where(rng.rand(24, 24) < 0.5, 0, 255).astype(np.uint8),
+    }
+
+
+def test_progressive_equals_baseline_gray():
+    """Progressive transmits the identical quantized coefficient array, so
+    decoded pixels must equal the baseline decode BIT-FOR-BIT — on
+    constant, smooth, noisy, and clipping rasters (the noise cases drive
+    every successive-approximation path: new-nonzero insertions at all
+    three Al levels, correction bits, ZRL-in-refinement, EOB runs)."""
+    import numpy as np
+
+    from recommender_system_with_pyspark_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    for name, px in _rasters().items():
+        base = decode_jpeg(encode_jpeg_gray(px))
+        prog = decode_jpeg(encode_jpeg_progressive(px))
+        assert np.array_equal(base, prog), name
+
+
+def test_progressive_equals_baseline_color():
+    import numpy as np
+
+    from recommender_system_with_pyspark_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg_color(px))
+    prog = decode_jpeg(encode_jpeg_progressive(px))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_stream_structure():
+    """The emitted stream must actually BE progressive: SOF2 marker and
+    one SOS per scan (6 for grayscale: DC first, 2 AC bands, 2 AC
+    refinements, DC refinement)."""
+    import numpy as np
+
+    from recommender_system_with_pyspark_spark.operators.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    data = encode_jpeg_progressive(np.full((16, 16), 99, np.uint8))
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    assert data.count(b"\xff\xda") == 6
+    color = encode_jpeg_progressive(
+        np.zeros((16, 16, 3), np.uint8) + np.uint8(42)
+    )
+    assert color.count(b"\xff\xda") == 2 + 3 * 4  # 2 DC scans + 4 AC scans/comp
+
+
+def test_decode_image_routes_progressive():
+    import numpy as np
+
+    from recommender_system_with_pyspark_spark.operators.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+    from recommender_system_with_pyspark_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    px = np.full((8, 16), 200, np.uint8)
+    out = decode_image(encode_jpeg_progressive(px))
+    assert out.shape == (8, 16, 3)
+    # constant block closed form: clamp(2*round((200-128)/2)+128) = 200
+    assert int(out[0, 0, 0]) == 200
+
+
 def test_training_pipeline_e2e_funnel_is_monotone(spark, sf_tiny):
     from recommender_system_with_pyspark_spark.registry import (
         QUERIES,
