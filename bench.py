@@ -59,6 +59,13 @@ HEADLINE = [
     "hybrid_search_rrf",            # BM25 + embedding cosine fused by RRF
     "cms_user_counts",              # mergeable Count-Min sketch build + estimate
     "negative_sample_interactions", # md5-draw negatives over dense item index
+    # round-9 surface (multimodal_jpeg_progressive_decode stays OUT of the
+    # headline like the r8 color/420 codec entries — a 12 s pure-Python
+    # codec loop would dominate the suite total; its scale evidence lives
+    # in SCALING.md round 9 + the oracle entry)
+    "stream_decayed_features",      # NATIVE update-mode streaming decay agg (was Python state)
+    "training_pipeline_e2e",        # quality->dedup->decontaminate->split->BPE->accounting
+    "bpe_train_batched_merges",     # real-vocab batched BPE training (2 corpus passes)
 ]
 
 
@@ -146,7 +153,11 @@ def main() -> None:
     isolate = os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    subproc_heavy = os.environ.get("SPARK_GRAFT_BENCH_SUBPROC_HEAVY", "0") == "1"
+    # Default ON since round 9 (VERDICT r8 #2): the heap-heavy trio measures
+    # in fresh child sessions so the committed artifact is session-state-
+    # proof; the ~20 s JVM startup per entry is wall-clock only — the child
+    # reports its steady-state median, never the startup.
+    subproc_heavy = os.environ.get("SPARK_GRAFT_BENCH_SUBPROC_HEAVY", "1") == "1"
     for name in HEADLINE:
         fn = qs[name]
         if subproc_heavy and name in HEAP_HEAVY:
