@@ -846,7 +846,7 @@ def _enc_ac_refine(writer: _BitWriter, blocks, ac_codes, ss: int, se: int, al: i
                 writer.write(b, 1)
 
 
-def encode_jpeg_progressive(pixels: "np.ndarray") -> bytes:
+def encode_jpeg_progressive(pixels: "np.ndarray", subsample: bool = False) -> bytes:
     """Encode a grayscale (h, w) or RGB (h, w, 3) uint8 raster as a
     PROGRESSIVE (SOF2) JPEG exercising both progressive mechanisms:
 
@@ -854,11 +854,16 @@ def encode_jpeg_progressive(pixels: "np.ndarray") -> bytes:
     - successive approximation: DC sent at Al=1 + one refinement scan;
       AC bands sent at Al=2, then refined at Al=1 and Al=0.
 
-    Color uses the 4:4:4 JFIF transform and per-type quant tables of
+    Color uses the JFIF transform and per-type quant tables of
     ``encode_jpeg_color`` (AC scans are per-component as T.81 requires;
-    the DC scans are interleaved). The transmitted coefficient total is
-    IDENTICAL to the baseline encoder's, so decoded pixels match the
-    baseline decode bit-for-bit."""
+    the DC scans are interleaved). ``subsample=True`` emits the layout
+    virtually every real progressive web JPEG uses — 4:2:0 chroma (Y at
+    2×2 sampling, box-averaged half-resolution Cb/Cr, 16-pixel MCUs in
+    the DC scans; needs 16|h and 16|w) — which also drives the decoder's
+    distinct interleaved-vs-exact block-grid geometry. The transmitted
+    coefficient total is IDENTICAL to the corresponding baseline
+    encoder's (``encode_jpeg_color`` / ``encode_jpeg_420``), so decoded
+    pixels match the baseline decode bit-for-bit."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.shape[0] % 8 or arr.shape[1] % 8:
         raise ValueError("dimensions must be multiples of 8")
@@ -866,19 +871,29 @@ def encode_jpeg_progressive(pixels: "np.ndarray") -> bytes:
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError("expected (h, w) grayscale or (h, w, 3) RGB")
+    if gray and subsample:
+        raise ValueError("subsample applies to color input only")
+    if subsample and (h % 16 or w % 16):
+        raise ValueError("4:2:0 needs dimensions that are multiples of 16")
     if gray:
         planes = [arr.astype(np.float64) - 128.0]
         qsel = [0]
         tsel = [0]
+        samp = [(1, 1)]
     else:
         r = arr[:, :, 0].astype(np.float64)
         g = arr[:, :, 1].astype(np.float64)
         b = arr[:, :, 2].astype(np.float64)
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b - 128.0,
-            -0.168735892 * r - 0.331264108 * g + 0.5 * b,
-            0.5 * r - 0.418687589 * g - 0.081312411 * b,
-        ]
+        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b
+        cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        if subsample:  # 2x2 box average, exactly as encode_jpeg_420
+            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
         qsel = [0, 1, 1]
         tsel = [0, 1, 1]
     qts = [QUANT_LUMA.astype(np.float64), QUANT_CHROMA.astype(np.float64)]
@@ -894,11 +909,17 @@ def encode_jpeg_progressive(pixels: "np.ndarray") -> bytes:
     }
     comp_dc = [dc_codes[tsel[c]] for c in range(ncomp)]
     comp_ac = [ac_codes[tsel[c]] for c in range(ncomp)]
+    # interleaved MCU order for the DC scans (T.81 A.2.3): per MCU, each
+    # component contributes h_i x v_i blocks in raster order
+    hmax = max(hi for hi, _vi in samp)
+    vmax = max(vi for _hi, vi in samp)
     order = [
-        (c, by, bx)
-        for by in range(h // 8)
-        for bx in range(w // 8)
+        (c, my * samp[c][1] + byi, mx * samp[c][0] + bxi)
+        for my in range(h // (8 * vmax))
+        for mx in range(w // (8 * hmax))
         for c in range(ncomp)
+        for byi in range(samp[c][1])
+        for bxi in range(samp[c][0])
     ]
 
     def sos(specs: list[tuple[int, int]], ss: int, se: int, ah: int, al: int,
@@ -918,7 +939,10 @@ def encode_jpeg_progressive(pixels: "np.ndarray") -> bytes:
     dc_specs = [(c + 1, tsel[c] << 4) for c in range(ncomp)]
     scans = [sos(dc_specs, 0, 0, 0, 1, run(_enc_dc_first, zz, order, comp_dc, 1))]
     for c in range(ncomp):
-        blocks = [zz[c][by, bx] for by in range(h // 8) for bx in range(w // 8)]
+        # AC scans are non-interleaved: raster order over the COMPONENT's
+        # own block grid (half-resolution for subsampled chroma)
+        bh, bw = zz[c].shape[:2]
+        blocks = [zz[c][by, bx] for by in range(bh) for bx in range(bw)]
         spec = [(c + 1, tsel[c])]
         scans.append(sos(spec, 1, 5, 0, 2, run(_enc_ac_first, blocks, comp_ac[c], 1, 5, 2)))
         scans.append(sos(spec, 6, 63, 0, 2, run(_enc_ac_first, blocks, comp_ac[c], 6, 63, 2)))
@@ -937,7 +961,7 @@ def encode_jpeg_progressive(pixels: "np.ndarray") -> bytes:
         )
     sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
     for c in range(ncomp):
-        sof_body += bytes([c + 1, 0x11, qsel[c]])
+        sof_body += bytes([c + 1, (samp[c][0] << 4) | samp[c][1], qsel[c]])
     sof = _seg(0xC2, sof_body)
     return b"\xff\xd8" + _JFIF_APP0 + dqt + sof + dht + b"".join(scans) + b"\xff\xd9"
 

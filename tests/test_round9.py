@@ -214,6 +214,34 @@ def test_progressive_stream_structure():
     assert color.count(b"\xff\xda") == 2 + 3 * 4  # 2 DC scans + 4 AC scans/comp
 
 
+def test_progressive_420_equals_baseline_420():
+    """Real-web progressive layout: 4:2:0 chroma. The DC scans interleave
+    16-pixel MCUs (4 Y + Cb + Cr) while the AC scans run non-interleaved
+    over each component's own half-resolution grid — the decoder's
+    distinct interleaved-vs-exact block-grid geometry. Must equal the
+    baseline 4:2:0 decode bit-for-bit."""
+    import numpy as np
+
+    from recommender_system_with_pyspark_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_420,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(3)
+    for px in (
+        np.full((32, 48, 3), 142, np.uint8),
+        rng.randint(0, 256, (32, 48, 3)).astype(np.uint8),
+    ):
+        base = decode_jpeg(encode_jpeg_420(px))
+        prog = decode_jpeg(encode_jpeg_progressive(px, subsample=True))
+        assert np.array_equal(base, prog)
+    stream = encode_jpeg_progressive(rng.randint(0, 256, (16, 16, 3)).astype(np.uint8),
+                                     subsample=True)
+    assert b"\xff\xc2" in stream
+    assert stream.count(b"\xff\xda") == 14  # 2 DC + 4 AC scans x 3 comps
+
+
 def test_decode_image_routes_progressive():
     import numpy as np
 
