@@ -991,6 +991,99 @@ def bpe_train(
     return merges
 
 
+def bpe_encode_cached(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WORD-CACHED greedy BPE encode — the production apply path for real
+    30–50k vocabularies, complementing ``bpe_apply``'s replace paths:
+
+    The chain/fold paths cost O(n_merges × doc_len) per document (one
+    replace pass per merge rank). This encoder exploits the
+    pre-tokenization contract instead (merges never bridge whitespace —
+    ``bpe_train`` excludes space-containing pairs), so encoding
+    FACTORIZES over words: split on spaces, greedy-merge each word
+    independently (lowest rank first, all occurrences left-to-right),
+    join back. Per word the cost is O(len² · merges-present) on a
+    handful of symbols — and a per-executor memo caches each distinct
+    word's encoding, so under a Zipfian corpus the amortized cost per
+    document is ~O(doc_len) regardless of vocabulary size. Arrow-batched
+    ``pandas_udf``; the cache lives for the executor's lifetime.
+
+    Exactly equal to ``bpe_apply`` (all paths) for every table whose
+    merges contain no whitespace — pinned by the
+    ``bpe_encode_cached_docs`` oracle (same ``list_reduce`` SQL as the
+    fold entry) and cross-path equality tests. Raises on tables with
+    whitespace-bridging merges (factorization would be unsound)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    merges = list(merges)
+    if not merges:
+        raise ValueError("empty merge table")
+    for left, right, out in merges:
+        if " " in left or " " in right or " " in out:
+            raise ValueError(
+                "bpe_encode_cached requires whitespace-free merges "
+                "(the pre-tokenization contract); use bpe_apply instead"
+            )
+    ranks: dict[tuple[str, str], int] = {}
+    out_of: dict[tuple[str, str], str] = {}
+    for i, (left, right, out) in enumerate(merges):
+        pair = (left, right)
+        if pair not in ranks:  # first (lowest) rank wins, like the chain
+            ranks[pair] = i
+            out_of[pair] = out
+
+    def _encode_fn(s):
+        cache: dict[str, str] = {}
+
+        def encode_word(word: str) -> str:
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word)
+            while len(syms) > 1:
+                best_rank = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank = r
+                if best_rank is None:
+                    break
+                left, right = merges[best_rank][0], merges[best_rank][1]
+                out = out_of[(left, right)]
+                new: list[str] = []
+                j = 0
+                while j < len(syms):
+                    if j + 1 < len(syms) and syms[j] == left and syms[j + 1] == right:
+                        new.append(out)
+                        j += 2
+                    else:
+                        new.append(syms[j])
+                        j += 1
+                syms = new
+            enc = "".join(syms)
+            if len(cache) < 1_000_000:  # bound executor memory
+                cache[word] = enc
+            return enc
+
+        def encode(t):
+            if t is None:
+                return None
+            return " ".join(encode_word(wd) for wd in t.split(" "))
+
+        return s.map(encode)
+
+    _encode_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _encode = pandas_udf(_encode_fn, "string")
+    return df.withColumn("bpe_text", _encode(F.col(text_col))).withColumn(
+        "bpe_tokens", F.length("bpe_text")
+    )
+
+
 def bpe_train_batched(
     docs: DataFrame,
     n_merges: int = 256,

@@ -377,3 +377,43 @@ def multimodal_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> Data
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     media = M.text_to_jpeg_progressive_media(docs, width=_JPGP_W, height=_JPGP_H)
     return M.extract_image_features(media)
+
+
+@query(
+    "bpe_encode_cached_docs",
+    oracle=f"""
+    WITH mt AS (
+        SELECT [{", ".join(f"{_sql_sym(l + r)} || chr(1) || {_sql_sym(o)}" for l, r, o in _large_vocab_merges())}] AS merges
+    )
+    SELECT doc_id,
+           CAST(length(enc) AS INT) AS bpe_tokens,
+           md5(enc) AS bpe_md5
+    FROM (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(text, merges),
+                   (acc, m) -> replace(acc, string_split(m, chr(1))[1], string_split(m, chr(1))[2])
+               ) AS enc
+        FROM documents, mt WHERE length(text) > 0
+    )
+    """,
+)
+def bpe_encode_cached_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WORD-CACHED greedy encoder (``text.bpe_encode_cached``) on the
+    same 80-entry table as ``bpe_encode_large_vocab``, hashed against the
+    SAME ``list_reduce`` oracle — a three-way path-equivalence pin:
+    replace chain ≡ broadcast fold ≡ word-factorized greedy with
+    per-executor memoization. This is the apply path whose cost per
+    document is ~O(doc_len) independent of vocabulary size (the fold is
+    O(n_merges × doc_len)): split on spaces (sound because merges never
+    bridge whitespace), greedy-merge each word lowest-rank-first, memo
+    each distinct word's encoding — Zipf does the rest."""
+    from .operators.text import bpe_encode_cached
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    enc = bpe_encode_cached(docs, _large_vocab_merges())
+    return enc.select(
+        "doc_id",
+        F.col("bpe_tokens").cast("int").alias("bpe_tokens"),
+        F.md5(F.col("bpe_text").cast("binary")).alias("bpe_md5"),
+    )

@@ -142,6 +142,43 @@ def test_assert_int32_ids_contract(spark):
     assert {r["user_id"] for r in restored.collect()} == {2**33, 2**33 + 1}
 
 
+def test_bpe_encode_cached_equals_apply_paths(spark, sf_tiny):
+    """Three-way path equivalence: chain (<=64 merges), fold (forced),
+    and the word-cached greedy encoder must agree symbol-for-symbol."""
+    from recommender_system_with_pyspark_spark.operators.text import (
+        bpe_encode_cached,
+    )
+
+    docs = load_table(spark, sf_tiny, "documents").filter(F.length("text") > 0)
+    chain = bpe_apply(docs, DEFAULT_BPE_MERGES).select("doc_id", "bpe_text")
+    fold = bpe_apply(docs, DEFAULT_BPE_MERGES, max_chain=2).select("doc_id", "bpe_text")
+    cached = bpe_encode_cached(docs, DEFAULT_BPE_MERGES).select("doc_id", "bpe_text")
+    for other in (fold, cached):
+        assert chain.exceptAll(other).count() == 0
+        assert other.exceptAll(chain).count() == 0
+
+
+def test_bpe_encode_cached_on_trained_table(spark, sf_tiny):
+    from recommender_system_with_pyspark_spark.operators.text import (
+        bpe_encode_cached,
+    )
+
+    docs = load_table(spark, sf_tiny, "documents").filter(F.length("text") > 0)
+    table = bpe_table(bpe_train_batched(docs, n_merges=24, batch_size=8))
+    a = bpe_apply(docs, table).select("doc_id", "bpe_text")
+    b = bpe_encode_cached(docs, table).select("doc_id", "bpe_text")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_bpe_encode_cached_rejects_whitespace_merges():
+    from recommender_system_with_pyspark_spark.operators.text import (
+        bpe_encode_cached,
+    )
+
+    with pytest.raises(ValueError, match="whitespace"):
+        bpe_encode_cached(None, [("a", " ", "")])
+
+
 # ------------------------------------------------------ progressive JPEG
 
 
