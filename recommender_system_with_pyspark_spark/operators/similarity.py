@@ -79,6 +79,67 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pos_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Contrastive HARD-NEGATIVE mining — the embedding-training data op:
+    per query vector, the ``k`` most-similar candidates whose ``pos_col``
+    DIFFERS from the query's (same value = positive pair, excluded;
+    NULL is distinct from every label, both engines' IS DISTINCT FROM
+    semantics). These near-miss negatives are what make contrastive /
+    triplet objectives learn boundaries instead of trivia — random
+    negatives (``sampling.negative_sample``) are too easy by the first
+    epoch.
+
+    Same plan shape and scoring conventions as ``cosine_topk`` (broadcast
+    query side, per-row norms precomputed, round-to-6, deterministic
+    neighbor-id tie-break), so the brute-force SQL oracle attaches
+    directly. At catalog scale, swap the scoring leg for ``ann_lsh_topk``
+    / IVF with an over-fetch (k·m candidates, filter positives, keep k) —
+    same output contract.
+
+    Returns (query_id, neighbor_id, sim, rank)."""
+    from pyspark.sql import Window
+
+    q = _as_double(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.col(pos_col).alias("_qp"),
+        ),
+        "_qv",
+    )
+    q = q.withColumn("_qn", F.greatest(_norm(F.col("_qv")), F.lit(1e-30)))
+    c = _as_double(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            F.col(pos_col).alias("_cp"),
+        ),
+        "_cv",
+    )
+    c = c.withColumn("_cn", F.greatest(_norm(F.col("_cv")), F.lit(1e-30)))
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & ~F.col("_qp").eqNullSafe(F.col("_cp")),
+    )
+    scored = pairs.withColumn(
+        "sim", F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,

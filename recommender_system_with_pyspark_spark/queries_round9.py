@@ -417,3 +417,41 @@ def bpe_encode_cached_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bpe_tokens").cast("int").alias("bpe_tokens"),
         F.md5(F.col("bpe_text").cast("binary")).alias("bpe_md5"),
     )
+
+
+@query(
+    "hard_negative_mining",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.v, c.v), 6) AS sim
+        FROM e q JOIN e c
+          ON q.vec_id < 16 AND q.vec_id <> c.vec_id
+         AND q.label IS DISTINCT FROM c.label
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (``similarity.hard_negatives``):
+    per query embedding, the 5 most-similar vectors with a DIFFERENT
+    class label — the near-miss negatives contrastive/triplet training
+    needs (random negatives are too easy after the first epoch). Same
+    broadcast-queries brute-force plan and rounding as ``cosine_topk``,
+    so DuckDB recomputes every similarity, the label exclusion
+    (IS DISTINCT FROM on both sides), and the ranking in closed form.
+    Catalog-scale path: ANN over-fetch + positive filter, same contract."""
+    from .operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb.filter(F.col("vec_id") < 16), emb, k=5
+    )

@@ -179,6 +179,26 @@ def test_bpe_encode_cached_rejects_whitespace_merges():
         bpe_encode_cached(None, [("a", " ", "")])
 
 
+def test_hard_negatives_excludes_positives(spark, sf_tiny):
+    from recommender_system_with_pyspark_spark.io import load_table as lt
+    from recommender_system_with_pyspark_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = lt(spark, sf_tiny, "embeddings")
+    out = hard_negatives(emb.filter(F.col("vec_id") < 8), emb, k=4)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    rows = out.collect()
+    assert rows
+    per_q: dict[int, list[int]] = {}
+    for r in rows:
+        assert labels[r["query_id"]] != labels[r["neighbor_id"]]  # never a positive
+        assert r["query_id"] != r["neighbor_id"]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 # ------------------------------------------------------ progressive JPEG
 
 
