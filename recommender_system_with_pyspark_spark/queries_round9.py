@@ -455,3 +455,56 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(
         emb.filter(F.col("vec_id") < 16), emb, k=5
     )
+
+
+@query(
+    "tokenizer_fertility",
+    oracle=f"""
+    WITH enc AS (
+        SELECT source,
+               length(text) AS n_chars,
+               len(string_split_regex(trim(text), '\\s+')) AS n_words,
+               length(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(text, 't' || 'h', chr(57344)), chr(57344) || 'e', chr(57345)), 'i' || 'n', chr(57346)), 'a' || 'n', chr(57347)), 'e' || 'r', chr(57348)), 'o' || 'n', chr(57349)), 'r' || 'e', chr(57350)), chr(57347) || 'd', chr(57351)), 'o' || 'u', chr(57352)), 's' || 't', chr(57353))) AS n_tokens
+        FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(sum(n_tokens)::DOUBLE / sum(n_words), 6) AS fertility,
+           round(sum(n_chars)::DOUBLE / sum(n_tokens), 6) AS chars_per_token,
+           round(avg(n_tokens::DOUBLE / n_words), 6) AS mean_doc_fertility
+    FROM enc GROUP BY source
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer QUALITY audit (fertility report) — the standard gate
+    before committing to a vocabulary: per corpus slice (source), tokens
+    per word (fertility — the number a tokenizer paper leads with),
+    chars per token (compression), and the per-doc fertility mean.
+    High-fertility slices flag domains the vocabulary serves badly
+    (wrong language, code, boilerplate) BEFORE a training run prices
+    them in. One projection + one partial-aggregating groupBy over
+    (source) — rides the corpus scan at any scale. DuckDB replays the
+    encode chain and every ratio in closed form."""
+    from .operators.text import DEFAULT_BPE_MERGES, bpe_apply
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    enc = bpe_apply(docs, DEFAULT_BPE_MERGES)
+    words = F.size(F.split(F.trim("text"), r"\s+"))
+    per_doc = enc.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        words.alias("n_words"),
+        F.col("bpe_tokens").alias("n_tokens"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.sum("n_tokens") / F.sum("n_words"), 6).alias("fertility"),
+        F.round(F.sum("n_chars") / F.sum("n_tokens"), 6).alias("chars_per_token"),
+        F.round(F.avg(F.col("n_tokens").cast("double") / F.col("n_words")), 6).alias(
+            "mean_doc_fertility"
+        ),
+    )
