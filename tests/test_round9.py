@@ -179,6 +179,24 @@ def test_bpe_encode_cached_rejects_whitespace_merges():
         bpe_encode_cached(None, [("a", " ", "")])
 
 
+def test_tokenizer_fertility_invariants(spark, sf_tiny):
+    from recommender_system_with_pyspark_spark.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    rows = QUERIES["tokenizer_fertility"](spark, sf_tiny).collect()
+    assert rows
+    for r in rows:
+        # merges only ever shrink token counts: tokens <= chars, and a
+        # word is at least one token, so fertility >= 1 and compression > 1
+        assert r["fertility"] >= 1.0
+        assert r["chars_per_token"] > 1.0
+        assert r["mean_doc_fertility"] >= 1.0
+        assert r["n_docs"] > 0 and r["total_tokens"] > 0
+
+
 def test_hard_negatives_excludes_positives(spark, sf_tiny):
     from recommender_system_with_pyspark_spark.io import load_table as lt
     from recommender_system_with_pyspark_spark.operators.similarity import (
