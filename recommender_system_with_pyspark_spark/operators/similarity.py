@@ -86,6 +86,7 @@ def hard_negatives(
     vec_col: str = "embedding",
     pos_col: str = "label",
     k: int = 10,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Contrastive HARD-NEGATIVE mining — the embedding-training data op:
     per query vector, the ``k`` most-similar candidates whose ``pos_col``
@@ -99,13 +100,26 @@ def hard_negatives(
     Same plan shape and scoring conventions as ``cosine_topk`` (broadcast
     query side, per-row norms precomputed, round-to-6, deterministic
     neighbor-id tie-break), so the brute-force SQL oracle attaches
-    directly. At catalog scale, swap the scoring leg for ``ann_lsh_topk``
-    / IVF with an over-fetch (k·m candidates, filter positives, keep k) —
-    same output contract.
+    directly. This is the EXACT/oracle path: cost is |Q|·|C| pair scores
+    and the query side is broadcast, so it is guarded by
+    ``max_broadcast_rows`` — mining negatives for a full training set
+    (every anchor as a query) must go through ``hard_negatives_ann``
+    (ANN over-fetch, sub-linear candidate generation) or
+    ``hard_negatives_ivf`` (provably exact, cell-pruned). A 10M-anchor
+    frame raises here instead of OOM-ing the executors.
 
     Returns (query_id, neighbor_id, sim, rank)."""
     from pyspark.sql import Window
 
+    n_q = queries.count()
+    if n_q > max_broadcast_rows:
+        raise ValueError(
+            f"{n_q} query vectors exceed the broadcast ceiling "
+            f"({max_broadcast_rows}); brute-force all-pairs mining is "
+            "linear in |queries|x|candidates| — use hard_negatives_ann "
+            "(ANN over-fetch) or hard_negatives_ivf (exact, cell-pruned) "
+            "for full-training-set anchors"
+        )
     q = _as_double(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -137,6 +151,100 @@ def hard_negatives(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def hard_negatives_ann(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pos_col: str = "label",
+    k: int = 10,
+    overfetch: int = 4,
+    method: str = "ivf",
+    **ann_kwargs,
+) -> DataFrame:
+    """Hard-negative mining at TRAINING-SET scale — the ANN over-fetch
+    path ``hard_negatives``' guard points at: generate the top
+    ``k·overfetch`` approximate neighbors per query (``ivf_topk`` /
+    ``lsh_topk`` — bucketed candidate generation, never all-pairs), join
+    labels back on the bounded |Q|·k·overfetch candidate set, drop
+    same-label pairs (null-safe, IS DISTINCT FROM semantics), re-rank,
+    keep ``k``. Same output contract as ``hard_negatives``:
+    (query_id, neighbor_id, sim, rank), round-to-6 sims, neighbor-id
+    tie-break.
+
+    Cost shape: candidate generation is the ANN join (IVF probes
+    ``n_probe/n_cells`` of the candidates per query; LSH probes hash
+    buckets) and everything after runs on ≤ |Q|·k·overfetch rows — the
+    label joins shuffle ids, never vectors, and AQE broadcasts the query
+    side of the label join when it is small. Mining 1M anchors is 1M
+    bucket probes, not 1M catalog scans. Recall vs brute force is
+    measured by the ``hard_negative_mining_ann`` recall-report entry
+    (the ``ann_recall_report`` pattern); raise ``overfetch`` when probed
+    neighborhoods are label-pure. For a provably exact answer with cell
+    pruning use ``hard_negatives_ivf``."""
+    from pyspark.sql import Window
+
+    if overfetch < 1:
+        raise ValueError("overfetch must be >= 1")
+    if method == "ivf":
+        ann = ivf_topk(queries, candidates, id_col, vec_col, k=k * overfetch, **ann_kwargs)
+    elif method == "lsh":
+        ann = lsh_topk(queries, candidates, id_col, vec_col, k=k * overfetch, **ann_kwargs)
+    else:
+        raise ValueError(f"unknown method {method!r} (use 'ivf' or 'lsh')")
+    q_labels = queries.select(
+        F.col(id_col).alias("query_id"), F.col(pos_col).alias("_qp")
+    )
+    c_labels = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(pos_col).alias("_cp")
+    )
+    negs = (
+        ann.join(q_labels, "query_id")
+        .join(c_labels, "neighbor_id")
+        .filter(~F.col("_qp").eqNullSafe(F.col("_cp")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        negs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def hard_negatives_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pos_col: str = "label",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 1,
+) -> DataFrame:
+    """PROVABLY EXACT hard-negative mining with IVF cell pruning — the
+    scale path whose output is bit-identical to ``hard_negatives``' brute
+    force (so the same DuckDB oracle attaches): ``ivf_topk_exact`` with
+    the same-label exclusion pushed into both probe phases. The
+    triangle-inequality radius bound prunes cells that provably cannot
+    hold a different-label vector displacing the provisional top-k (the
+    bound dominates every member, so a fortiori every different-label
+    member); with clustered data the plan reads ~``n_probe/n_cells`` of
+    the candidates, and at 100 TB the cell id is a partition key
+    (``write_ivf_index``) so pruned cells are pruned FILE READS."""
+    return ivf_topk_exact(
+        queries,
+        candidates,
+        id_col,
+        vec_col,
+        k=k,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        seed=seed,
+        pos_col=pos_col,
     )
 
 
@@ -265,6 +373,7 @@ def ivf_topk_exact(
     n_probe: int = 4,
     seed: int = 1,
     sim_slack: float = 1e-6,
+    pos_col: str | None = None,
 ) -> DataFrame:
     """EXACT top-k with IVF pruning — k-means cells plus a triangle-
     inequality radius bound, so the output provably equals brute force
@@ -294,20 +403,34 @@ def ivf_topk_exact(
 
     Output schema/tie-breaks/rounding are identical to ``cosine_topk``,
     which is what lets the brute-force SQL oracle attach.
+
+    With ``pos_col`` set, pairs whose labels match (null-safe equality,
+    both engines' IS DISTINCT FROM) are excluded from BOTH phases — this
+    is exact hard-negative mining with cell pruning (``hard_negatives``'s
+    scale path). The radius bound stays sound under the extra filter:
+    ``bound_sim`` upper-bounds the similarity of ANY cell member, hence of
+    any different-label member, so a pruned cell still provably cannot
+    displace the provisional different-label top-k.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
+    cand_cols = [F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")]
+    if pos_col is not None:
+        cand_cols.append(F.col(pos_col).alias("_cp"))
     cand = (
-        _as_double(candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")), "_cv")
+        _as_double(candidates.select(*cand_cols), "_cv")
         .withColumn("_cn", F.greatest(_norm(F.col("_cv")), F.lit(1e-30)))
         .withColumn("_cnv", F.transform(F.col("_cv"), lambda x: x / F.col("_cn")))
         .withColumn("_vec", array_to_vector("_cnv"))
     )
     km = KMeans(k=n_cells, seed=seed, featuresCol="_vec", predictionCol="_cell")
     model = km.fit(cand)
-    cand_cells = model.transform(cand).select("neighbor_id", "_cv", "_cn", "_cnv", "_cell")
+    cand_keep = ["neighbor_id", "_cv", "_cn", "_cnv", "_cell"] + (
+        ["_cp"] if pos_col is not None else []
+    )
+    cand_cells = model.transform(cand).select(*cand_keep)
 
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     centers_df = queries.sparkSession.createDataFrame(centers, "_cell int, _center array<double>")
@@ -318,8 +441,11 @@ def ivf_topk_exact(
         .agg(F.max(_euclid(F.col("_cnv"), F.col("_center"))).alias("_radius"))
     )
 
+    q_cols = [F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")]
+    if pos_col is not None:
+        q_cols.append(F.col(pos_col).alias("_qp"))
     q = (
-        _as_double(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "_qv")
+        _as_double(queries.select(*q_cols), "_qv")
         .withColumn("_qn", F.greatest(_norm(F.col("_qv")), F.lit(1e-30)))
         .withColumn("_qnv", F.transform(F.col("_qv"), lambda x: x / F.col("_qn")))
     )
@@ -329,16 +455,20 @@ def ivf_topk_exact(
         .join(F.broadcast(radii), "_cell")
     )
     wq = Window.partitionBy("query_id").orderBy(F.asc("_dc"), F.asc("_cell"))
-    qc = qc.withColumn("_rcell", F.row_number().over(wq)).select(
-        "query_id", "_qv", "_qn", "_qnv", "_cell", "_dc", "_radius", "_rcell"
+    q_keep = ["query_id", "_qv", "_qn", "_qnv", "_cell", "_dc", "_radius", "_rcell"] + (
+        ["_qp"] if pos_col is not None else []
     )
+    qc = qc.withColumn("_rcell", F.row_number().over(wq)).select(*q_keep)
 
     raw_sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    pair_ok = F.col("query_id") != F.col("neighbor_id")
+    if pos_col is not None:
+        pair_ok = pair_ok & ~F.col("_qp").eqNullSafe(F.col("_cp"))
 
     probed1 = qc.filter(F.col("_rcell") <= n_probe)
     pairs1 = (
         probed1.join(cand_cells, "_cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(pair_ok)
         .select("query_id", "neighbor_id", "_qv", "_qn", "_cv", "_cn")
         .withColumn("_s", raw_sim)
     )
@@ -363,7 +493,7 @@ def ivf_topk_exact(
     )
     pairs2 = (
         extra_cells.join(cand_cells, "_cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(pair_ok)
         .select("query_id", "neighbor_id", "_qv", "_qn", "_cv", "_cn")
         .withColumn("_s", raw_sim)
     )

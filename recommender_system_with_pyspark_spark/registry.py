@@ -15,6 +15,7 @@ value hash, so:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,7 +40,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 def load_all_queries() -> None:
-    """Import every query module so registration side effects run."""
+    """Import every query module so registration side effects run.
+
+    After loading, the registry is round-robin re-ordered across modules
+    (``_stratify_driver_window``) so a consumer that samples only the
+    first N entries — the driver's correctness window — sees every query
+    module instead of freezing on the oldest. The ordering is a DISPLAY
+    concern only: the gating correctness check is the FULL oracle sweep
+    (``tools/check_oracle.py`` runs all registered queries; every round's
+    sweep log is committed). Consumers that want raw registration order
+    (module × registration sequence) set ``SPARK_GRAFT_STRATIFY_WINDOW=0``.
+    """
     from . import queries_relational  # noqa: F401
     from . import queries_text  # noqa: F401
     from . import queries_ml  # noqa: F401
@@ -53,7 +64,10 @@ def load_all_queries() -> None:
     from . import queries_round7  # noqa: F401
     from . import queries_round8  # noqa: F401
     from . import queries_round9  # noqa: F401
-    _stratify_driver_window()
+    from . import queries_round10  # noqa: F401
+
+    if os.environ.get("SPARK_GRAFT_STRATIFY_WINDOW", "1") != "0":
+        _stratify_driver_window()
 
 
 def _stratify_driver_window() -> None:
