@@ -10,8 +10,11 @@ filter types, VERDICT r7 #6), JPEG (full T.81 chain in pure numpy —
 baseline grayscale, 4:4:4 color, 4:2:0 chroma-subsampled,
 restart-interval/DRI streams (round 8), and PROGRESSIVE SOF2 with
 spectral selection + successive approximation (round 9);
-``operators/jpegcodec.py``), and PCM WAV (stdlib ``wave``). The one
-remaining compressed codec (MP3) stays stubbed behind
+``operators/jpegcodec.py``), and PCM WAV (stdlib ``wave``). MP3 frame
+HEADERS parse for real too (``parse_mp3_headers`` /
+``mp3_header_audit``, round 10 — duration/bitrate/channel census, the
+corpus audit that precedes transcoding); only MP3 *synthesis* (the
+Layer-III hybrid filterbank) stays stubbed behind
 ``NotImplementedError`` because no audio codec library is in this
 container — real deployments plug in ffmpeg next to ``decode_wav`` and
 at the marked dispatch point in ``decode_image``.
@@ -687,4 +690,168 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                 F.lit(every_ms),
             )
         ).alias("frame_ts_ms"),
+    )
+
+
+# --- MP3 (MPEG-1 Layer III) frame headers ------------------------------------
+#
+# Full Layer-III SYNTHESIS (hybrid filterbank, Huffman spectral data) stays
+# out of scope in a no-codec-libs container — but the corpus-pipeline half of
+# "MP3 support" is a HEADER audit: before transcoding 100 TB of crawled audio
+# you census duration / bitrate / channel mode / CBR-vs-VBR per file, and all
+# of that lives in the 4-byte frame headers (ISO/IEC 11172-3 §2.4.1.3). The
+# parser below walks real sync words and real frame-length arithmetic; the
+# encoder emits spec-valid frames (headers + silent payload) so fixtures are
+# genuine MP3 byte streams.
+
+# MPEG-1 Layer III bitrate table, kbps, index 1..14 (0 = free, 15 = bad).
+MP3_BITRATES_KBPS = (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+MP3_SAMPLE_RATES = (44100, 48000, 32000, None)  # index 3 = reserved
+MP3_SAMPLES_PER_FRAME = 1152  # MPEG-1 Layer III
+MP3_CHANNEL_MODES = ("stereo", "joint", "dual", "mono")
+
+
+def encode_mp3_frames(frame_specs, sample_rate_index: int = 0) -> bytes:
+    """Serialize spec-valid MPEG-1 Layer III frames from a list of
+    ``(bitrate_index, padding, channel_mode)`` triples. Each frame is a
+    4-byte header (sync ``0xFFF``, version 11=MPEG-1, layer 01=III,
+    no-CRC) followed by a deterministic filler payload sized by the
+    Layer-III frame-length rule ``144·bitrate/sample_rate + padding``.
+    A real decoder skips such frames as silence; a real header parser
+    (ours, ffprobe, mp3val) reads them exactly like crawled audio."""
+    out = bytearray()
+    sr = MP3_SAMPLE_RATES[sample_rate_index]
+    if sr is None:
+        raise ValueError("reserved sample-rate index")
+    for bitrate_index, padding, channel_mode in frame_specs:
+        if not 1 <= bitrate_index <= 14:
+            raise ValueError(f"bitrate index {bitrate_index} not in 1..14")
+        if padding not in (0, 1) or not 0 <= channel_mode <= 3:
+            raise ValueError("bad padding/channel_mode")
+        frame_len = (144 * MP3_BITRATES_KBPS[bitrate_index] * 1000) // sr + padding
+        hdr = bytes(
+            (
+                0xFF,
+                0xFB,  # 111 (sync tail) | 11 (MPEG-1) | 01 (Layer III) | 1 (no CRC)
+                (bitrate_index << 4) | (sample_rate_index << 2) | (padding << 1),
+                (channel_mode << 6) | 0b0100,  # mode_ext=0, (c)=0, original=1, emph=0
+            )
+        )
+        body = bytes((i * 31) & 0xFF for i in range(frame_len - 4))
+        out += hdr + body
+    return bytes(out)
+
+
+def parse_mp3_headers(data: bytes) -> "list[tuple[int, int, int]]":
+    """Walk a byte stream frame-by-frame: validate each 4-byte header
+    (sync, MPEG-1, Layer III, sane bitrate/samplerate indices), compute
+    the frame length from the header itself, and step to the next frame.
+    Returns ``[(bitrate_kbps, sample_rate_hz, channel_mode), ...]``;
+    stops cleanly at the first non-frame byte (ID3 tags / truncation —
+    a corrupt tail must not kill a 100 TB scan)."""
+    frames = []
+    pos = 0
+    n = len(data)
+    while pos + 4 <= n:
+        b0, b1, b2, b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break  # lost sync
+        version = (b1 >> 3) & 0x3
+        layer = (b1 >> 1) & 0x3
+        if version != 0b11 or layer != 0b01:
+            break  # only MPEG-1 Layer III audited here
+        bitrate_index = (b2 >> 4) & 0xF
+        sr_index = (b2 >> 2) & 0x3
+        padding = (b2 >> 1) & 0x1
+        if bitrate_index in (0, 15) or sr_index == 3:
+            break  # free-format / reserved
+        sr = MP3_SAMPLE_RATES[sr_index]
+        kbps = MP3_BITRATES_KBPS[bitrate_index]
+        frame_len = (144 * kbps * 1000) // sr + padding
+        if pos + frame_len > n:
+            break  # truncated final frame
+        frames.append((kbps, sr, (b3 >> 6) & 0x3))
+        pos += frame_len
+    return frames
+
+
+MP3_AUDIT_SCHEMA = (
+    "media_id long, n_frames int, duration_ms double, mean_bitrate_kbps double, "
+    "is_cbr boolean, n_stereo int, n_joint int, n_dual int, n_mono int"
+)
+
+
+def mp3_header_audit(df: DataFrame, round_to: int = 6) -> DataFrame:
+    """Arrow-batched MP3 frame-header audit over binary media
+    (mapInPandas): per file, frame count, playback duration (frames ×
+    1152 samples / sample rate), mean bitrate, CBR flag, and the
+    channel-mode census — the numbers a corpus pipeline needs BEFORE
+    deciding what to transcode. Files with no parseable frame come back
+    with ``n_frames = 0`` and null stats (never a task failure)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                frames = parse_mp3_headers(bytes(blob))
+                if not frames:
+                    out.append((mid, 0, None, None, None, None, None, None, None))
+                    continue
+                kbps = [f[0] for f in frames]
+                sr = frames[0][1]
+                modes = [f[2] for f in frames]
+                duration_ms = _round_half_up(
+                    len(frames) * MP3_SAMPLES_PER_FRAME * 1000.0 / sr, 3
+                )
+                out.append(
+                    (
+                        mid,
+                        len(frames),
+                        duration_ms,
+                        _round_half_up(sum(kbps) / len(kbps), round_to),
+                        len(set(kbps)) == 1,
+                        modes.count(0),
+                        modes.count(1),
+                        modes.count(2),
+                        modes.count(3),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_frames", "duration_ms", "mean_bitrate_kbps",
+                    "is_cbr", "n_stereo", "n_joint", "n_dual", "n_mono",
+                ],
+            )
+
+    return df.select("media_id", "media").mapInPandas(batches, MP3_AUDIT_SCHEMA)
+
+
+def text_to_mp3_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_frames: int = 24,
+) -> DataFrame:
+    """Deterministic MP3-fixture synthesizer (the ``text_to_jpeg_media``
+    pattern): cycle each document's UTF-8 bytes into ``n_frames`` frame
+    specs — byte value v picks bitrate index ``1 + v % 14``, padding
+    ``v % 2``, channel mode ``v % 4`` — and emit a real MPEG-1 Layer III
+    byte stream at 44.1 kHz. Every audited statistic is therefore a
+    closed-form function of the text that DuckDB recomputes
+    (``multimodal_mp3_header_audit``)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                arr = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
+                vals = np.resize(arr, n_frames)
+                specs = [(1 + int(v) % 14, int(v) % 2, int(v) % 4) for v in vals]
+                out.append((mid, encode_mp3_frames(specs)))
+            yield pd.DataFrame(out, columns=["media_id", "media"])
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        batches, "media_id long, media binary"
     )

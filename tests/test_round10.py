@@ -124,3 +124,46 @@ def test_bpe_encode_cached_cross_batch_cache(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = bpe_encode_cached(docs, DEFAULT_BPE_MERGES).select("bpe_text").distinct().collect()
     assert len(out) == 1
+
+
+# ---- MP3 header audit (VERDICT r9 #4) ---------------------------------------
+
+
+def test_mp3_encode_parse_roundtrip():
+    from recommender_system_with_pyspark_spark.operators.multimodal import (
+        MP3_BITRATES_KBPS,
+        encode_mp3_frames,
+        parse_mp3_headers,
+    )
+
+    specs = [(1, 0, 0), (14, 1, 3), (9, 1, 1), (5, 0, 2)]
+    data = encode_mp3_frames(specs)
+    frames = parse_mp3_headers(data)
+    assert [(MP3_BITRATES_KBPS.index(k), m) for k, _, m in frames] == [
+        (b, m) for b, _, m in specs
+    ]
+    assert all(sr == 44100 for _, sr, _ in frames)
+
+
+def test_mp3_parser_stops_cleanly_on_garbage():
+    from recommender_system_with_pyspark_spark.operators.multimodal import (
+        encode_mp3_frames,
+        parse_mp3_headers,
+    )
+
+    good = encode_mp3_frames([(8, 0, 0), (8, 0, 0)])
+    # leading ID3-ish tag -> no sync at offset 0 -> zero frames, no crash
+    assert parse_mp3_headers(b"ID3\x04\x00" + good) == []
+    # truncated final frame is dropped, prior frames kept
+    assert len(parse_mp3_headers(good[:-10])) == 1
+    # trailing garbage after valid frames stops the walk
+    assert len(parse_mp3_headers(good + b"\x00\x01\x02")) == 2
+    assert parse_mp3_headers(b"") == []
+
+
+def test_mp3_audit_handles_unparseable_blob(spark):
+    from recommender_system_with_pyspark_spark.operators.multimodal import mp3_header_audit
+
+    df = spark.createDataFrame([(1, bytearray(b"not an mp3"))], "media_id long, media binary")
+    row = mp3_header_audit(df).collect()[0]
+    assert row["n_frames"] == 0 and row["duration_ms"] is None
