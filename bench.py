@@ -66,6 +66,12 @@ HEADLINE = [
     "stream_decayed_features",      # NATIVE update-mode streaming decay agg (was Python state)
     "training_pipeline_e2e",        # quality->dedup->decontaminate->split->BPE->accounting
     "bpe_train_batched_merges",     # real-vocab batched BPE training (2 corpus passes)
+    # round-10 surface (hard_negative_mining_ivf stays OUT of the headline
+    # like the r8/r9 codec entries: its ~10 s is MLlib KMeans index-build
+    # overhead that amortizes across queries at real scale but would
+    # dominate a toy-scale suite total; its scale evidence lives in
+    # SCALING.md round 10 + the hash-checked oracle entry)
+    "multimodal_mp3_header_audit",  # MPEG-1 Layer III frame-header census
 ]
 
 
@@ -119,10 +125,34 @@ def _bench_in_subprocess(name: str) -> float | None:
     return None
 
 
+def _host_telemetry() -> dict:
+    """Host-load snapshot recorded in the bench JSON (VERDICT r9 #6): two
+    'clean dedicated' runs of the same HEAD differed +23% purely from host
+    baseline; loadavg + available memory at run time make such drift
+    attributable without forensics (tools/bench_diff.py annotates deltas)."""
+    tele: dict = {}
+    try:
+        tele["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    try:
+        with open("/proc/meminfo") as fh:
+            mem = dict(
+                line.split(":", 1) for line in fh.read().splitlines() if ":" in line
+            )
+        tele["mem_available_gb"] = round(
+            int(mem["MemAvailable"].strip().split()[0]) / 1024 / 1024, 2
+        )
+    except (OSError, KeyError, ValueError):
+        pass
+    return tele
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    host_start = _host_telemetry()
 
     from recommender_system_with_pyspark_spark.session import get_spark
 
@@ -230,6 +260,7 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "plan_warnings": plan_warnings,
+                "host": {"start": host_start, "end": _host_telemetry()},
                 **({"plan_warning_queries": warn_queries} if warn_queries else {}),
                 **({"errors": errors} if errors else {}),
             }
