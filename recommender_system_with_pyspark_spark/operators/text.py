@@ -754,8 +754,12 @@ def _validate_bpe_fast_path(merges: Sequence[tuple[str, str, str]]) -> bool:
     order reproduces the greedy merge order exactly — leftmost-first ties
     included, because ``replace`` is left-to-right non-overlapping.
     Output chars should come from a range absent from the corpus (the
-    PUA convention, U+E000–U+F8FF); that corpus-side assumption is the
-    caller's to guarantee and is asserted by the oracle hash in tests."""
+    PUA convention: U+E000–U+F8FF, overflowing into the plane-15/16 PUAs
+    for >6k-merge vocabularies — ``_fresh_symbol``); that corpus-side
+    assumption is the caller's to guarantee and is asserted by the oracle
+    hash in tests. A supplementary-plane output is still len-1 here:
+    Python strings are code points, and Spark's ``length``/``replace``
+    count/match code points the same way."""
     seen_sources: set[str] = set()
     for left, right, out in merges:
         seen_sources.update(left, right)

@@ -48,7 +48,20 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1"))
+    # For the NEXT decade (e.g. sf100 from sf10) the stride must exceed the
+    # SOURCE's max key, which already carries the previous decade's shifts:
+    # pass --stride 10x the one the source was built with.
+    ap.add_argument("--stride", type=int, default=KEY_STRIDE)
+    # Spot-run decades (VERDICT r9 #5) only need the tables their entries
+    # read; bounding the tier keeps the disk footprint proportional.
+    ap.add_argument("--tables", default="",
+                    help="comma list; empty = all tables")
     args = ap.parse_args()
+    stride = args.stride
+    wanted = set(filter(None, args.tables.split(",")))
+
+    def skip(name: str) -> bool:
+        return bool(wanted) and name not in wanted
 
     from pyspark.sql import functions as F
 
@@ -65,16 +78,20 @@ def main() -> None:
 
     # dims: unchanged
     for t in ("nation", "region"):
+        if skip(t):
+            continue
         write(load_table(spark, args.src, t), t)
 
     # fact tables: shifted-key copies
     for t, keys in FACT_KEYS.items():
+        if skip(t):
+            continue
         base = load_table(spark, args.src, t)
         parts = []
         for k in range(args.copies):
             c = base
             for col in keys:
-                c = c.withColumn(col, F.col(col) + F.lit(k * KEY_STRIDE))
+                c = c.withColumn(col, F.col(col) + F.lit(k * stride))
             parts.append(c)
         out = parts[0]
         for p in parts[1:]:
@@ -82,10 +99,10 @@ def main() -> None:
         write(out, t)
 
     # documents: shifted ids + per-copy token mutation (copy 0 untouched)
-    docs = load_table(spark, args.src, "documents")
+    docs = load_table(spark, args.src, "documents") if not skip("documents") else None
     parts = []
-    for k in range(args.copies):
-        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * KEY_STRIDE))
+    for k in range(args.copies if docs is not None else 0):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * stride))
         if k > 0:
             mutated = F.array_join(
                 F.transform(
@@ -100,17 +117,18 @@ def main() -> None:
             c = c.withColumn("text", mutated).withColumn(
                 "n_chars", F.length("text").cast("long"))
         parts.append(c)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    write(out, "documents")
+    if parts:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        write(out, "documents")
 
     # embeddings: shifted ids + per-copy offset-and-renormalize (copy 0 untouched)
-    emb = load_table(spark, args.src, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    emb = load_table(spark, args.src, "embeddings") if not skip("embeddings") else None
+    dim = len(emb.select("embedding").first()[0]) if emb is not None else 0
     parts = []
-    for k in range(args.copies):
-        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * KEY_STRIDE))
+    for k in range(args.copies if emb is not None else 0):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * stride))
         if k > 0:
             # deterministic unit-ish offset for copy k, scaled to norm 0.8
             raw = [math.sin(0.7 * j + 13.37 * k) for j in range(dim)]
@@ -124,10 +142,11 @@ def main() -> None:
                 F.transform(shifted, lambda x: (x / norm).cast("float")),
             )
         parts.append(c)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    write(out, "embeddings")
+    if parts:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        write(out, "embeddings")
     print("done ->", args.out)
 
 
