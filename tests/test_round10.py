@@ -167,3 +167,57 @@ def test_mp3_audit_handles_unparseable_blob(spark):
     df = spark.createDataFrame([(1, bytearray(b"not an mp3"))], "media_id long, media binary")
     row = mp3_header_audit(df).collect()[0]
     assert row["n_frames"] == 0 and row["duration_ms"] is None
+
+
+# ---- BLAS hard-negative miner ------------------------------------------------
+
+
+def test_hard_negatives_blas_equals_brute_force(spark, sf_small):
+    from recommender_system_with_pyspark_spark.operators.similarity import (
+        hard_negatives,
+        hard_negatives_blas,
+    )
+
+    emb = _emb(spark, sf_small)
+    q = emb.filter(F.col("vec_id") < 12)
+    brute = sorted(map(tuple, hard_negatives(q, emb, k=4).collect()))
+    blas = sorted(map(tuple, hard_negatives_blas(q, emb, k=4).collect()))
+    assert brute == blas
+
+
+def test_hard_negatives_blas_guard_and_empty(spark, sf_small):
+    from recommender_system_with_pyspark_spark.operators.similarity import hard_negatives_blas
+
+    emb = _emb(spark, sf_small)
+    with pytest.raises(ValueError, match="ceiling"):
+        hard_negatives_blas(emb.limit(8), emb, k=3, max_broadcast_rows=4)
+    with pytest.raises(ValueError, match="empty"):
+        hard_negatives_blas(emb.limit(0), emb, k=3)
+
+
+def test_hard_negatives_blas_null_label_semantics(spark):
+    """eqNullSafe semantics: two NULL labels are NOT distinct (pair
+    excluded); NULL vs non-NULL IS distinct (pair kept)."""
+    from recommender_system_with_pyspark_spark.operators.similarity import (
+        hard_negatives,
+        hard_negatives_blas,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], None),
+        (2, [0.9, 0.1], None),
+        (3, [0.8, 0.2], "a"),
+        (4, [0.7, 0.3], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    blas = {
+        (r["query_id"], r["neighbor_id"])
+        for r in hard_negatives_blas(df, df, k=4).collect()
+    }
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in hard_negatives(df, df, k=4).collect()
+    }
+    assert blas == brute
+    assert (1, 2) not in blas and (2, 1) not in blas  # null-null excluded
+    assert (1, 3) in blas  # null vs 'a' kept
