@@ -1,0 +1,99 @@
+"""sf100 embedding census at threshold 0.9 — VERDICT r9 #5 (second decade).
+
+Same methodology as tools/sf10_census_09.py one decade up: the 3000-row
+numpy sample estimator predicts the qualifying-pair count first (it was
+within 0.2% at sf10), then the SAME operators the registry entries use
+run to completion with block geometry scaled by the operators' own
+100 TB sizing rule — block/cell count grows with n so per-task inputs
+stay executor-sized:
+
+- semantic_dedup_pairs: n_cells=64 (sf10 used 16 for 200k rows; 2M rows
+  keep ~31k rows/cell, same as the sf10 geometry's 12.5k-50k band).
+  Triangle-inequality cell-pair pruning is what makes a 0.9-threshold
+  census sub-quadratic — at sf100 the pruned fraction is the measurement.
+- embedding_near_dup_blocked: n_chunks=48 (~42k rows/chunk) — this one
+  IS the brute O(n^2) ground truth (1,176 block GEMMs, ~2e12 dot
+  products); run it only with --brute to cross-check the pair count.
+
+Usage: python tools/sf100_census_09.py [sf_dir] [--brute]
+Prints one JSON line per measurement and a summary tail.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+THRESHOLD = 0.9
+SAMPLE_N = 3000
+SEED = 7
+
+
+def sample_estimate(spark, sf_dir: str) -> dict:
+    import numpy as np
+
+    from recommender_system_with_pyspark_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_total = emb.count()
+    frac = min(1.0, (SAMPLE_N * 1.3) / n_total)
+    rows = emb.sample(fraction=frac, seed=SEED).limit(SAMPLE_N).collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    n = len(rows)
+    iu = np.triu_indices(n, k=1)
+    q = int((sims[iu] >= THRESHOLD).sum())
+    density = q / (n * (n - 1) / 2)
+    predicted = density * (n_total * (n_total - 1) / 2)
+    return {"n_total": n_total, "sample_n": n, "sample_pairs": q,
+            "predicted_pairs": int(predicted)}
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/repo/.scale/sf100"
+    brute = "--brute" in sys.argv
+
+    from recommender_system_with_pyspark_spark.io import load_table
+    from recommender_system_with_pyspark_spark.operators import similarity as S
+    from recommender_system_with_pyspark_spark.session import get_spark
+
+    spark = get_spark(app_name="sf100_census_09", shuffle_partitions=128)
+
+    est = sample_estimate(spark, sf_dir)
+    print(json.dumps({"estimator": est}), flush=True)
+
+    jobs = [("semantic_dedup@0.9", lambda df: S.semantic_dedup_pairs(
+        df, "vec_id", "embedding", threshold=THRESHOLD, n_cells=64, seed=1))]
+    if brute:
+        jobs.append(("embedding_near_dup@0.9", lambda df: S.embedding_near_dup_blocked(
+            df, "vec_id", "embedding", threshold=THRESHOLD, n_chunks=48)))
+
+    results = {}
+    for name, build in jobs:
+        emb = load_table(spark, sf_dir, "embeddings")
+        t0 = time.time()
+        pairs = build(emb).count()
+        sec = round(time.time() - t0, 1)
+        results[name] = {"pairs": pairs, "sec": sec}
+        print(json.dumps({name: results[name]}), flush=True)
+
+    counts = {k: v["pairs"] for k, v in results.items()}
+    agree = len(set(counts.values())) == 1
+    ratio = (next(iter(counts.values())) / est["predicted_pairs"]
+             if est["predicted_pairs"] else None)
+    print(json.dumps({
+        "sf_dir": sf_dir, "threshold": THRESHOLD, "results": results,
+        "operators_agree": agree if len(counts) > 1 else None,
+        "measured_vs_predicted": round(ratio, 3) if ratio else None,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
