@@ -1,0 +1,109 @@
+"""ALS second-decade probe at sf100 — VERDICT r9 #5, the als_recommend row.
+
+The registered entry at sf100 extrapolates to ~12 h in this container
+(sf10 solo cold was 4167.6 s on MLlib's pure-Java BLAS fallback), so the
+second-decade evidence for ALS is MEASURED COMPONENT CONSTANTS rather
+than one infeasible end-to-end run:
+
+1. ratings build (the engine's own join+groupBy over 600M lineitem ×
+   150M orders) — timed to completion, row count printed;
+2. id compaction (the >int32 branch — sf100 keys reach 9.99e10);
+3. ALS fit at maxIter=1 and maxIter=3 (same rank/reg/seed as the entry):
+   (t3 - t1) / 2 isolates the per-iteration cost from startup/first-pass;
+4. recommendForUserSubset over a 1% user sample: recommendForAllUsers
+   is a users × items factor GEMM, linear in users at fixed item count,
+   so the subset throughput extrapolates the full recommend.
+
+The printout ends with the extrapolated full-entry wall-clock
+(build + compaction + 5 iterations + full recommend), each term measured.
+
+Usage: python tools/als_sf100_probe.py [sf_dir]   (default .scale/sf100)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf100"
+
+    from pyspark.ml.recommendation import ALS
+    from pyspark.sql import functions as F
+
+    from recommender_system_with_pyspark_spark.flagship import implicit_ratings
+    from recommender_system_with_pyspark_spark.operators.relational import (
+        dense_id_compaction,
+    )
+    from recommender_system_with_pyspark_spark.session import get_spark
+
+    spark = get_spark(app_name="als_sf100_probe", shuffle_partitions=256)
+    spark.sparkContext.setCheckpointDir("/tmp/als_probe_ckpt")
+
+    t0 = time.time()
+    ratings = implicit_ratings(spark, sf_dir)
+    ratings = ratings.persist()
+    n = ratings.count()
+    t_build = round(time.time() - t0, 1)
+    print(json.dumps({"ratings_rows": n, "build_sec": t_build}), flush=True)
+
+    t0 = time.time()
+    compacted, maps = dense_id_compaction(
+        ratings, ["user_id", "item_id"], idx_cols=["user_idx", "item_idx"])
+    compacted = compacted.persist()
+    nc = compacted.count()
+    # at sf100 keys reach 9.99e10, so the compaction branch is engaged and
+    # the mapping frames exist; fall back to distincts if it ever isn't
+    n_users = (maps["user_id"].count() if maps["user_id"] is not None
+               else compacted.select("user_idx").distinct().count())
+    n_items = (maps["item_id"].count() if maps["item_id"] is not None
+               else compacted.select("item_idx").distinct().count())
+    t_compact = round(time.time() - t0, 1)
+    print(json.dumps({"compacted_rows": nc, "users": n_users,
+                      "items": n_items, "compact_sec": t_compact}), flush=True)
+
+    def fit(iters: int):
+        als = ALS(rank=8, maxIter=iters, regParam=0.1, seed=1,
+                  userCol="user_idx", itemCol="item_idx", ratingCol="rating",
+                  coldStartStrategy="drop", checkpointInterval=2)
+        t0 = time.time()
+        model = als.fit(compacted)
+        sec = round(time.time() - t0, 1)
+        print(json.dumps({"fit_iters": iters, "sec": sec}), flush=True)
+        return model, sec
+
+    _, t1 = fit(1)
+    model, t3 = fit(3)
+    per_iter = round((t3 - t1) / 2.0, 1)
+
+    frac_users = max(1, n_users // 100)
+    subset = model.userFactors.select(
+        F.col("id").alias("user_idx")).limit(frac_users)
+    t0 = time.time()
+    recs = model.recommendForUserSubset(subset, 3)
+    n_recs = recs.count()
+    t_sub = round(time.time() - t0, 1)
+    print(json.dumps({"recommend_subset_users": frac_users,
+                      "rec_rows": n_recs, "sec": t_sub}), flush=True)
+
+    full_recommend = round(t_sub * (n_users / frac_users), 1)
+    full_entry = round(t_build + t_compact + t1 + 4 * per_iter
+                       + full_recommend, 1)
+    print(json.dumps({
+        "sf_dir": sf_dir, "per_iteration_sec": per_iter,
+        "extrapolated_full_recommend_sec": full_recommend,
+        "extrapolated_full_entry_sec": full_entry,
+        "terms": {"build": t_build, "compact": t_compact,
+                  "first_fit": t1, "plus_4_iters": 4 * per_iter,
+                  "recommend": full_recommend},
+    }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
