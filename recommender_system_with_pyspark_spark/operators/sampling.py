@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .checkpointing import local_ckpt_ser
+
 _BUCKETS = 1 << 32
 
 
@@ -328,7 +330,11 @@ def negative_sample(
 
     if k < 1 or oversample < 1:
         raise ValueError("k and oversample must be >= 1")
-    pos = interactions.select(user_col, item_col).distinct().localCheckpoint()
+    # SERIALIZED checkpoint (operators/checkpointing.py): the positives
+    # frame scales with the fact data — at sf100 (599M distinct pairs) the
+    # default deserialized level OOMed the heap when spilled blocks were
+    # promoted back as object graphs by 32 concurrent anti-join tasks.
+    pos = local_ckpt_ser(interactions.select(user_col, item_col).distinct())
     items = (
         two_stage_rank(
             pos.select(item_col).distinct(), item_col, out_col="_r"

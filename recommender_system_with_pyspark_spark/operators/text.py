@@ -20,6 +20,8 @@ from collections.abc import Callable, Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .checkpointing import local_ckpt_ser
+
 TOKEN_SPLIT_RE = r"\s+"
 PUNCT_RE = r"[^a-zA-Z0-9\s]"
 
@@ -467,11 +469,9 @@ def bigram_logprob(
     # unpersist (which a lazy-returning function has no safe place to
     # call), while checkpoint blocks are reclaimed by the ContextCleaner
     # as soon as the caller drops the result.
-    per_doc = (
-        pairs.groupBy(id_col, "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
-    )
+    per_doc = local_ckpt_ser(
+        pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    )  # token-scale rows: serialized level, see operators/checkpointing.py
     bigrams = per_doc.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
     unigram_ctx = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab_size = df.select(F.explode(tokens(text_col)).alias("t")).agg(
@@ -620,7 +620,7 @@ def crossdoc_ngram_overlap(
     # grams feeds two consumers (the per-gram doc-count aggregate and the
     # flag join-back); materialize once so the tokenize+posexplode+md5
     # subtree does not re-execute per consumer
-    grams = grams.localCheckpoint(eager=False)
+    grams = local_ckpt_ser(grams, eager=False)  # n-gram-explosion scale
     gram_docs = grams.groupBy("gram").agg(
         F.count_distinct(F.col(id_col)).alias("_nd")
     )
@@ -983,7 +983,7 @@ def bpe_train(
     this function at ``batch_size=1``).
     """
     cur = docs.select(F.col(text_col).alias("_s")).filter(F.length("_s") > 1)
-    cur = cur.localCheckpoint()
+    cur = local_ckpt_ser(cur)  # corpus-scale strings: serialized level
     merges: list[tuple[int, str, int, str]] = []
     try:
         for step in range(n_merges):
@@ -1015,9 +1015,9 @@ def bpe_train(
             pair, cnt = best[0]["pair"], int(best[0]["c"])
             out = _fresh_symbol(step, pua_base)
             merges.append((step, pair, cnt, out))
-            nxt = cur.select(
+            nxt = local_ckpt_ser(cur.select(
                 F.replace(F.col("_s"), F.lit(pair), F.lit(out)).alias("_s")
-            ).localCheckpoint()
+            ))
             cur.unpersist()
             cur = nxt
     finally:
@@ -1171,7 +1171,7 @@ def bpe_train_batched(
     if batch_size < 1:
         raise ValueError("batch_size must be >= 1")
     cur = docs.select(F.col(text_col).alias("_s")).filter(F.length("_s") > 1)
-    cur = cur.localCheckpoint()
+    cur = local_ckpt_ser(cur)  # corpus-scale strings: serialized level
     merges: list[tuple[int, str, int, str]] = []
     try:
         while len(merges) < n_merges:
@@ -1223,7 +1223,7 @@ def bpe_train_batched(
                 out = _fresh_symbol(len(merges), pua_base)
                 merges.append((len(merges), pair, cnt, out))
                 rewritten = F.replace(rewritten, F.lit(pair), F.lit(out))
-            nxt = cur.select(rewritten.alias("_s")).localCheckpoint()
+            nxt = local_ckpt_ser(cur.select(rewritten.alias("_s")))
             cur.unpersist()
             cur = nxt
     finally:
