@@ -15,7 +15,7 @@ stay executor-sized:
   IS the brute O(n^2) ground truth (1,176 block GEMMs, ~2e12 dot
   products); run it only with --brute to cross-check the pair count.
 
-Usage: python tools/sf100_census_09.py [sf_dir] [--brute]
+Usage: python tools/sf100_census_09.py [sf_dir] [threshold] [n_cells] [--brute]
 Prints one JSON line per measurement and a summary tail.
 """
 
@@ -28,12 +28,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-THRESHOLD = 0.9
 SAMPLE_N = 3000
 SEED = 7
 
 
-def sample_estimate(spark, sf_dir: str) -> dict:
+def sample_estimate(spark, sf_dir: str, threshold: float) -> dict:
     import numpy as np
 
     from recommender_system_with_pyspark_spark.io import load_table
@@ -47,7 +46,7 @@ def sample_estimate(spark, sf_dir: str) -> dict:
     sims = mat @ mat.T
     n = len(rows)
     iu = np.triu_indices(n, k=1)
-    q = int((sims[iu] >= THRESHOLD).sum())
+    q = int((sims[iu] >= threshold).sum())
     density = q / (n * (n - 1) / 2)
     predicted = density * (n_total * (n_total - 1) / 2)
     return {"n_total": n_total, "sample_n": n, "sample_pairs": q,
@@ -58,6 +57,8 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/repo/.scale/sf100"
     brute = "--brute" in sys.argv
+    threshold = float(args[1]) if len(args) > 1 else 0.95
+    n_cells = int(args[2]) if len(args) > 2 else 128
 
     from recommender_system_with_pyspark_spark.io import load_table
     from recommender_system_with_pyspark_spark.operators import similarity as S
@@ -65,14 +66,14 @@ def main() -> int:
 
     spark = get_spark(app_name="sf100_census_09", shuffle_partitions=128)
 
-    est = sample_estimate(spark, sf_dir)
+    est = sample_estimate(spark, sf_dir, threshold)
     print(json.dumps({"estimator": est}), flush=True)
 
-    jobs = [("semantic_dedup@0.9", lambda df: S.semantic_dedup_pairs(
-        df, "vec_id", "embedding", threshold=THRESHOLD, n_cells=64, seed=1))]
+    jobs = [(f"semantic_dedup@{threshold}", lambda df: S.semantic_dedup_pairs(
+        df, "vec_id", "embedding", threshold=threshold, n_cells=n_cells, seed=1))]
     if brute:
-        jobs.append(("embedding_near_dup@0.9", lambda df: S.embedding_near_dup_blocked(
-            df, "vec_id", "embedding", threshold=THRESHOLD, n_chunks=48)))
+        jobs.append((f"embedding_near_dup@{threshold}", lambda df: S.embedding_near_dup_blocked(
+            df, "vec_id", "embedding", threshold=threshold, n_chunks=48)))
 
     results = {}
     for name, build in jobs:
@@ -88,7 +89,7 @@ def main() -> int:
     ratio = (next(iter(counts.values())) / est["predicted_pairs"]
              if est["predicted_pairs"] else None)
     print(json.dumps({
-        "sf_dir": sf_dir, "threshold": THRESHOLD, "results": results,
+        "sf_dir": sf_dir, "threshold": threshold, "n_cells": n_cells, "results": results,
         "operators_agree": agree if len(counts) > 1 else None,
         "measured_vs_predicted": round(ratio, 3) if ratio else None,
     }))
