@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .checkpointing import local_ckpt_ser
+from .checkpointing import local_ckpt_auto
 
 _BUCKETS = 1 << 32
 
@@ -330,11 +330,14 @@ def negative_sample(
 
     if k < 1 or oversample < 1:
         raise ValueError("k and oversample must be >= 1")
-    # SERIALIZED checkpoint (operators/checkpointing.py): the positives
+    # SIZE-TIERED checkpoint (operators/checkpointing.py): the positives
     # frame scales with the fact data — at sf100 (599M distinct pairs) the
     # default deserialized level OOMed the heap when spilled blocks were
-    # promoted back as object graphs by 32 concurrent anti-join tasks.
-    pos = local_ckpt_ser(interactions.select(user_col, item_col).distinct())
+    # promoted back as object graphs by 32 concurrent anti-join tasks, so
+    # large frames must stay SERIALIZED; but the same level taxed small
+    # tiers (deserialize per consumer), so the auto policy measures the
+    # materialized bytes and promotes only provably small frames.
+    pos = local_ckpt_auto(interactions.select(user_col, item_col).distinct())
     items = (
         two_stage_rank(
             pos.select(item_col).distinct(), item_col, out_col="_r"

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .checkpointing import local_ckpt_ser
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -1015,11 +1017,16 @@ def semantic_dedup_pairs(
     _assign = F.pandas_udf(_assign_fn, "int")
 
     # members feeds three consumers (radii, left block side, right block
-    # side); materialize once so the normalize+assign pass runs once
-    members = (
-        unit.select("_id", "_v", "_u")
-        .withColumn("_cell", _assign(F.col("_u")))
-        .localCheckpoint(eager=False)
+    # side); materialize once so the normalize+assign pass runs once.
+    # SERIALIZED level (operators/checkpointing.py): the frame is the full
+    # embedding catalog carrying BOTH the raw and unit-vector copies per
+    # row — exactly the data-scale shape whose spilled deserialized blocks
+    # re-promote into the heap at the first tier that spills (the sf100
+    # negative-sample OOM class); lazy, so the size-tiered auto policy
+    # cannot measure it and the safe level is pinned.
+    members = local_ckpt_ser(
+        unit.select("_id", "_v", "_u").withColumn("_cell", _assign(F.col("_u"))),
+        eager=False,
     )
 
     centers_df = df.sparkSession.createDataFrame(
