@@ -70,17 +70,50 @@ def load_all_queries() -> None:
         _stratify_driver_window()
 
 
+def _build_round() -> int:
+    """Best-effort build-round number, used ONLY to vary the driver-window
+    sampling offset (VERDICT r10 #8): one `BENCH_r{N}.json` lands in the
+    repo root per completed round, so the current round is their count + 1.
+    Overridable (`SPARK_GRAFT_WINDOW_ROUND`) and silently 0 outside the
+    repo layout — the rotation then degrades to the round-10 ordering."""
+    env = os.environ.get("SPARK_GRAFT_WINDOW_ROUND")
+    if env is not None:
+        try:
+            return int(env)
+        except ValueError:
+            return 0
+    try:
+        import glob
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        return len(glob.glob(os.path.join(repo, "BENCH_r*.json"))) + 1
+    except Exception:
+        return 0
+
+
 def _stratify_driver_window() -> None:
     """Re-order QUERIES so the driver's first-50 correctness window samples
     EVERY query module (≈ every build round) instead of freezing on the
     oldest entries: round-robin one query per source module, preserving
     within-module registration order. Deterministic (module import order ×
-    registration order), idempotent, and a pure re-insertion — names,
-    callables, and oracles are untouched."""
+    registration order × build round), idempotent, and a pure re-insertion
+    — names, callables, and oracles are untouched.
+
+    Round rotation (VERDICT r10 #8): with 228 registered queries the
+    50-entry window covers ~22%, and a FIXED round-robin start re-samples
+    the same module heads every round. Each module's queue is therefore
+    rotated by the build-round number (mod its length) before interleaving
+    — successive driver windows walk every module's TAIL as rounds
+    accumulate, while any single round stays fully deterministic. The
+    gating correctness check remains the FULL sweep (module docstring)."""
+    offset = _build_round()
     by_mod: dict[str, list[str]] = {}
     for name, fn in QUERIES.items():
         by_mod.setdefault(fn.__module__, []).append(name)
-    queues = [list(names) for names in by_mod.values()]
+    queues = []
+    for names in by_mod.values():
+        r = offset % len(names)
+        queues.append(names[r:] + names[:r])
     order: list[str] = []
     while queues:
         for q in queues:

@@ -53,6 +53,10 @@ def main() -> int:
     print(json.dumps({"ratings_rows": n, "build_sec": t_build}), flush=True)
 
     t0 = time.time()
+    # dense_id_compaction KEEPS the original column names on the compacted
+    # frame (withColumnRenamed(idx, col) + select(*df.columns)); idx_cols
+    # only name the returned MAPPING frames' second column — so ALS is
+    # configured on user_id/item_id exactly like ml/models.py (ADVICE r10).
     compacted, maps = dense_id_compaction(
         ratings, ["user_id", "item_id"], idx_cols=["user_idx", "item_idx"])
     compacted = compacted.persist()
@@ -60,16 +64,16 @@ def main() -> int:
     # at sf100 keys reach 9.99e10, so the compaction branch is engaged and
     # the mapping frames exist; fall back to distincts if it ever isn't
     n_users = (maps["user_id"].count() if maps["user_id"] is not None
-               else compacted.select("user_idx").distinct().count())
+               else compacted.select("user_id").distinct().count())
     n_items = (maps["item_id"].count() if maps["item_id"] is not None
-               else compacted.select("item_idx").distinct().count())
+               else compacted.select("item_id").distinct().count())
     t_compact = round(time.time() - t0, 1)
     print(json.dumps({"compacted_rows": nc, "users": n_users,
                       "items": n_items, "compact_sec": t_compact}), flush=True)
 
     def fit(iters: int):
         als = ALS(rank=8, maxIter=iters, regParam=0.1, seed=1,
-                  userCol="user_idx", itemCol="item_idx", ratingCol="rating",
+                  userCol="user_id", itemCol="item_id", ratingCol="rating",
                   coldStartStrategy="drop", checkpointInterval=2)
         t0 = time.time()
         model = als.fit(compacted)
@@ -83,7 +87,7 @@ def main() -> int:
 
     frac_users = max(1, n_users // 100)
     subset = model.userFactors.select(
-        F.col("id").alias("user_idx")).limit(frac_users)
+        F.col("id").alias("user_id")).limit(frac_users)
     t0 = time.time()
     recs = model.recommendForUserSubset(subset, 3)
     n_recs = recs.count()

@@ -1,4 +1,4 @@
-"""sf100 embedding census at threshold 0.9 — VERDICT r9 #5 (second decade).
+"""sf100 embedding census — VERDICT r9 #5 (second decade).
 
 Same methodology as tools/sf10_census_09.py one decade up: the 3000-row
 numpy sample estimator predicts the qualifying-pair count first (it was
@@ -7,15 +7,18 @@ run to completion with block geometry scaled by the operators' own
 100 TB sizing rule — block/cell count grows with n so per-task inputs
 stay executor-sized:
 
-- semantic_dedup_pairs: n_cells=64 (sf10 used 16 for 200k rows; 2M rows
-  keep ~31k rows/cell, same as the sf10 geometry's 12.5k-50k band).
-  Triangle-inequality cell-pair pruning is what makes a 0.9-threshold
-  census sub-quadratic — at sf100 the pruned fraction is the measurement.
+- semantic_dedup_pairs: DEFAULT threshold 0.95 with n_cells=128 (2M rows
+  keep ~16k rows/cell, inside the sf10 geometry's 12.5k-50k band) — the
+  0.9 run on the REPLICATED tier is result-bound by generator artifact
+  (2.45e9 predicted pairs, tools/sf100_census_bound_check.log), so the
+  completing census threshold is 0.95; pass 0.9 explicitly to reproduce
+  the bound check. Triangle-inequality cell-pair pruning is what makes
+  the census sub-quadratic — the pruned fraction is the measurement.
 - embedding_near_dup_blocked: n_chunks=48 (~42k rows/chunk) — this one
   IS the brute O(n^2) ground truth (1,176 block GEMMs, ~2e12 dot
   products); run it only with --brute to cross-check the pair count.
 
-Usage: python tools/sf100_census_09.py [sf_dir] [threshold] [n_cells] [--brute]
+Usage: python tools/sf100_census_09.py [sf_dir] [threshold=0.95] [n_cells=128] [--brute]
 Prints one JSON line per measurement and a summary tail.
 """
 
@@ -91,7 +94,7 @@ def main() -> int:
     print(json.dumps({
         "sf_dir": sf_dir, "threshold": threshold, "n_cells": n_cells, "results": results,
         "operators_agree": agree if len(counts) > 1 else None,
-        "measured_vs_predicted": round(ratio, 3) if ratio else None,
+        "measured_vs_predicted": round(ratio, 3) if ratio is not None else None,
     }))
     return 0
 
