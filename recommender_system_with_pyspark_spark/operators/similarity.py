@@ -187,7 +187,15 @@ def hard_negatives_ann(
     measured by the ``hard_negative_mining_ann`` recall-report entry
     (the ``ann_recall_report`` pattern); raise ``overfetch`` when probed
     neighborhoods are label-pure. For a provably exact answer with cell
-    pruning use ``hard_negatives_ivf``."""
+    pruning use ``hard_negatives_ivf``.
+
+    DEPLOYMENT NOTE (measured, SCALING.md round 10): with ``method='ivf'``
+    the k-means fit runs INSIDE this call — 1068 s of 1097 at sf100 was
+    index build. At catalog scale build the index once with
+    ``write_ivf_index(extra_cols=(pos_col,))`` and mine through
+    ``hard_negatives_indexed`` (pure partition-pruned probe, label filter
+    inside the probe scoring, no over-fetch slack); this function remains
+    the zero-setup form for one-shot batches."""
     from pyspark.sql import Window
 
     if overfetch < 1:
@@ -842,28 +850,188 @@ def write_ivf_index(
     vec_col: str = "embedding",
     n_cells: int = 16,
     seed: int = 1,
+    extra_cols: "tuple[str, ...]" = (),
+    max_iter: int = 20,
 ) -> list[list[float]]:
     """Materialize the IVF index: assign each candidate to its nearest
     KMeans cell and write parquet PARTITIONED BY cell — the physical layout
     that turns a probe into a partition-pruned scan (read n_probe/n_cells
     of the data; at 100 TB that is the difference between touching 100 TB
     and ~6 TB). Returns the coarse centroids (n_cells × dim — driver-small
-    by construction) for :func:`ivf_probe`."""
+    by construction) for :func:`ivf_probe` / :func:`ivf_probe_batch`.
+
+    The centroids are ALSO persisted inside the index as an
+    underscore-prefixed sidecar (``{path}/_centers`` — parquet readers
+    skip underscore paths, so the data scan never sees it): the index is
+    self-contained, and a probe-side process needs only the path. This is
+    the fit-ONCE half of the IVF contract — every probe/mining call
+    against the same path amortizes this one KMeans fit, instead of
+    re-clustering the catalog per call (measured at sf100: the in-one-plan
+    ANN mining call was 1068 s, index-build dominated).
+
+    ``extra_cols`` are carried into the index rows verbatim — pass the
+    label/split columns a downstream miner filters on, so mining probes
+    never join back to the catalog."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     cand = _as_double(
-        candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")), "_cv"
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            *[F.col(c) for c in extra_cols],
+        ),
+        "_cv",
     ).withColumn("_vec", array_to_vector("_cv"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="_vec", predictionCol="cell").fit(cand)
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="_vec", predictionCol="cell", maxIter=max_iter
+    ).fit(cand)
     (
         model.transform(cand)
-        .select("neighbor_id", F.col("_cv").alias("embedding"), "cell")
+        .select("neighbor_id", F.col("_cv").alias("embedding"), *extra_cols, "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
     )
-    return [[float(x) for x in c] for c in model.clusterCenters()]
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    spark = candidates.sparkSession
+    (
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centers)], "cell int, center array<double>"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/_centers")
+    )
+    return centers
+
+
+def read_ivf_centers(spark, path: str) -> list[list[float]]:
+    """Load the coarse centroids persisted by :func:`write_ivf_index` —
+    cell-ordered, driver-small (n_cells × dim) by construction."""
+    rows = spark.read.parquet(f"{path}/_centers").orderBy("cell").collect()
+    return [list(r["center"]) for r in rows]
+
+
+def ivf_probe_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centers: "list[list[float]] | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+    pos_col: str | None = None,
+) -> DataFrame:
+    """Batch ANN top-k against a PREBUILT partitioned IVF index — the
+    probe-many half of the contract (``ivf_probe`` is the single-vector
+    form; this is the training-set form a miner calls). No KMeans fit
+    happens here: centroids come from the index sidecar (or are passed
+    in), queries rank cells by centroid cosine, and the index scan is
+    restricted to the UNION of probed cells with a literal ``IN`` filter —
+    a PartitionFilter, so cells no query probes are never listed, opened,
+    or read (plan-tested). Per-query work stays bounded to its own
+    ``n_probe`` cells by the probe join.
+
+    With ``pos_col`` set, the index must have been written with that
+    column (``write_ivf_index(extra_cols=...)``) and the query frame must
+    carry it: same-label pairs (null-safe, IS DISTINCT FROM semantics) are
+    excluded BEFORE ranking — hard-negative mining without any
+    over-fetch-then-refilter slack (the label filter runs inside the probe
+    scoring, so recall loss comes only from unprobed cells).
+
+    Scale shape: the literal cell set is ≤ n_cells ints collected from a
+    |Q|·n_probe-row frame; a LOCALIZED query batch prunes most of the
+    index at file-listing time, while a batch that probes every cell
+    degrades to one full index scan — never more. Output contract matches
+    ``cosine_topk``: (query_id, neighbor_id, sim, rank), round-to-6,
+    neighbor-id tie-break."""
+    from pyspark.sql import Window
+
+    if centers is None:
+        centers = read_ivf_centers(spark, path)
+    centers_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "_cell int, _center array<double>"
+    )
+
+    q_cols = [F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")]
+    if pos_col is not None:
+        q_cols.append(F.col(pos_col).alias("_qp"))
+    q = _as_double(queries.select(*q_cols), "_qv").withColumn(
+        "_qn", F.greatest(_norm(F.col("_qv")), F.lit(1e-30))
+    )
+    qc = q.crossJoin(F.broadcast(centers_df)).withColumn(
+        "_csim", cosine(F.col("_qv"), F.col("_center"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_csim"), F.asc("_cell"))
+    probed = (
+        qc.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "_qv", "_qn", "_cell", *(["_qp"] if pos_col else []))
+    )
+    # ≤ n_cells ints to the driver: the literal IN list is what becomes a
+    # PartitionFilter on the index scan (static pruning — file listing for
+    # unprobed cells never happens)
+    cells = sorted(r["_cell"] for r in probed.select("_cell").distinct().collect())
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    scan = _as_double(scan.withColumnRenamed("embedding", "_cv"), "_cv").withColumn(
+        "_cn", F.greatest(_norm(F.col("_cv")), F.lit(1e-30))
+    )
+    pair_ok = F.col("query_id") != F.col("neighbor_id")
+    if pos_col is not None:
+        pair_ok = pair_ok & ~F.col("_qp").eqNullSafe(F.col(pos_col))
+    pairs = probed.join(scan, probed["_cell"] == scan["cell"]).filter(pair_ok)
+    scored = pairs.withColumn(
+        "sim", F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def hard_negatives_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centers: "list[list[float]] | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pos_col: str = "label",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Hard-negative mining against a PREBUILT IVF index — the deployment
+    shape the sf100 numbers demand (round-10 measurement: in-one-plan ANN
+    mining was 1068 s, 97% of it the per-call KMeans fit; the GEMM scan of
+    the same catalog was 29.2 s — so mining must amortize ONE index build
+    across every probe batch). The index is written once with the label
+    column carried (``write_ivf_index(extra_cols=(pos_col,))``); each
+    mining call is then a pure probe: rank cells per anchor, scan only the
+    probed partitions, exclude same-label pairs (null-safe) inside the
+    probe scoring, keep the top ``k``.
+
+    No over-fetch parameter: unlike ``hard_negatives_ann`` (which ranks
+    label-blind ANN output and must over-fetch to survive the refilter),
+    the label filter here runs BEFORE ranking, so ``k`` means ``k`` and
+    recall loss comes only from unprobed cells — raise ``n_probe`` to
+    trade scan fraction for recall. Output contract matches
+    ``hard_negatives`` exactly; recall vs brute force is measured by the
+    ``hard_negative_mining_indexed`` registry entry."""
+    return ivf_probe_batch(
+        spark,
+        path,
+        queries,
+        centers=centers,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        n_probe=n_probe,
+        pos_col=pos_col,
+    )
 
 
 def ivf_probe(

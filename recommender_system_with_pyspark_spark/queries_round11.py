@@ -1,0 +1,136 @@
+"""Round-11 query surface (VERDICT r10 #1: fit once, probe many).
+
+- ``hard_negative_mining_indexed`` — the recall report for mining against
+  a PREBUILT partitioned IVF index (``similarity.hard_negatives_indexed``):
+  the index is written once per corpus (KMeans fit + labels carried +
+  centroid sidecar), every mining call is a pure partition-pruned probe.
+  This is the deployment the sf100 numbers demanded: the in-one-plan ANN
+  mining call was 1068 s (97% per-call KMeans), the prebuilt-index probe
+  amortizes that build away.
+- ``hard_negative_mining_indexed_full`` — the SAME prebuilt-index plan
+  probed with n_probe = n_cells: every cell is probed, so the output
+  provably equals brute force and the all-pairs DuckDB oracle HASH-CHECKS
+  the index machinery end to end (partitioned layout, sidecar centroids,
+  label-filtered probe scoring, tie-breaks). Recall entries measure the
+  approximate deployment; this pins its correctness.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import load_table
+from .registry import query
+
+_IDX_CELLS = 8
+
+
+def _ivf_index_path(sf_dir: str) -> str:
+    """Deterministic per-corpus index location: built on first use, reused
+    by every later probe in the same container — the fit-once contract,
+    made literal. (A real deployment would put this next to the corpus;
+    /tmp keeps the driver's read-only sf_dir untouched.)"""
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return f"/tmp/spark_graft_ivf/{key}_c{_IDX_CELLS}"
+
+
+def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    from .operators.similarity import write_ivf_index
+
+    path = _ivf_index_path(sf_dir)
+    if not (
+        os.path.exists(os.path.join(path, "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "_centers", "_SUCCESS"))
+    ):
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_ivf_index(
+            emb, path, "vec_id", "embedding",
+            n_cells=_IDX_CELLS, seed=1, extra_cols=("label",),
+        )
+    return path
+
+
+@query("hard_negative_mining_indexed")  # recall measured in-Spark → rows-only
+def hard_negative_mining_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of prebuilt-index hard-negative mining vs the brute-force
+    answer on the same anchors (the ``ann_recall_report`` pattern —
+    approximate operators ship with their accuracy number). The label
+    filter runs INSIDE the probe scoring (the index carries labels), so
+    there is no over-fetch slack: recall loss is exactly the unprobed-cell
+    miss rate, reported per n_probe setting. One row per n_probe:
+    (method, k, n_probe, n_cells, n_queries, recall)."""
+    from .operators import similarity as S
+
+    path = _ensure_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter((F.col("vec_id") >= 96) & (F.col("vec_id") < 128))
+    k = 5
+
+    truth = S.hard_negatives(anchors, emb, k=k).select(
+        "query_id", F.col("neighbor_id").alias("true_id")
+    )
+    n_q = anchors.count()
+    rows = []
+    for n_probe in (2, 4):
+        mined = S.hard_negatives_indexed(
+            spark, path, anchors, k=k, n_probe=n_probe
+        )
+        hits = truth.join(
+            mined.withColumnRenamed("query_id", "q2"),
+            (F.col("query_id") == F.col("q2"))
+            & (F.col("true_id") == F.col("neighbor_id")),
+            "inner",
+        ).count()
+        rows.append(
+            ("ivf_indexed", k, n_probe, _IDX_CELLS, n_q, round(hits / (k * n_q), 4))
+        )
+    return spark.createDataFrame(
+        rows,
+        "method string, k int, n_probe int, n_cells int, n_queries long, recall double",
+    )
+
+
+_HN_IDX_ORACLE = """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.v, c.v), 6) AS sim
+        FROM e q JOIN e c
+          ON q.vec_id >= 128 AND q.vec_id < 160 AND q.vec_id <> c.vec_id
+         AND q.label IS DISTINCT FROM c.label
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+"""
+
+
+@query("hard_negative_mining_indexed_full", oracle=_HN_IDX_ORACLE)
+def hard_negative_mining_indexed_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hard-negative mining THROUGH the prebuilt-index plan: with
+    n_probe = n_cells every cell is probed, so the probe-join + label
+    filter + top-k must reproduce brute force bit-for-bit — DuckDB
+    recomputes the answer all-pairs and hash-checks it. What this pins
+    that ``hard_negative_mining_ivf`` (in-plan k-means) cannot: the
+    PHYSICAL index path — partitioned parquet layout, the centroid
+    sidecar read, the literal-IN partition filter, the carried label
+    column, and the probe scoring conventions — is semantics-preserving.
+    A wrong cell assignment, a dropped partition, a stale sidecar, or a
+    label-join defect all break the hash."""
+    from .operators.similarity import hard_negatives_indexed
+
+    path = _ensure_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter((F.col("vec_id") >= 128) & (F.col("vec_id") < 160))
+    return hard_negatives_indexed(
+        spark, path, anchors, k=5, n_probe=_IDX_CELLS
+    )

@@ -179,3 +179,60 @@ def test_ivf_exact_isolated_query_still_returns_topk(spark):
         for r in ivf_topk_exact(q, emb, k=3, n_cells=2, n_probe=1, seed=1).collect()
     }
     assert got == exact and len(got) == 3
+
+
+def test_ivf_probe_batch_prunes_and_full_probe_equals_brute(spark, sf_tiny, tmp_path):
+    """The prebuilt-index batch probe (round 11): (a) the literal cell
+    filter must reach the scan as a PartitionFilter — unprobed cells are
+    pruned FILE READS; (b) probing ALL cells through the physical index
+    (partitioned layout + centroid sidecar + carried label column) must
+    reproduce brute-force hard negatives bit-for-bit; (c) the sidecar
+    round-trips the fitted centroids."""
+    from recommender_system_with_pyspark_spark.io import load_table
+    from recommender_system_with_pyspark_spark.plans.explain import formatted_plan
+
+    emb = load_table(spark, sf_tiny, "embeddings")
+    path = str(tmp_path / "ivf_labeled")
+    centers = S.write_ivf_index(
+        emb, path, "vec_id", "embedding", n_cells=4, seed=1, extra_cols=("label",)
+    )
+    assert S.read_ivf_centers(spark, path) == centers
+
+    anchors = emb.filter("vec_id < 6")
+    probe = S.ivf_probe_batch(spark, path, anchors, k=3, n_probe=2)
+    plan = formatted_plan(probe)
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    got = probe.collect()
+    assert got and all(r["rank"] <= 3 for r in got)
+
+    brute = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in S.hard_negatives(anchors, emb, k=3).collect()
+    }
+    full = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in S.hard_negatives_indexed(
+            spark, path, anchors, k=3, n_probe=4
+        ).collect()
+    }
+    assert full == brute
+
+
+def test_hard_negatives_indexed_null_label_semantics(spark, tmp_path):
+    """NULL labels follow IS DISTINCT FROM on the indexed path too: a
+    NULL-labeled anchor excludes NULL-labeled candidates (not distinct)
+    and keeps every labeled one."""
+    rows = [
+        (0, [1.0, 0.0], None),
+        (1, [0.99, 0.01], None),   # same (null) label -> excluded
+        (2, [0.98, 0.02], 7),      # labeled -> kept
+        (3, [-1.0, 0.0], 7),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    path = str(tmp_path / "ivf_nulls")
+    S.write_ivf_index(emb, path, n_cells=2, seed=1, extra_cols=("label",))
+    out = S.hard_negatives_indexed(
+        spark, path, emb.filter("vec_id = 0"), k=2, n_probe=2
+    ).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [2, 3]
