@@ -827,6 +827,290 @@ def mp3_header_audit(df: DataFrame, round_to: int = 6) -> DataFrame:
     return df.select("media_id", "media").mapInPandas(batches, MP3_AUDIT_SCHEMA)
 
 
+# --- MP3 round 11: MPEG-2/2.5 + VBR (Xing/VBRI) coverage ----------------------
+#
+# Real crawled audio is mostly VBR MPEG-1/2/2.5 (VERDICT r10 #6). The general
+# walker below handles all three versions' Layer III bitrate/samplerate/
+# frame-length tables, skips a leading ID3v2 tag (syncsafe size) instead of
+# refusing the file, and reads the Xing/Info/VBRI metadata headers a VBR
+# encoder writes into the first frame. ``parse_mp3_headers`` above stays as
+# the MPEG-1-only walker the round-10 oracle entry pins.
+
+# MPEG-2/2.5 Layer III bitrates, kbps (index 1..14; 0 = free, 15 = bad).
+MP3_V2_BITRATES_KBPS = (None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+# header version bits -> (name, sample-rate table, samples/frame for Layer III)
+MP3_VERSIONS = {
+    0b11: ("1", (44100, 48000, 32000, None), 1152),
+    0b10: ("2", (22050, 24000, 16000, None), 576),
+    0b00: ("2.5", (11025, 12000, 8000, None), 576),
+}
+
+
+def _skip_id3v2(data: bytes) -> "tuple[int, bool]":
+    """Return (offset past a leading ID3v2 tag, tag_present). The tag size
+    is syncsafe (4x7 bits, ISO spec) and EXCLUDES the 10-byte header."""
+    if len(data) >= 10 and data[:3] == b"ID3":
+        size = (
+            ((data[6] & 0x7F) << 21)
+            | ((data[7] & 0x7F) << 14)
+            | ((data[8] & 0x7F) << 7)
+            | (data[9] & 0x7F)
+        )
+        return 10 + size, True
+    return 0, False
+
+
+def _side_info_bytes(version_bits: int, channel_mode: int) -> int:
+    """Layer III side-info size — the Xing/Info tag sits right after it."""
+    if version_bits == 0b11:  # MPEG-1
+        return 17 if channel_mode == 3 else 32
+    return 9 if channel_mode == 3 else 17
+
+
+def parse_mp3_stream(data: bytes) -> dict:
+    """General MP3 walk: skip a leading ID3v2 tag, then step frame headers
+    across MPEG-1/2/2.5 Layer III (per-version bitrate/samplerate tables,
+    ``spf/8 · bitrate / sample_rate + padding`` frame length), reading the
+    Xing/Info/VBRI VBR metadata out of the FIRST frame. Stops cleanly at
+    the first non-frame byte (ID3v1 trailer, truncation, garbage) — a
+    corrupt tail must not kill a 100 TB scan.
+
+    Returns ``{"frames": [(kbps, sr, mode, spf), ...], "has_id3": bool,
+    "xing_tag": str | None, "xing_frames": int | None,
+    "vbri_frames": int | None}`` — ``frames`` INCLUDES the metadata frame
+    (it is a spec-valid frame; callers doing audio stats drop frame 0 when
+    a tag was found)."""
+    pos, has_id3 = _skip_id3v2(data)
+    n = len(data)
+    frames = []
+    xing_tag = xing_frames = vbri_frames = None
+    while pos + 4 <= n:
+        b0, b1, b2, b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break  # lost sync
+        version_bits = (b1 >> 3) & 0x3
+        layer = (b1 >> 1) & 0x3
+        if version_bits not in MP3_VERSIONS or layer != 0b01:
+            break  # reserved version / non-Layer-III
+        _, srs, spf = MP3_VERSIONS[version_bits]
+        bitrate_index = (b2 >> 4) & 0xF
+        sr_index = (b2 >> 2) & 0x3
+        padding = (b2 >> 1) & 0x1
+        if bitrate_index in (0, 15) or sr_index == 3:
+            break  # free-format / reserved
+        table = MP3_BITRATES_KBPS if version_bits == 0b11 else MP3_V2_BITRATES_KBPS
+        kbps = table[bitrate_index]
+        sr = srs[sr_index]
+        frame_len = (spf // 8 * kbps * 1000) // sr + padding
+        if frame_len <= 4 or pos + frame_len > n:
+            break  # degenerate / truncated final frame
+        mode = (b3 >> 6) & 0x3
+        if not frames:  # VBR metadata lives in the first frame only
+            off = pos + 4 + _side_info_bytes(version_bits, mode)
+            if off + 8 <= pos + frame_len and data[off : off + 4] in (b"Xing", b"Info"):
+                xing_tag = data[off : off + 4].decode("ascii")
+                flags = int.from_bytes(data[off + 4 : off + 8], "big")
+                if flags & 0x1 and off + 12 <= pos + frame_len:
+                    xing_frames = int.from_bytes(data[off + 8 : off + 12], "big")
+            # VBRI (Fraunhofer) sits at a FIXED 32-byte offset after the header
+            voff = pos + 4 + 32
+            if voff + 18 <= pos + frame_len and data[voff : voff + 4] == b"VBRI":
+                vbri_frames = int.from_bytes(data[voff + 14 : voff + 18], "big")
+        frames.append((kbps, sr, mode, spf))
+        pos += frame_len
+    return {
+        "frames": frames,
+        "has_id3": has_id3,
+        "xing_tag": xing_tag,
+        "xing_frames": xing_frames,
+        "vbri_frames": vbri_frames,
+    }
+
+
+def encode_mp3_vbr_stream(
+    frame_specs,
+    version_bits: int = 0b11,
+    sample_rate_index: int = 0,
+    xing_tag: "str | None" = None,
+    xing_frames: "int | None" = None,
+    id3_size: "int | None" = None,
+    trailer: bytes = b"",
+) -> bytes:
+    """Serialize a spec-valid Layer III stream across MPEG-1/2/2.5 with the
+    real-corpus furniture: optional leading ID3v2 tag (syncsafe size),
+    optional Xing/Info first frame carrying the frame count, per-frame
+    ``(bitrate_index, padding, channel_mode)`` data frames, and an
+    arbitrary trailer (ID3v1 tag / garbage) the walker must stop at."""
+    if version_bits not in MP3_VERSIONS:
+        raise ValueError(f"bad version bits {version_bits:#04b}")
+    _, srs, spf = MP3_VERSIONS[version_bits]
+    sr = srs[sample_rate_index]
+    if sr is None:
+        raise ValueError("reserved sample-rate index")
+    table = MP3_BITRATES_KBPS if version_bits == 0b11 else MP3_V2_BITRATES_KBPS
+
+    def frame(bitrate_index: int, padding: int, channel_mode: int, payload_head: bytes = b"") -> bytes:
+        if not 1 <= bitrate_index <= 14:
+            raise ValueError(f"bitrate index {bitrate_index} not in 1..14")
+        if padding not in (0, 1) or not 0 <= channel_mode <= 3:
+            raise ValueError("bad padding/channel_mode")
+        frame_len = (spf // 8 * table[bitrate_index] * 1000) // sr + padding
+        hdr = bytes(
+            (
+                0xFF,
+                0xE0 | (version_bits << 3) | (0b01 << 1) | 0b1,  # Layer III, no CRC
+                (bitrate_index << 4) | (sample_rate_index << 2) | (padding << 1),
+                (channel_mode << 6) | 0b0100,
+            )
+        )
+        body = bytearray(payload_head)
+        body += bytes((i * 31) & 0xFF for i in range(frame_len - 4 - len(body)))
+        return hdr + bytes(body[: frame_len - 4])
+
+    out = bytearray()
+    if id3_size is not None:
+        if not 0 <= id3_size < (1 << 28):
+            raise ValueError("id3 payload size must fit syncsafe 28 bits")
+        out += b"ID3\x03\x00\x00" + bytes(
+            ((id3_size >> s) & 0x7F) for s in (21, 14, 7, 0)
+        )
+        out += bytes([0xAA]) * id3_size
+    if xing_tag is not None:
+        if xing_tag not in ("Xing", "Info"):
+            raise ValueError("xing_tag must be 'Xing' or 'Info'")
+        mode = 0  # stereo -> side-info 32 (MPEG-1) / 17 (MPEG-2/2.5)
+        head = bytes(_side_info_bytes(version_bits, mode)) + xing_tag.encode(
+            "ascii"
+        ) + (0x1).to_bytes(4, "big") + int(xing_frames or 0).to_bytes(4, "big")
+        out += frame(9, 0, mode, payload_head=head)
+    for bitrate_index, padding, channel_mode in frame_specs:
+        out += frame(bitrate_index, padding, channel_mode)
+    out += trailer
+    return bytes(out)
+
+
+MP3_VBR_AUDIT_SCHEMA = (
+    "media_id long, mpeg_version string, n_frames int, duration_ms double, "
+    "mean_bitrate_kbps double, is_cbr boolean, has_id3 boolean, "
+    "xing_tag string, xing_frames int, xing_match boolean"
+)
+
+
+def mp3_vbr_audit(df: DataFrame, round_to: int = 6) -> DataFrame:
+    """VBR-aware MP3 corpus audit (round 11): per file, the MPEG version,
+    audio-frame count and duration (metadata frame excluded when a
+    Xing/Info tag is found), mean bitrate, CBR flag over DATA frames, the
+    ID3v2 flag, the Xing tag name + its claimed frame count, and whether
+    that claim matches the walked count — the census a transcoding
+    pipeline runs on crawled audio, where 'mostly VBR MPEG-1/2/2.5' is the
+    ground truth the round-10 MPEG-1-CBR walker could not see. Unparseable
+    files come back n_frames = 0 with null stats, never a task failure."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                info = parse_mp3_stream(bytes(blob))
+                frames = info["frames"]
+                data_frames = frames[1:] if info["xing_tag"] and len(frames) >= 1 else frames
+                if not data_frames:
+                    out.append(
+                        (mid, None, 0, None, None, None, info["has_id3"],
+                         info["xing_tag"], info["xing_frames"], None)
+                    )
+                    continue
+                # version name from the first data frame's (sr, spf) pair
+                first_sr, first_spf = data_frames[0][1], data_frames[0][3]
+                name = next(
+                    nm for vb, (nm, srs, spf) in MP3_VERSIONS.items()
+                    if spf == first_spf and first_sr in srs
+                )
+                kbps = [f[0] for f in data_frames]
+                duration_ms = _round_half_up(
+                    sum(f[3] * 1000.0 / f[1] for f in data_frames), 3
+                )
+                xf = info["xing_frames"]
+                out.append(
+                    (
+                        mid,
+                        name,
+                        len(data_frames),
+                        duration_ms,
+                        _round_half_up(sum(kbps) / len(kbps), round_to),
+                        len(set(kbps)) == 1,
+                        info["has_id3"],
+                        info["xing_tag"],
+                        xf,
+                        (xf == len(data_frames)) if xf is not None else None,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "mpeg_version", "n_frames", "duration_ms",
+                    "mean_bitrate_kbps", "is_cbr", "has_id3", "xing_tag",
+                    "xing_frames", "xing_match",
+                ],
+            )
+
+    return df.select("media_id", "media").mapInPandas(batches, MP3_VBR_AUDIT_SCHEMA)
+
+
+def text_to_mp3_vbr_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_frames: int = 24,
+) -> DataFrame:
+    """Deterministic VBR-corpus fixture synthesizer: each document becomes
+    a realistic crawled-audio stream whose every audited statistic is a
+    closed-form function of the text (so DuckDB recomputes it —
+    ``multimodal_mp3_vbr_audit``). From the cycled document bytes:
+
+    - first byte % 3 picks the MPEG version (1 / 2 / 2.5 — per-version
+      bitrate tables, sample rates, and 1152-vs-576 samples/frame all
+      engage);
+    - odd first byte prepends a 64-byte-payload ID3v2 tag the walker must
+      skip;
+    - every stream opens with a Xing/Info metadata frame claiming the data
+      frame count ('Xing' when the bitrate sequence varies, 'Info' when it
+      is constant — the LAME convention);
+    - byte v at position i drives data frame i: bitrate index 1 + v%14,
+      padding v%2, channel mode v%4;
+    - a 128-byte ID3v1 'TAG' trailer ends the file past the last frame."""
+    import numpy as np
+
+    ver_by_sel = {0: 0b11, 1: 0b10, 2: 0b00}
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                arr = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
+                vals = np.resize(arr, n_frames)
+                c0 = int(vals[0])
+                specs = [(1 + int(v) % 14, int(v) % 2, int(v) % 4) for v in vals]
+                cbr = len({s[0] for s in specs}) == 1
+                out.append(
+                    (
+                        mid,
+                        encode_mp3_vbr_stream(
+                            specs,
+                            version_bits=ver_by_sel[c0 % 3],
+                            xing_tag="Info" if cbr else "Xing",
+                            xing_frames=n_frames,
+                            id3_size=64 if c0 % 2 == 1 else None,
+                            trailer=b"TAG" + bytes([0x55]) * 125,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["media_id", "media"])
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        batches, "media_id long, media binary"
+    )
+
+
 def text_to_mp3_media(
     df: DataFrame,
     id_col: str = "doc_id",
