@@ -72,6 +72,11 @@ HEADLINE = [
     # dominate a toy-scale suite total; its scale evidence lives in
     # SCALING.md round 10 + the hash-checked oracle entry)
     "multimodal_mp3_header_audit",  # MPEG-1 Layer III frame-header census
+    # round-11 surface (hard_negative_mining_indexed_full stays OUT of the
+    # headline for the same reason as _ivf: its one-time index build is
+    # amortized cost by design — the probe-bound evidence lives in
+    # SCALING.md round 11 + the hash-checked oracle entry)
+    "multimodal_mp3_vbr_audit",     # MPEG-1/2/2.5 + Xing/ID3 VBR census
 ]
 
 

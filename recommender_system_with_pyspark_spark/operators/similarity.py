@@ -225,6 +225,122 @@ def hard_negatives_ann(
     )
 
 
+def _collect_anchor_matrix(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    pos_col: str,
+    max_broadcast_rows: int,
+    caller: str,
+):
+    """Driver-side anchor prep shared by the GEMM mining paths: ids,
+    L2-normalized float64 matrix, and FACTORIZED label codes (the
+    same-label mask is then a vectorized int64 comparison instead of an
+    object-dtype Python-level one — measured 100x on a (chunk x anchors)
+    mask; one shared code for all NULLs implements eqNullSafe exactly).
+    Guarded by ``max_broadcast_rows`` — the anchor matrix broadcasts."""
+    import numpy as np
+    import pandas as pd
+
+    q = _as_double(
+        queries.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.col(pos_col).alias("_p")
+        ),
+        "_v",
+    ).toPandas()
+    n_q = len(q)
+    if n_q > max_broadcast_rows:
+        raise ValueError(
+            f"{n_q} anchors exceed the broadcast ceiling ({max_broadcast_rows}); "
+            f"shard the anchor set and run {caller} per shard"
+        )
+    if n_q == 0:
+        raise ValueError("empty anchor frame")
+    q_ids = q["_id"].to_numpy()
+    q_mat = np.stack(q["_v"].to_numpy()).astype("float64")
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-30)
+    codes: dict = {}
+    q_code = np.array(
+        [
+            codes.setdefault(v if not pd.isna(v) else None, len(codes))
+            for v in q["_p"].to_numpy(dtype=object)
+        ],
+        dtype=np.int64,
+    )
+    return q_ids, q_mat, q_code, codes
+
+
+def _gemm_partial_topk_scorer(b, k: int):
+    """mapInPandas scorer shared by ``hard_negatives_blas`` (full catalog
+    scan) and ``hard_negatives_indexed`` (partition-pruned index scan):
+    per Arrow batch, one numpy GEMM against the broadcast anchor matrix,
+    -inf masking of self pairs, same-label pairs (null-safe via factorized
+    codes), and — when a cell mask is present — (candidate cell, anchor)
+    pairs the anchor did not probe; then a per-batch top-k per anchor
+    (argpartition), so the global window reduces anchors x batches x k
+    survivors instead of every scored pair. Broadcast payload:
+    ``(ids, mat, q_code, code_of, cell_mask)`` with ``cell_mask`` either
+    None or a (n_cells x n_anchors) bool array; when it is set, batches
+    must carry a ``_cell`` column.
+
+    ANCHOR_TILE bounds the per-batch GEMM buffer (the strip-tiled pattern
+    from embedding dedup): an Arrow batch of ~10k rows against ALL anchors
+    at once allocates rows x anchors x 8B per worker — 640 MB/batch at 8k
+    anchors x 32 workers thrashes; tiling holds it at ~80 MB regardless of
+    anchor count."""
+    import numpy as np
+    import pandas as pd
+
+    ANCHOR_TILE = 1024
+
+    def score(batches):
+        ids, mat, qc, code_of, cell_mask = b.value
+        for chunk in batches:
+            C = np.stack(chunk["_v"].to_numpy()).astype("float64")
+            C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+            c_ids = chunk["_id"].to_numpy()
+            # unseen chunk labels get -1: never equal to any anchor code
+            c_code = np.array(
+                [
+                    code_of.get(v if not pd.isna(v) else None, -1)
+                    for v in chunk["_p"].to_numpy(dtype=object)
+                ],
+                dtype=np.int64,
+            )
+            c_cell = (
+                chunk["_cell"].to_numpy(dtype=np.int64) if cell_mask is not None else None
+            )
+            outs = []
+            for s in range(0, len(ids), ANCHOR_TILE):
+                t_ids, t_qc = ids[s : s + ANCHOR_TILE], qc[s : s + ANCHOR_TILE]
+                sims = np.round(C @ mat[s : s + ANCHOR_TILE].T, 6)  # (n_chunk, tile)
+                # exclusions -> -inf: unprobed (cell, anchor) pairs;
+                # same-label pairs (null-safe); self pairs
+                if cell_mask is not None:
+                    sims[~cell_mask[c_cell][:, s : s + ANCHOR_TILE]] = -np.inf
+                sims[c_code[:, None] == t_qc[None, :]] = -np.inf
+                sims[c_ids[:, None] == t_ids[None, :]] = -np.inf
+                kk = min(k, sims.shape[0])
+                top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, tile)
+                qcol = np.broadcast_to(np.arange(sims.shape[1]), top.shape)
+                svals = sims[top, qcol]
+                keep = np.isfinite(svals)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": t_ids[qcol[keep]],
+                            "neighbor_id": c_ids[top[keep]],
+                            "sim": svals[keep],
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "sim": []}
+            )
+
+    return score
+
+
 def hard_negatives_blas(
     queries: DataFrame,
     candidates: DataFrame,
@@ -254,89 +370,16 @@ def hard_negatives_blas(
     too much.
 
     Returns (query_id, neighbor_id, sim, rank)."""
-    import numpy as np
-    import pandas as pd
-
     from pyspark.sql import Window
 
-    q = _as_double(
-        queries.select(
-            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.col(pos_col).alias("_p")
-        ),
-        "_v",
-    ).toPandas()
-    n_q = len(q)
-    if n_q > max_broadcast_rows:
-        raise ValueError(
-            f"{n_q} anchors exceed the broadcast ceiling ({max_broadcast_rows}); "
-            "shard the anchor set and mine per shard (one catalog scan each), "
-            "or use hard_negatives_ann"
-        )
-    if n_q == 0:
-        raise ValueError("empty anchor frame")
-    q_ids = q["_id"].to_numpy()
-    q_mat = np.stack(q["_v"].to_numpy()).astype("float64")
-    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-30)
-    # Factorize labels to int codes ONCE: the same-label mask is then a
-    # vectorized int64 comparison instead of an object-dtype (Python-level)
-    # one — measured 100x on a (chunk x anchors) mask. One shared code for
-    # all NULLs implements eqNullSafe exactly (NULL is NOT distinct from
-    # NULL, so null-null pairs are excluded like any same-label pair).
-    codes: dict = {}
-    q_code = np.array(
-        [
-            codes.setdefault(v if not pd.isna(v) else None, len(codes))
-            for v in q["_p"].to_numpy(dtype=object)
-        ],
-        dtype=np.int64,
+    q_ids, q_mat, q_code, codes = _collect_anchor_matrix(
+        queries, id_col, vec_col, pos_col, max_broadcast_rows,
+        "hard_negatives_blas (one catalog scan each), or use hard_negatives_ann",
     )
     sc = queries.sparkSession.sparkContext
-    b = sc.broadcast((q_ids, q_mat, q_code, codes))
-
-    ANCHOR_TILE = 1024  # bounds the per-batch GEMM buffer (the strip-tiled
-    # pattern from embedding dedup, similarity.py cogroup scorer): an Arrow
-    # batch of ~10k rows against ALL anchors at once allocates
-    # rows x anchors x 8B per worker — 640 MB/batch at 8k anchors x 32
-    # workers thrashes; tiling holds it at ~80 MB regardless of anchor count
-
-    def score(batches):
-        ids, mat, qc, code_of = b.value
-        for chunk in batches:
-            C = np.stack(chunk["_v"].to_numpy()).astype("float64")
-            C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
-            c_ids = chunk["_id"].to_numpy()
-            # unseen chunk labels get -1: never equal to any anchor code
-            c_code = np.array(
-                [
-                    code_of.get(v if not pd.isna(v) else None, -1)
-                    for v in chunk["_p"].to_numpy(dtype=object)
-                ],
-                dtype=np.int64,
-            )
-            outs = []
-            for s in range(0, len(ids), ANCHOR_TILE):
-                t_ids, t_qc = ids[s : s + ANCHOR_TILE], qc[s : s + ANCHOR_TILE]
-                sims = np.round(C @ mat[s : s + ANCHOR_TILE].T, 6)  # (n_chunk, tile)
-                # exclusions -> -inf: self pairs; same-label pairs (null-safe)
-                sims[c_code[:, None] == t_qc[None, :]] = -np.inf
-                sims[c_ids[:, None] == t_ids[None, :]] = -np.inf
-                kk = min(k, sims.shape[0])
-                top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, tile)
-                qcol = np.broadcast_to(np.arange(sims.shape[1]), top.shape)
-                svals = sims[top, qcol]
-                keep = np.isfinite(svals)
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": t_ids[qcol[keep]],
-                            "neighbor_id": c_ids[top[keep]],
-                            "sim": svals[keep],
-                        }
-                    )
-                )
-            yield pd.concat(outs) if outs else pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "sim": []}
-            )
+    score = _gemm_partial_topk_scorer(
+        sc.broadcast((q_ids, q_mat, q_code, codes, None)), k
+    )
 
     cand = _as_double(
         candidates.select(
@@ -981,7 +1024,12 @@ def ivf_probe_batch(
     pair_ok = F.col("query_id") != F.col("neighbor_id")
     if pos_col is not None:
         pair_ok = pair_ok & ~F.col("_qp").eqNullSafe(F.col(pos_col))
-    pairs = probed.join(scan, probed["_cell"] == scan["cell"]).filter(pair_ok)
+    # broadcast the probed side: |Q|·n_probe rows by construction (an ANN
+    # query batch), vs an index scan that must NOT shuffle — a plain join
+    # here hashes the whole pruned scan across a ≤ n_cells-key exchange.
+    # Batches beyond broadcast size are mining workloads: route them to
+    # hard_negatives_indexed (GEMM scorer + per-batch partial top-k).
+    pairs = scan.join(F.broadcast(probed), probed["_cell"] == scan["cell"]).filter(pair_ok)
     scored = pairs.withColumn(
         "sim", F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6)
     )
@@ -1003,6 +1051,7 @@ def hard_negatives_indexed(
     pos_col: str = "label",
     k: int = 10,
     n_probe: int = 4,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Hard-negative mining against a PREBUILT IVF index — the deployment
     shape the sf100 numbers demand (round-10 measurement: in-one-plan ANN
@@ -1010,27 +1059,85 @@ def hard_negatives_indexed(
     the same catalog was 29.2 s — so mining must amortize ONE index build
     across every probe batch). The index is written once with the label
     column carried (``write_ivf_index(extra_cols=(pos_col,))``); each
-    mining call is then a pure probe: rank cells per anchor, scan only the
-    probed partitions, exclude same-label pairs (null-safe) inside the
-    probe scoring, keep the top ``k``.
+    mining call is then a pure probe.
 
-    No over-fetch parameter: unlike ``hard_negatives_ann`` (which ranks
-    label-blind ANN output and must over-fetch to survive the refilter),
-    the label filter here runs BEFORE ranking, so ``k`` means ``k`` and
-    recall loss comes only from unprobed cells — raise ``n_probe`` to
-    trade scan fraction for recall. Output contract matches
-    ``hard_negatives`` exactly; recall vs brute force is measured by the
-    ``hard_negative_mining_indexed`` registry entry."""
-    return ivf_probe_batch(
-        spark,
-        path,
-        queries,
-        centers=centers,
-        id_col=id_col,
-        vec_col=vec_col,
-        k=k,
-        n_probe=n_probe,
-        pos_col=pos_col,
+    Plan shape — the ``hard_negatives_blas`` GEMM scorer fused with
+    partition pruning (the first, expression-fold implementation of this
+    probe measured 510.6 s for 1000 anchors at the sf100 catalog: a
+    64-key cell join shuffled the scan and the top-k window sorted every
+    scored pair — both costs this shape deletes):
+
+    1. anchors collect to the driver (``max_broadcast_rows`` guard, the
+       blas ceiling) and cell ranking runs as ONE numpy matmul against the
+       sidecar centroids — no crossJoin, no ranking window;
+    2. the index scan carries a literal ``IN`` over the UNION of probed
+       cells — a PartitionFilter, so unprobed cells are unlistened file
+       reads;
+    3. each Arrow batch GEMMs against the broadcast anchor matrix with a
+       (cell × anchor) bool mask zeroing pairs the anchor did not probe,
+       plus the null-safe same-label and self masks, then keeps its
+       per-batch top-k per anchor — the global window reduces
+       anchors × batches × k survivors, never all scored pairs.
+
+    No over-fetch parameter: the label filter runs BEFORE ranking, so
+    ``k`` means ``k`` and recall loss comes only from unprobed cells —
+    raise ``n_probe`` to trade scan fraction for recall; at
+    ``n_probe = n_cells`` the output provably equals ``hard_negatives``
+    brute force (the ``hard_negative_mining_indexed_full`` oracle entry
+    hash-checks exactly that through this plan). Recall of the pruned
+    deployment is measured by ``hard_negative_mining_indexed``.
+    Anchor batches beyond the broadcast ceiling: shard the anchors — each
+    shard re-probes only its own cells, so sharding composes with the
+    pruning (unlike the full-scan blas path, where every shard pays a
+    whole catalog scan)."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    if n_probe < 1:
+        raise ValueError("n_probe must be >= 1")
+    if centers is None:
+        centers = read_ivf_centers(spark, path)
+    q_ids, q_mat, q_code, codes = _collect_anchor_matrix(
+        queries, id_col, vec_col, pos_col, max_broadcast_rows,
+        "hard_negatives_indexed (each shard probes only its own cells)",
+    )
+    cmat = np.array(centers, dtype="float64")
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-30)
+    csims = q_mat @ cmat.T  # (n_anchors, n_cells)
+    # stable argsort on -sims: exact centroid ties break to the lower cell
+    # id, matching ivf_topk's (desc sim, asc cell) ranking
+    order = np.argsort(-csims, axis=1, kind="stable")[:, : min(n_probe, len(centers))]
+    cell_mask = np.zeros((len(centers), len(q_ids)), dtype=bool)
+    cell_mask[
+        order.ravel(), np.repeat(np.arange(len(q_ids)), order.shape[1])
+    ] = True
+    cells = sorted(set(int(c) for c in order.ravel()))
+
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    if pos_col not in scan.columns:
+        raise ValueError(
+            f"index at {path} does not carry {pos_col!r}; rebuild with "
+            f"write_ivf_index(extra_cols=({pos_col!r},))"
+        )
+    scan = _as_double(
+        scan.select(
+            F.col("neighbor_id").alias("_id"),
+            F.col("embedding").alias("_v"),
+            F.col(pos_col).alias("_p"),
+            F.col("cell").alias("_cell"),
+        ),
+        "_v",
+    )
+    score = _gemm_partial_topk_scorer(
+        spark.sparkContext.broadcast((q_ids, q_mat, q_code, codes, cell_mask)), k
+    )
+    partial = scan.mapInPandas(score, "query_id long, neighbor_id long, sim double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
     )
 
 
