@@ -11,12 +11,25 @@ TESTDATA_TABLE_NAMES = [
 
 
 def duckdb_result(sql: str, sf_dir: str):
-    """Run oracle SQL on DuckDB with the driver's pre-registered views."""
+    """Run oracle SQL on DuckDB with the driver's pre-registered views.
+
+    Handles both table layouts: the driver's testdata ships each table as
+    a single parquet FILE, while the generated scale tiers (.scale/sf*)
+    are Spark-written DIRECTORIES of part files — DuckDB needs a glob for
+    those (the streaming twin of this distinction caused the r8b
+    empty-stream bug; here a bare-path view on a directory is a hard IO
+    error, so sf100 oracle runs simply failed to open)."""
+    import os
+
     import duckdb
 
     con = duckdb.connect()
     for t in TESTDATA_TABLE_NAMES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(path):
+            continue  # bounded scale tiers omit tables their runs don't read
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     return con.sql(sql).fetchdf()
 
 

@@ -60,6 +60,14 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/repo/.scale/sf100"
     brute = "--brute" in sys.argv
+    # --no-semantic: on DECORRELATED tiers the cell-pruned census cannot
+    # prune (random rotations spread copies across the sphere, cell radii
+    # approach the diameter, the bound keeps ~all 128²/2 cell pairs and the
+    # cogroup replication of 2M members × ~128 paired cells is a ~77 GB
+    # shuffle — measured disk-stop, tools/census_sf100fresh_r11.log); the
+    # block-matrix brute path replicates members only n_chunks+1 times and
+    # completes. Unclusterable data routes to --brute or LSH.
+    semantic = "--no-semantic" not in sys.argv
     threshold = float(args[1]) if len(args) > 1 else 0.95
     n_cells = int(args[2]) if len(args) > 2 else 128
 
@@ -72,8 +80,10 @@ def main() -> int:
     est = sample_estimate(spark, sf_dir, threshold)
     print(json.dumps({"estimator": est}), flush=True)
 
-    jobs = [(f"semantic_dedup@{threshold}", lambda df: S.semantic_dedup_pairs(
-        df, "vec_id", "embedding", threshold=threshold, n_cells=n_cells, seed=1))]
+    jobs = []
+    if semantic:
+        jobs.append((f"semantic_dedup@{threshold}", lambda df: S.semantic_dedup_pairs(
+            df, "vec_id", "embedding", threshold=threshold, n_cells=n_cells, seed=1)))
     if brute:
         jobs.append((f"embedding_near_dup@{threshold}", lambda df: S.embedding_near_dup_blocked(
             df, "vec_id", "embedding", threshold=threshold, n_chunks=48)))
