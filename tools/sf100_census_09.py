@@ -18,7 +18,7 @@ stay executor-sized:
   IS the brute O(n^2) ground truth (1,176 block GEMMs, ~2e12 dot
   products); run it only with --brute to cross-check the pair count.
 
-Usage: python tools/sf100_census_09.py [sf_dir] [threshold=0.95] [n_cells=128] [--brute]
+Usage: python tools/sf100_census_09.py [sf_dir] [threshold=0.95] [n_cells=128] [n_chunks=48] [--brute] [--no-semantic]
 Prints one JSON line per measurement and a summary tail.
 """
 
@@ -70,6 +70,12 @@ def main() -> int:
     semantic = "--no-semantic" not in sys.argv
     threshold = float(args[1]) if len(args) > 1 else 0.95
     n_cells = int(args[2]) if len(args) > 2 else 128
+    # brute block count: the cogroup replicates each member ~n_chunks times
+    # PER SIDE, so shuffle bytes scale with it (48 → ~41 GB at 2M rows,
+    # measured; 16 → ~1/3 of that) while the strip-tiled scorer keeps
+    # per-task memory bounded at any block size — on a single node pick the
+    # smallest count whose shuffle fits local disk
+    n_chunks = int(args[3]) if len(args) > 3 else 48
 
     from recommender_system_with_pyspark_spark.io import load_table
     from recommender_system_with_pyspark_spark.operators import similarity as S
@@ -86,7 +92,7 @@ def main() -> int:
             df, "vec_id", "embedding", threshold=threshold, n_cells=n_cells, seed=1)))
     if brute:
         jobs.append((f"embedding_near_dup@{threshold}", lambda df: S.embedding_near_dup_blocked(
-            df, "vec_id", "embedding", threshold=threshold, n_chunks=48)))
+            df, "vec_id", "embedding", threshold=threshold, n_chunks=n_chunks)))
 
     results = {}
     for name, build in jobs:
