@@ -45,9 +45,16 @@ def main() -> int:
     spark = get_spark(app_name="als_sf100_probe", shuffle_partitions=256)
     spark.sparkContext.setCheckpointDir("/tmp/als_probe_ckpt")
 
+    from pyspark import StorageLevel
+
     t0 = time.time()
     ratings = implicit_ratings(spark, sf_dir)
-    ratings = ratings.persist()
+    # SERIALIZED level: a 599M-row frame at the deserialized persist
+    # default is tens of GB of boxed rows in the shared local heap — the
+    # exact pressure class operators/checkpointing.py documents. The r11
+    # run at the default level spent >75 min inside compaction (GC-bound)
+    # before the round's time box cut it.
+    ratings = ratings.persist(StorageLevel.MEMORY_AND_DISK)
     n = ratings.count()
     t_build = round(time.time() - t0, 1)
     print(json.dumps({"ratings_rows": n, "build_sec": t_build}), flush=True)
@@ -59,7 +66,7 @@ def main() -> int:
     # configured on user_id/item_id exactly like ml/models.py (ADVICE r10).
     compacted, maps = dense_id_compaction(
         ratings, ["user_id", "item_id"], idx_cols=["user_idx", "item_idx"])
-    compacted = compacted.persist()
+    compacted = compacted.persist(StorageLevel.MEMORY_AND_DISK)
     nc = compacted.count()
     # at sf100 keys reach 9.99e10, so the compaction branch is engaged and
     # the mapping frames exist; fall back to distincts if it ever isn't
