@@ -77,6 +77,8 @@ HEADLINE = [
     # amortized cost by design — the probe-bound evidence lives in
     # SCALING.md round 11 + the hash-checked oracle entry)
     "multimodal_mp3_vbr_audit",     # MPEG-1/2/2.5 + Xing/ID3 VBR census
+    # round-12 surface
+    "multimodal_mp3_layer_census",  # Layer I/II/III × version census (slots-of-4 walk)
 ]
 
 

@@ -84,7 +84,24 @@ def local_ckpt_auto(
     jsc = df.sparkSession.sparkContext._jsc.sc()
     before = {info.id() for info in jsc.getRDDStorageInfo()}
     ckpt = local_ckpt_ser(df, eager=True)
-    new = [info for info in jsc.getRDDStorageInfo() if info.id() not in before]
+    # Size THIS frame's blocks, not "whatever got cached since the
+    # snapshot": under concurrency (parallel queries in one context — the
+    # bench harness, a multi-tenant driver) a before/after diff attributes
+    # other threads' freshly-cached RDDs to this frame, inflating the
+    # measured size and silently blocking promotion (ADVICE r11). The
+    # checkpointed Dataset's analyzed plan IS the LogicalRDD holding the
+    # persisted internal RDD — read its id and filter to exactly it; if
+    # the reflective walk ever breaks across Spark versions, fall back to
+    # the diff (safe direction: over-measure keeps frames serialized).
+    try:
+        rid = ckpt._jdf.queryExecution().analyzed().rdd().id()
+    except Exception:
+        rid = None
+    infos = jsc.getRDDStorageInfo()
+    if rid is not None:
+        new = [info for info in infos if info.id() == rid]
+    else:
+        new = [info for info in infos if info.id() not in before]
     size = sum(info.memSize() + info.diskSize() for info in new)
     if new and size <= deser_max_bytes:
         return ckpt.localCheckpoint(eager=True)  # default (deserialized) level

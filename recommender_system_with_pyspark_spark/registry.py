@@ -66,6 +66,7 @@ def load_all_queries() -> None:
     from . import queries_round9  # noqa: F401
     from . import queries_round10  # noqa: F401
     from . import queries_round11  # noqa: F401
+    from . import queries_round12  # noqa: F401
 
     if os.environ.get("SPARK_GRAFT_STRATIFY_WINDOW", "1") != "0":
         _stratify_driver_window()

@@ -1,4 +1,4 @@
-"""ALS second-decade probe at sf100 — VERDICT r9 #5, the als_recommend row.
+"""ALS second-decade probe at sf100 — VERDICT r9 #5 / r10 #3 / r11 #1.
 
 The registered entry at sf100 extrapolates to ~12 h in this container
 (sf10 solo cold was 4167.6 s on MLlib's pure-Java BLAS fallback), so the
@@ -17,6 +17,16 @@ than one infeasible end-to-end run:
 The printout ends with the extrapolated full-entry wall-clock
 (build + compaction + 5 iterations + full recommend), each term measured.
 
+MATERIALIZATION IS PARQUET, NOT PERSIST. The r11 run at the
+deserialized persist default spent >75 min GC-bound inside compaction;
+the r11b rerun at MEMORY_AND_DISK serialized crashed inside Spark's
+CacheManager (recacheByPlan NPE: "SparkPlan.session() is null" while
+rebuilding the compacted cache over dense_id_compaction's cached
+mapping frames — tools/als_sf100_probe_r11b.log). Writing each stage to
+parquet and re-reading gives a fresh lineage per stage: no nested cache
+rebuild, no boxed-row heap residency, and it is what a real 100 TB
+pipeline does between stages anyway.
+
 Usage: python tools/als_sf100_probe.py [sf_dir]   (default .scale/sf100)
 """
 
@@ -24,10 +34,13 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TMP = "/root/repo/.scale/_als_probe_tmp"
 
 
 def main() -> int:
@@ -44,20 +57,19 @@ def main() -> int:
 
     spark = get_spark(app_name="als_sf100_probe", shuffle_partitions=256)
     spark.sparkContext.setCheckpointDir("/tmp/als_probe_ckpt")
+    shutil.rmtree(TMP, ignore_errors=True)
 
-    from pyspark import StorageLevel
+    def loadavg() -> float:
+        return round(os.getloadavg()[0], 1)
 
     t0 = time.time()
     ratings = implicit_ratings(spark, sf_dir)
-    # SERIALIZED level: a 599M-row frame at the deserialized persist
-    # default is tens of GB of boxed rows in the shared local heap — the
-    # exact pressure class operators/checkpointing.py documents. The r11
-    # run at the default level spent >75 min inside compaction (GC-bound)
-    # before the round's time box cut it.
-    ratings = ratings.persist(StorageLevel.MEMORY_AND_DISK)
+    ratings.write.mode("overwrite").parquet(f"{TMP}/ratings")
+    ratings = spark.read.parquet(f"{TMP}/ratings")
     n = ratings.count()
     t_build = round(time.time() - t0, 1)
-    print(json.dumps({"ratings_rows": n, "build_sec": t_build}), flush=True)
+    print(json.dumps({"ratings_rows": n, "build_sec": t_build,
+                      "loadavg": loadavg()}), flush=True)
 
     t0 = time.time()
     # dense_id_compaction KEEPS the original column names on the compacted
@@ -66,17 +78,22 @@ def main() -> int:
     # configured on user_id/item_id exactly like ml/models.py (ADVICE r10).
     compacted, maps = dense_id_compaction(
         ratings, ["user_id", "item_id"], idx_cols=["user_idx", "item_idx"])
-    compacted = compacted.persist(StorageLevel.MEMORY_AND_DISK)
-    nc = compacted.count()
+    compacted.write.mode("overwrite").parquet(f"{TMP}/compacted")
     # at sf100 keys reach 9.99e10, so the compaction branch is engaged and
     # the mapping frames exist; fall back to distincts if it ever isn't
     n_users = (maps["user_id"].count() if maps["user_id"] is not None
                else compacted.select("user_id").distinct().count())
     n_items = (maps["item_id"].count() if maps["item_id"] is not None
                else compacted.select("item_id").distinct().count())
+    for m in maps.values():
+        if m is not None:
+            m.unpersist()
+    compacted = spark.read.parquet(f"{TMP}/compacted")
+    nc = compacted.count()
     t_compact = round(time.time() - t0, 1)
     print(json.dumps({"compacted_rows": nc, "users": n_users,
-                      "items": n_items, "compact_sec": t_compact}), flush=True)
+                      "items": n_items, "compact_sec": t_compact,
+                      "loadavg": loadavg()}), flush=True)
 
     def fit(iters: int):
         als = ALS(rank=8, maxIter=iters, regParam=0.1, seed=1,
@@ -85,7 +102,8 @@ def main() -> int:
         t0 = time.time()
         model = als.fit(compacted)
         sec = round(time.time() - t0, 1)
-        print(json.dumps({"fit_iters": iters, "sec": sec}), flush=True)
+        print(json.dumps({"fit_iters": iters, "sec": sec,
+                          "loadavg": loadavg()}), flush=True)
         return model, sec
 
     _, t1 = fit(1)
@@ -100,7 +118,8 @@ def main() -> int:
     n_recs = recs.count()
     t_sub = round(time.time() - t0, 1)
     print(json.dumps({"recommend_subset_users": frac_users,
-                      "rec_rows": n_recs, "sec": t_sub}), flush=True)
+                      "rec_rows": n_recs, "sec": t_sub,
+                      "loadavg": loadavg()}), flush=True)
 
     full_recommend = round(t_sub * (n_users / frac_users), 1)
     full_entry = round(t_build + t_compact + t1 + 4 * per_iter
@@ -113,6 +132,7 @@ def main() -> int:
                   "first_fit": t1, "plus_4_iters": 4 * per_iter,
                   "recommend": full_recommend},
     }), flush=True)
+    shutil.rmtree(TMP, ignore_errors=True)
     return 0
 
 
