@@ -27,6 +27,19 @@ parquet and re-reading gives a fresh lineage per stage: no nested cache
 rebuild, no boxed-row heap residency, and it is what a real 100 TB
 pipeline does between stages anyway.
 
+HEAP IS PINNED (round-12 finding, SCALING.md): the first r12 attempt ran
+on ``get_spark``'s 8 GB default and the user-id distinct crawled — at
+sf100 ``user_id`` is NEARLY UNIQUE (~150M distinct over 599M ratings;
+2.15M distinct in a 2.34M-row file sample), so each partial-agg task
+needs ~1.5 GB of map for its ~17M keys vs ~145 MB available: perpetual
+spill cycling at old-gen 99.95%, 70 min of CPU per task with no task
+completing. Dedicated second-decade sessions get a dedicated heap, like
+every other sf100 tool in tools/.
+
+Stages are RESUMABLE: an existing ``{TMP}/ratings`` (or ``compacted``)
+parquet with _SUCCESS is reused, so a cut run continues instead of
+repaying the 600M-row build.
+
 Usage: python tools/als_sf100_probe.py [sf_dir]   (default .scale/sf100)
 """
 
@@ -39,6 +52,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "88g")
 
 TMP = "/root/repo/.scale/_als_probe_tmp"
 
@@ -57,14 +71,17 @@ def main() -> int:
 
     spark = get_spark(app_name="als_sf100_probe", shuffle_partitions=256)
     spark.sparkContext.setCheckpointDir("/tmp/als_probe_ckpt")
-    shutil.rmtree(TMP, ignore_errors=True)
 
     def loadavg() -> float:
         return round(os.getloadavg()[0], 1)
 
+    def have(stage: str) -> bool:
+        return os.path.exists(f"{TMP}/{stage}/_SUCCESS")
+
     t0 = time.time()
-    ratings = implicit_ratings(spark, sf_dir)
-    ratings.write.mode("overwrite").parquet(f"{TMP}/ratings")
+    if not have("ratings"):
+        ratings = implicit_ratings(spark, sf_dir)
+        ratings.write.mode("overwrite").parquet(f"{TMP}/ratings")
     ratings = spark.read.parquet(f"{TMP}/ratings")
     n = ratings.count()
     t_build = round(time.time() - t0, 1)
@@ -72,24 +89,31 @@ def main() -> int:
                       "loadavg": loadavg()}), flush=True)
 
     t0 = time.time()
-    # dense_id_compaction KEEPS the original column names on the compacted
-    # frame (withColumnRenamed(idx, col) + select(*df.columns)); idx_cols
-    # only name the returned MAPPING frames' second column — so ALS is
-    # configured on user_id/item_id exactly like ml/models.py (ADVICE r10).
-    compacted, maps = dense_id_compaction(
-        ratings, ["user_id", "item_id"], idx_cols=["user_idx", "item_idx"])
-    compacted.write.mode("overwrite").parquet(f"{TMP}/compacted")
-    # at sf100 keys reach 9.99e10, so the compaction branch is engaged and
-    # the mapping frames exist; fall back to distincts if it ever isn't
-    n_users = (maps["user_id"].count() if maps["user_id"] is not None
-               else compacted.select("user_id").distinct().count())
-    n_items = (maps["item_id"].count() if maps["item_id"] is not None
-               else compacted.select("item_id").distinct().count())
-    for m in maps.values():
-        if m is not None:
-            m.unpersist()
+    if not have("compacted"):
+        # dense_id_compaction KEEPS the original column names on the
+        # compacted frame (withColumnRenamed(idx, col) + select(*df.columns));
+        # idx_cols only name the returned MAPPING frames' second column — so
+        # ALS is configured on user_id/item_id exactly like ml/models.py
+        # (ADVICE r10).
+        compacted, maps = dense_id_compaction(
+            ratings, ["user_id", "item_id"], idx_cols=["user_idx", "item_idx"])
+        compacted.write.mode("overwrite").parquet(f"{TMP}/compacted")
+        # at sf100 keys reach 9.99e10, so the compaction branch is engaged
+        # and the mapping frames exist; fall back to distincts if it isn't
+        n_users = (maps["user_id"].count() if maps["user_id"] is not None
+                   else compacted.select("user_id").distinct().count())
+        n_items = (maps["item_id"].count() if maps["item_id"] is not None
+                   else compacted.select("item_id").distinct().count())
+        for m in maps.values():
+            if m is not None:
+                m.unpersist()
+    else:
+        n_users = n_items = None
     compacted = spark.read.parquet(f"{TMP}/compacted")
     nc = compacted.count()
+    if n_users is None:  # resumed: recount from the materialized frame
+        n_users = compacted.select("user_id").distinct().count()
+        n_items = compacted.select("item_id").distinct().count()
     t_compact = round(time.time() - t0, 1)
     print(json.dumps({"compacted_rows": nc, "users": n_users,
                       "items": n_items, "compact_sec": t_compact,
