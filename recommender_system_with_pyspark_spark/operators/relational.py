@@ -166,10 +166,40 @@ def two_stage_rank(
     cuts = sorted(set(kdf.stat.approxQuantile(
         "_tsr_key", [i / n_groups for i in range(1, n_groups)],
         1.0 / (4.0 * max(n_groups, 1)))))
-    grp = F.lit(0)
-    for c in cuts:
-        grp = grp + (F.col("_tsr_key") > F.lit(c)).cast("int")
-    grp = F.when(F.col("_tsr_key").isNull(), F.lit(-1)).otherwise(grp)
+    # Subgroup assignment as ONE flat array fold, wrapped to be provably
+    # NON-NULLABLE — both halves are load-bearing at scale (round-12 sf100
+    # finding, SCALING.md):
+    #
+    # - The offsets equi-join infers ``isnotnull(_tsr_grp)``, and Catalyst
+    #   pushes that filter — carrying the WHOLE subgroup expression —
+    #   BELOW the caller's aggregates onto the base scan. With the old
+    #   n_groups-deep chained-add tree (256 nested casts at sf100), that
+    #   meant re-evaluating a 256-node expression per BASE row (599M, not
+    #   the 15M distinct rows this operator actually ranks), per plan
+    #   branch; the per-branch filters also made the three distinct
+    #   exchanges structurally different, so ReusedExchange could not
+    #   collapse them. dense_id_compaction at sf100 went from "minutes"
+    #   to "70 CPU-minutes per task, no completions".
+    # - ``coalesce(fold, -2)`` + non-null branches make the CASE
+    #   non-nullable, so the inferred isnotnull CONSTANT-FOLDS AWAY: no
+    #   filter is pushed at all and the branches unify. (-2 is
+    #   unreachable: the fold only returns null for a null key, which the
+    #   isNull branch catches first.)
+    # - The array fold keeps the expression ONE shallow node (a tight
+    #   O(n_groups) loop per row) instead of an n_groups-deep codegen
+    #   tree, so even a future pushed copy costs ns, not interpreted µs.
+    if cuts:
+        cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
+        fold = F.aggregate(
+            cuts_arr,
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col("_tsr_key") > c, 1).otherwise(0),
+        )
+    else:  # degenerate sketch (constant / empty column): one subgroup
+        fold = F.lit(0)
+    grp = F.when(F.col("_tsr_key").isNull(), F.lit(-1)).otherwise(
+        F.coalesce(fold, F.lit(-2))
+    )
     gdf = kdf.withColumn("_tsr_grp", grp)
     counts = gdf.groupBy(*pcols, "_tsr_grp").agg(F.count(F.lit(1)).alias("_n"))
     if pcols:
@@ -250,11 +280,23 @@ def dense_id_compaction(
     )
     if fits:
         return df, {c: None for c in cols}
+    from .checkpointing import local_ckpt_ser
+
     maps: dict[str, DataFrame] = {}
     out = df
     for c, ic in zip(cols, idx):
+        # materialize the distinct id set ONCE before ranking: the rank
+        # plan references its input from several branches (subgroup
+        # counts, offsets, the ranked rows themselves) and column pruning
+        # makes those exchanges structurally different, so ReusedExchange
+        # cannot collapse them — without the cut, each branch re-runs the
+        # full-corpus distinct (3× a 599M-row scan per column at sf100;
+        # measured round 12, SCALING.md). The frame is bounded by the
+        # distinct-id cardinality this function already caps, serialized
+        # level by the checkpointing module's fact-scale rule.
+        ids = local_ckpt_ser(df.select(c).distinct())
         m = (
-            two_stage_rank(df.select(c).distinct(), c, out_col="_r")
+            two_stage_rank(ids, c, out_col="_r")
             .select(c, F.col("_r").cast("int").alias(ic))
             .cache()
         )
