@@ -69,7 +69,14 @@ def main() -> int:
     )
     from recommender_system_with_pyspark_spark.session import get_spark
 
-    spark = get_spark(app_name="als_sf100_probe", shuffle_partitions=256)
+    # periodicGC 1min: with an 88g heap, full GCs are rare, so the
+    # ContextCleaner (GC-driven) lags and dropped iterations' shuffle
+    # files linger on disk — the r12 fit(3) run filled the disk with
+    # stale shuffles from fit(1) before its own iterations finished.
+    spark = get_spark(
+        app_name="als_sf100_probe", shuffle_partitions=256,
+        extra_conf={"spark.cleaner.periodicGC.interval": "1min"},
+    )
     spark.sparkContext.setCheckpointDir("/tmp/als_probe_ckpt")
 
     def loadavg() -> float:
@@ -87,6 +94,22 @@ def main() -> int:
     t_build = round(time.time() - t0, 1)
     print(json.dumps({"ratings_rows": n, "build_sec": t_build,
                       "loadavg": loadavg()}), flush=True)
+
+    def drain_shuffles(min_free_gb: float = 38.0, timeout: float = 180.0) -> None:
+        """Disk barrier between fits: a dropped fit's shuffle files are
+        only deleted when the ContextCleaner sees the refs die in a GC —
+        with an 88 GB heap that can lag minutes, and the r12 fit(2) run
+        ENOSPC'd under the previous fit's still-live shuffles. Force the
+        GC and wait until the free-disk floor (sized to one fit's live
+        shuffle set) is back before starting the next fit."""
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.time()
+        free = shutil.disk_usage("/tmp").free / 1e9
+        while time.time() - t0 < timeout and free < min_free_gb:
+            time.sleep(5)
+            free = shutil.disk_usage("/tmp").free / 1e9
+        print(json.dumps({"disk_free_gb": round(free, 1),
+                          "drain_sec": round(time.time() - t0, 1)}), flush=True)
 
     t0 = time.time()
     if not have("compacted"):
@@ -111,18 +134,32 @@ def main() -> int:
         n_users = n_items = None
     compacted = spark.read.parquet(f"{TMP}/compacted")
     nc = compacted.count()
-    if n_users is None:  # resumed: recount from the materialized frame
-        n_users = compacted.select("user_id").distinct().count()
-        n_items = compacted.select("item_id").distinct().count()
+    meta_path = f"{TMP}/counts.json"
+    if n_users is None:  # resumed: recount once, then cache in a sidecar
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+            n_users, n_items = meta["users"], meta["items"]
+        else:
+            n_users = compacted.select("user_id").distinct().count()
+            n_items = compacted.select("item_id").distinct().count()
+    with open(meta_path, "w") as fh:
+        json.dump({"users": n_users, "items": n_items}, fh)
     t_compact = round(time.time() - t0, 1)
     print(json.dumps({"compacted_rows": nc, "users": n_users,
                       "items": n_items, "compact_sec": t_compact,
                       "loadavg": loadavg()}), flush=True)
 
     def fit(iters: int):
+        # intermediate blocks MEMORY_ONLY: the box has 125 GB RAM and a
+        # dedicated 88 GB heap but only ~50 GB of free disk — the default
+        # MEMORY_AND_DISK spilled the 599M-row in/out blocks while
+        # per-iteration shuffles were also accumulating, and the r12
+        # fit(3) run died on ENOSPC at iteration 2.
         als = ALS(rank=8, maxIter=iters, regParam=0.1, seed=1,
                   userCol="user_id", itemCol="item_id", ratingCol="rating",
-                  coldStartStrategy="drop", checkpointInterval=2)
+                  coldStartStrategy="drop", checkpointInterval=2,
+                  intermediateStorageLevel="MEMORY_ONLY")
         t0 = time.time()
         model = als.fit(compacted)
         sec = round(time.time() - t0, 1)
@@ -130,9 +167,15 @@ def main() -> int:
                           "loadavg": loadavg()}), flush=True)
         return model, sec
 
+    # (t2 - t1) isolates one marginal iteration; the original (t3 - t1)/2
+    # form averaged two, but each extra iteration holds another round of
+    # shuffle files on the ~50 GB disk budget — one marginal iteration is
+    # the same constant, measured within the disk we actually have.
+    drain_shuffles()
     _, t1 = fit(1)
-    model, t3 = fit(3)
-    per_iter = round((t3 - t1) / 2.0, 1)
+    drain_shuffles()
+    model, t2 = fit(2)
+    per_iter = round(t2 - t1, 1)
 
     frac_users = max(1, n_users // 100)
     subset = model.userFactors.select(
@@ -147,7 +190,7 @@ def main() -> int:
 
     full_recommend = round(t_sub * (n_users / frac_users), 1)
     full_entry = round(t_build + t_compact + t1 + 4 * per_iter
-                       + full_recommend, 1)
+                       + full_recommend, 1)  # entry trains maxIter=5
     print(json.dumps({
         "sf_dir": sf_dir, "per_iteration_sec": per_iter,
         "extrapolated_full_recommend_sec": full_recommend,
