@@ -101,7 +101,17 @@ def main() -> int:
         with an 88 GB heap that can lag minutes, and the r12 fit(2) run
         ENOSPC'd under the previous fit's still-live shuffles. Force the
         GC and wait until the free-disk floor (sized to one fit's live
-        shuffle set) is back before starting the next fit."""
+        shuffle set) is back before starting the next fit.
+
+        The Python-side ref matters as much as the JVM GC: an ALSModel
+        whose factors were never checkpointed (maxIter < interval)
+        chains its lineage through EVERY training shuffle, so a live
+        model object pins all of them — the calibration fit drops its
+        model, and gc.collect() here detaches the py4j ref before
+        System.gc() runs."""
+        import gc
+
+        gc.collect()
         spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         free = shutil.disk_usage("/tmp").free / 1e9
@@ -150,7 +160,7 @@ def main() -> int:
                       "items": n_items, "compact_sec": t_compact,
                       "loadavg": loadavg()}), flush=True)
 
-    def fit(iters: int):
+    def fit(iters: int, keep_model: bool = True):
         # intermediate blocks MEMORY_ONLY: the box has 125 GB RAM and a
         # dedicated 88 GB heap but only ~50 GB of free disk — the default
         # MEMORY_AND_DISK spilled the 599M-row in/out blocks while
@@ -165,6 +175,9 @@ def main() -> int:
         sec = round(time.time() - t0, 1)
         print(json.dumps({"fit_iters": iters, "sec": sec,
                           "loadavg": loadavg()}), flush=True)
+        if not keep_model:
+            del model  # calibration fit: release so its shuffles can drain
+            return None, sec
         return model, sec
 
     # (t2 - t1) isolates one marginal iteration; the original (t3 - t1)/2
@@ -172,7 +185,7 @@ def main() -> int:
     # shuffle files on the ~50 GB disk budget — one marginal iteration is
     # the same constant, measured within the disk we actually have.
     drain_shuffles()
-    _, t1 = fit(1)
+    _, t1 = fit(1, keep_model=False)
     drain_shuffles()
     model, t2 = fit(2)
     per_iter = round(t2 - t1, 1)
