@@ -25,7 +25,16 @@ def main() -> int:
     from recommender_system_with_pyspark_spark.session import get_spark
     from recommender_system_with_pyspark_spark.testing import compare_to_oracle
 
-    spark = get_spark(app_name="check_oracle", shuffle_partitions=8)
+    # The comparator collects BOTH result sets to the driver to hash them
+    # (testing.compare_to_oracle) — fine for sf0.01 gate runs, but a
+    # scale-tier check can cross the 1g default result ceiling (found at
+    # sf100: stream_cdc_upsert's result is >1.1 GiB serialized). Raise
+    # the ceiling for the CHECK session only; size the driver heap to
+    # match via SPARK_GRAFT_DRIVER_MEM when checking big tiers.
+    spark = get_spark(
+        app_name="check_oracle", shuffle_partitions=8,
+        extra_conf={"spark.driver.maxResultSize": "8g"},
+    )
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
     for name, fn in qs.items():
