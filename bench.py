@@ -79,6 +79,12 @@ HEADLINE = [
     "multimodal_mp3_vbr_audit",     # MPEG-1/2/2.5 + Xing/ID3 VBR census
     # round-12 surface
     "multimodal_mp3_layer_census",  # Layer I/II/III × version census (slots-of-4 walk)
+    # round-13 surface: als_recommend_ann stays OUT of the headline for
+    # the same reason as the other index entries (_ivf, _indexed_full):
+    # its cost is one amortized ALS fit + KMeans index build per corpus,
+    # which would read as per-query time at toy scale; its scale evidence
+    # is SCALING.md round 13 (sf100 serve vs the 145.6 h exact GEMM) and
+    # the pytest recall invariants (exact recovery at full probe).
 ]
 
 

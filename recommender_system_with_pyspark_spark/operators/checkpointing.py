@@ -106,3 +106,30 @@ def local_ckpt_auto(
     if new and size <= deser_max_bytes:
         return ckpt.localCheckpoint(eager=True)  # default (deserialized) level
     return ckpt
+
+
+def release_local_ckpt(df: DataFrame) -> None:
+    """Drop the persisted blocks behind a ``localCheckpoint``-ed frame.
+
+    Local-checkpoint blocks normally live until session end (the
+    ContextCleaner only reclaims them when the RDD is garbage-collected,
+    and a Python-side reference chain can pin them for the whole run) —
+    a loop that checkpoints per iteration therefore ACCUMULATES
+    block-manager storage (ADVICE r12 on ``dense_id_compaction``).
+    Call this once every downstream consumer of the checkpoint has been
+    materialized into its own storage (e.g. a cached frame counted to
+    completion): after release, the frame — and anything whose
+    recomputation would need its truncated lineage — can no longer be
+    recomputed, so a later cache-block loss (executor failure) fails the
+    job instead of silently rescanning. That is the SAME failure
+    contract ``localCheckpoint`` already carries (its blocks are
+    unreplicated and die with their executor); release only moves the
+    reclaim earlier for the healthy path.
+
+    Best-effort: the reflective walk to the persisted internal RDD is
+    version-sensitive, and a failure to release merely reverts to the
+    session-lifetime retention this helper exists to shorten."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass

@@ -182,9 +182,13 @@ def two_stage_rank(
     #   to "70 CPU-minutes per task, no completions".
     # - ``coalesce(fold, -2)`` + non-null branches make the CASE
     #   non-nullable, so the inferred isnotnull CONSTANT-FOLDS AWAY: no
-    #   filter is pushed at all and the branches unify. (-2 is
-    #   unreachable: the fold only returns null for a null key, which the
-    #   isNull branch catches first.)
+    #   filter is pushed at all and the branches unify. (The fold itself
+    #   is never null — ``when(null > c, 1).otherwise(0)`` yields 0 for a
+    #   null key, and the isNull branch catches null keys first anyway;
+    #   the coalesce exists SOLELY to pin nullable=false for Catalyst,
+    #   which cannot prove it from the aggregate's type. -2 is
+    #   unreachable by construction — do not "simplify" the coalesce
+    #   away, the pushdown pathology above comes straight back.)
     # - The array fold keeps the expression ONE shallow node (a tight
     #   O(n_groups) loop per row) instead of an n_groups-deep codegen
     #   tree, so even a future pushed copy costs ns, not interpreted µs.
@@ -267,6 +271,18 @@ def dense_id_compaction(
     join and the caller's map-back join). Map-back joins on the user-side
     map can be large (one row per distinct user) — leave them un-hinted and
     let AQE broadcast when small.
+
+    Storage lifecycle (ADVICE r12): each mapping frame is materialized
+    into its cache EAGERLY (one count) and the full-corpus distinct-id
+    checkpoint that fed it is released immediately after — per-call
+    block-manager footprint is the mapping frames alone (bounded by
+    distinct-id cardinality), not the checkpointed id sets, and repeated
+    calls in one session no longer accumulate unreleasable checkpoint
+    blocks. The cached mappings themselves stay pinned until the caller
+    is done translating ids — release them with
+    :func:`release_compaction_maps` (cache loss after the checkpoint
+    release would make map recomputation impossible, which is the same
+    executor-loss contract ``localCheckpoint`` itself carries).
     """
     idx = list(idx_cols) if idx_cols is not None else [f"_{c}_idx" for c in cols]
     aggs = []
@@ -280,7 +296,7 @@ def dense_id_compaction(
     )
     if fits:
         return df, {c: None for c in cols}
-    from .checkpointing import local_ckpt_ser
+    from .checkpointing import local_ckpt_ser, release_local_ckpt
 
     maps: dict[str, DataFrame] = {}
     out = df
@@ -300,6 +316,13 @@ def dense_id_compaction(
             .select(c, F.col("_r").cast("int").alias(ic))
             .cache()
         )
+        # materialize the mapping into its cache NOW, then drop the
+        # checkpointed id blocks: the rank plan's multi-branch reads of
+        # `ids` all happen inside this one count, and afterwards nothing
+        # recomputable needs the checkpoint — releasing it keeps the
+        # per-call storage bounded by the mapping frames (ADVICE r12)
+        m.count()
+        release_local_ckpt(ids)
         maps[c] = m
         # null-safe equi-join: a NULL id is a distinct value (it ranks
         # first in two_stage_rank), and compaction must be a 1:1 re-key —
@@ -311,6 +334,21 @@ def dense_id_compaction(
             .withColumnRenamed(ic, c)
         )
     return out.select(*df.columns), maps
+
+
+def release_compaction_maps(maps: "dict[str, DataFrame | None]") -> None:
+    """Unpersist the cached mapping frames a :func:`dense_id_compaction`
+    call returned — the caller-side half of the storage lifecycle: call
+    it after the LAST id-translation join (typically after
+    :func:`restore_ids` output has been materialized or written).
+    Blocking=False; ``None`` entries (columns that already fit int32)
+    are skipped."""
+    for m in maps.values():
+        if m is not None:
+            try:
+                m.unpersist(False)
+            except Exception:
+                pass
 
 
 def assert_int32_ids(df: DataFrame, cols: Sequence[str]) -> DataFrame:

@@ -229,7 +229,7 @@ def _collect_anchor_matrix(
     queries: DataFrame,
     id_col: str,
     vec_col: str,
-    pos_col: str,
+    pos_col: "str | None",
     max_broadcast_rows: int,
     caller: str,
 ):
@@ -238,16 +238,16 @@ def _collect_anchor_matrix(
     same-label mask is then a vectorized int64 comparison instead of an
     object-dtype Python-level one — measured 100x on a (chunk x anchors)
     mask; one shared code for all NULLs implements eqNullSafe exactly).
+    ``pos_col=None`` (pure ANN serving, no label exclusion) returns
+    ``q_code=None`` — the scorer skips the label mask entirely.
     Guarded by ``max_broadcast_rows`` — the anchor matrix broadcasts."""
     import numpy as np
     import pandas as pd
 
-    q = _as_double(
-        queries.select(
-            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.col(pos_col).alias("_p")
-        ),
-        "_v",
-    ).toPandas()
+    cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
+    if pos_col is not None:
+        cols.append(F.col(pos_col).alias("_p"))
+    q = _as_double(queries.select(*cols), "_v").toPandas()
     n_q = len(q)
     if n_q > max_broadcast_rows:
         raise ValueError(
@@ -260,6 +260,8 @@ def _collect_anchor_matrix(
     q_mat = np.stack(q["_v"].to_numpy()).astype("float64")
     q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-30)
     codes: dict = {}
+    if pos_col is None:
+        return q_ids, q_mat, None, codes
     q_code = np.array(
         [
             codes.setdefault(v if not pd.isna(v) else None, len(codes))
@@ -279,9 +281,14 @@ def _gemm_partial_topk_scorer(b, k: int):
     pairs the anchor did not probe; then a per-batch top-k per anchor
     (argpartition), so the global window reduces anchors x batches x k
     survivors instead of every scored pair. Broadcast payload:
-    ``(ids, mat, q_code, code_of, cell_mask)`` with ``cell_mask`` either
-    None or a (n_cells x n_anchors) bool array; when it is set, batches
-    must carry a ``_cell`` column.
+    ``(ids, mat, q_code, code_of, cell_mask, exclude_self)`` with
+    ``cell_mask`` either None or a (n_cells x n_anchors) bool array
+    (when set, batches must carry a ``_cell`` column), ``q_code`` None
+    to skip the label mask entirely (pure ANN serving — batches then
+    need no ``_p`` column), and ``exclude_self`` False for cross-modal
+    probes (query and candidate ids in different spaces — ALS user
+    factors probing the item-factor index — where an id collision is
+    NOT a self pair).
 
     ANCHOR_TILE bounds the per-batch GEMM buffer (the strip-tiled pattern
     from embedding dedup): an Arrow batch of ~10k rows against ALL anchors
@@ -294,19 +301,23 @@ def _gemm_partial_topk_scorer(b, k: int):
     ANCHOR_TILE = 1024
 
     def score(batches):
-        ids, mat, qc, code_of, cell_mask = b.value
+        payload = b.value
+        ids, mat, qc, code_of, cell_mask = payload[:5]
+        exclude_self = payload[5] if len(payload) > 5 else True
         for chunk in batches:
             C = np.stack(chunk["_v"].to_numpy()).astype("float64")
             C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
             c_ids = chunk["_id"].to_numpy()
             # unseen chunk labels get -1: never equal to any anchor code
-            c_code = np.array(
-                [
-                    code_of.get(v if not pd.isna(v) else None, -1)
-                    for v in chunk["_p"].to_numpy(dtype=object)
-                ],
-                dtype=np.int64,
-            )
+            c_code = None
+            if qc is not None:
+                c_code = np.array(
+                    [
+                        code_of.get(v if not pd.isna(v) else None, -1)
+                        for v in chunk["_p"].to_numpy(dtype=object)
+                    ],
+                    dtype=np.int64,
+                )
             c_cell = (
                 chunk["_cell"].to_numpy(dtype=np.int64) if cell_mask is not None else None
             )
@@ -327,14 +338,17 @@ def _gemm_partial_topk_scorer(b, k: int):
             tie = (id_rank * (5e-7 / max(len(c_ids), 1)))[:, None]
             outs = []
             for s in range(0, len(ids), ANCHOR_TILE):
-                t_ids, t_qc = ids[s : s + ANCHOR_TILE], qc[s : s + ANCHOR_TILE]
+                t_ids = ids[s : s + ANCHOR_TILE]
+                t_qc = qc[s : s + ANCHOR_TILE] if qc is not None else None
                 sims = np.round(C @ mat[s : s + ANCHOR_TILE].T, 6)  # (n_chunk, tile)
                 # exclusions -> -inf: unprobed (cell, anchor) pairs;
                 # same-label pairs (null-safe); self pairs
                 if cell_mask is not None:
                     sims[~cell_mask[c_cell][:, s : s + ANCHOR_TILE]] = -np.inf
-                sims[c_code[:, None] == t_qc[None, :]] = -np.inf
-                sims[c_ids[:, None] == t_ids[None, :]] = -np.inf
+                if c_code is not None:
+                    sims[c_code[:, None] == t_qc[None, :]] = -np.inf
+                if exclude_self:
+                    sims[c_ids[:, None] == t_ids[None, :]] = -np.inf
                 kk = min(k, sims.shape[0])
                 top = np.argpartition(-(sims - tie), kk - 1, axis=0)[:kk]  # (kk, tile)
                 qcol = np.broadcast_to(np.arange(sims.shape[1]), top.shape)
@@ -937,7 +951,13 @@ def write_ivf_index(
     A production probe has no oracle to catch a regenerated-in-place
     corpus silently served by a stale index — ``validate_ivf_index``
     recomputes the fingerprint against the live corpus and callers
-    (``queries_round11._ensure_index``) rebuild on mismatch."""
+    (``queries_round11._ensure_index``) rebuild on mismatch. The sidecar
+    ALSO records the BUILD parameters (n_cells, seed, extra_cols): a
+    config change with an unchanged corpus is just as stale — an index
+    built at the old geometry would otherwise keep serving probes while
+    recall rows report the new n_cells constant (ADVICE r12). A
+    pre-r13 sidecar without the parameter columns reports stale — the
+    rebuild direction is always safe."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -972,11 +992,15 @@ def write_ivf_index(
         .parquet(f"{path}/_centers")
     )
     (
-        spark.createDataFrame([(n_rows, fp)], "n_rows long, fp long")
+        spark.createDataFrame(
+            [(n_rows, fp, int(n_cells), int(seed), list(extra_cols))],
+            "n_rows long, fp long, n_cells int, seed long, extra_cols array<string>",
+        )
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{path}/_fingerprint")
     )
+    _VALIDATE_MEMO.clear()  # a rebuild invalidates any memoized verdicts for the path
     return centers
 
 
@@ -988,14 +1012,26 @@ def _corpus_fingerprint(
     ``bit_xor(xxhash64(id, vector, extras))``: insertion order and
     partitioning cannot change it, any row edit does. (xor cancels an
     exact-duplicate row PAIR — the row count catches the common case and
-    the residual collision odds are fingerprint-appropriate.)"""
+    the residual collision odds are fingerprint-appropriate.) Column names
+    are backtick-quoted, not spliced into SQL text — a caller-supplied
+    extra column named ``a.b`` or ``top k`` must resolve as the literal
+    field, never parse as a nested path or break the expression
+    (ADVICE r12)."""
+    cols = [_quoted(c) for c in (id_col, vec_col, *extra_cols)]
     row = cand.agg(
         F.count(F.lit(1)).alias("_n"),
-        F.expr(
-            "bit_xor(xxhash64(" + ", ".join([id_col, vec_col, *extra_cols]) + "))"
-        ).alias("_fp"),
+        F.bit_xor(F.xxhash64(*cols)).alias("_fp"),
     ).first()
     return int(row["_n"]), int(row["_fp"] or 0)
+
+
+def _quoted(name: str) -> Column:
+    """Column by its LITERAL name: backtick-quoted so dots never parse as
+    nested-field paths and embedded backticks stay escaped."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+_VALIDATE_MEMO: "dict[tuple, bool]" = {}
 
 
 def validate_ivf_index(
@@ -1005,19 +1041,66 @@ def validate_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     extra_cols: "tuple[str, ...]" = (),
+    n_cells: "int | None" = None,
+    seed: "int | None" = None,
+    memo_token: "object | None" = None,
 ) -> bool:
-    """True iff the index at ``path`` was built from EXACTLY this corpus:
-    recomputes the corpus fingerprint and compares to the
+    """True iff the index at ``path`` was built from EXACTLY this corpus
+    WITH this configuration: recomputes the corpus fingerprint and
+    compares it — plus the recorded build parameters — to the
     ``_fingerprint`` sidecar ``write_ivf_index`` persisted. An index
-    without the sidecar (pre-contract build) reports stale — rebuild is
-    the safe direction. Cost: one aggregate over the corpus; a deployment
-    that cannot afford it should key freshness on its ingest pipeline's
-    own versioning instead."""
+    without the sidecar, or with a pre-r13 sidecar lacking the parameter
+    columns, reports stale — rebuild is the safe direction.
+
+    Parameter check (ADVICE r12): pass the ``n_cells`` / ``seed`` /
+    ``extra_cols`` the caller is ABOUT to build with; a corpus-identical
+    index built at a different geometry (or without a label column a
+    probe needs) is stale — without this, a config bump would keep
+    serving the old layout while recall rows report the new constant.
+    ``None`` skips that parameter's comparison (corpus-only check).
+
+    Cost: one aggregate over the corpus per validation. ``memo_token``
+    (VERDICT r12 #7) amortizes repeated probes in one session: pass any
+    hashable token that changes whenever the corpus COULD have changed —
+    e.g. an (mtime, size) stat summary of the corpus files — and the
+    (path, token, params) verdict is memoized process-wide, so the
+    corpus aggregate runs once per session instead of once per query
+    run. ``write_ivf_index`` clears the memo on every rebuild. A
+    deployment that cannot afford even the first aggregate should key
+    freshness on its ingest pipeline's own versioning instead."""
+    key = None
+    if memo_token is not None:
+        key = (path, memo_token, n_cells, seed, tuple(extra_cols))
+        if key in _VALIDATE_MEMO:
+            return _VALIDATE_MEMO[key]
+    ok = _validate_ivf_index_uncached(
+        spark, path, candidates, id_col, vec_col, extra_cols, n_cells, seed
+    )
+    if key is not None:
+        _VALIDATE_MEMO[key] = ok
+    return ok
+
+
+def _validate_ivf_index_uncached(
+    spark, path, candidates, id_col, vec_col, extra_cols, n_cells, seed
+) -> bool:
     try:
-        meta = spark.read.parquet(f"{path}/_fingerprint").first()
+        meta_df = spark.read.parquet(f"{path}/_fingerprint")
+        meta = meta_df.first()
     except Exception:
         return False
     if meta is None:
+        return False
+    # pre-r13 sidecar: no parameter columns -> cannot prove the config
+    # matches -> stale (the rebuild rewrites the sidecar in full form)
+    for col in ("n_cells", "seed", "extra_cols"):
+        if col not in meta_df.columns:
+            return False
+    if n_cells is not None and int(meta["n_cells"]) != int(n_cells):
+        return False
+    if seed is not None and int(meta["seed"]) != int(seed):
+        return False
+    if tuple(meta["extra_cols"] or ()) != tuple(extra_cols):
         return False
     cand = _as_double(
         candidates.select(
@@ -1049,6 +1132,7 @@ def ivf_probe_batch(
     n_probe: int = 4,
     pos_col: str | None = None,
     max_broadcast_rows: int = 2_000_000,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Batch ANN top-k against a PREBUILT partitioned IVF index — the
     probe-many half of the contract (``ivf_probe`` is the single-vector
@@ -1131,7 +1215,13 @@ def ivf_probe_batch(
     scan = _as_double(scan.withColumnRenamed("embedding", "_cv"), "_cv").withColumn(
         "_cn", F.greatest(_norm(F.col("_cv")), F.lit(1e-30))
     )
-    pair_ok = F.col("query_id") != F.col("neighbor_id")
+    # exclude_self=False is the CROSS-MODAL probe mode (queries and index
+    # live in different id spaces — e.g. ALS user factors probing the
+    # item-factor index): a user id numerically equal to an item id must
+    # NOT be dropped as a self-pair there
+    pair_ok = (
+        F.col("query_id") != F.col("neighbor_id") if exclude_self else F.lit(True)
+    )
     if pos_col is not None:
         pair_ok = pair_ok & ~F.col("_qp").eqNullSafe(F.col(pos_col))
     # broadcast the probed side: |Q|·n_probe rows by construction (an ANN
@@ -1158,10 +1248,11 @@ def hard_negatives_indexed(
     centers: "list[list[float]] | None" = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    pos_col: str = "label",
+    pos_col: "str | None" = "label",
     k: int = 10,
     n_probe: int = 4,
     max_broadcast_rows: int = 2_000_000,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Hard-negative mining against a PREBUILT IVF index — the deployment
     shape the sf100 numbers demand (round-10 measurement: in-one-plan ANN
@@ -1199,7 +1290,13 @@ def hard_negatives_indexed(
     Anchor batches beyond the broadcast ceiling: shard the anchors — each
     shard re-probes only its own cells, so sharding composes with the
     pruning (unlike the full-scan blas path, where every shard pays a
-    whole catalog scan)."""
+    whole catalog scan).
+
+    ``pos_col=None`` + ``exclude_self=False`` is the pure ANN-serving
+    mode (round 13): no label mask, no self mask — the configuration the
+    MIPS-reduced ALS recommend path probes with, where query ids (users)
+    and index ids (items) live in different id spaces and an id
+    collision is not a self pair."""
     import numpy as np
 
     from pyspark.sql import Window
@@ -1225,22 +1322,24 @@ def hard_negatives_indexed(
     cells = sorted(set(int(c) for c in order.ravel()))
 
     scan = spark.read.parquet(path).filter(F.col("cell").isin(cells))
-    if pos_col not in scan.columns:
+    if pos_col is not None and pos_col not in scan.columns:
         raise ValueError(
             f"index at {path} does not carry {pos_col!r}; rebuild with "
             f"write_ivf_index(extra_cols=({pos_col!r},))"
         )
-    scan = _as_double(
-        scan.select(
-            F.col("neighbor_id").alias("_id"),
-            F.col("embedding").alias("_v"),
-            F.col(pos_col).alias("_p"),
-            F.col("cell").alias("_cell"),
-        ),
-        "_v",
-    )
+    scan_cols = [
+        F.col("neighbor_id").alias("_id"),
+        F.col("embedding").alias("_v"),
+        F.col("cell").alias("_cell"),
+    ]
+    if pos_col is not None:
+        scan_cols.append(F.col(pos_col).alias("_p"))
+    scan = _as_double(scan.select(*scan_cols), "_v")
     score = _gemm_partial_topk_scorer(
-        spark.sparkContext.broadcast((q_ids, q_mat, q_code, codes, cell_mask)), k
+        spark.sparkContext.broadcast(
+            (q_ids, q_mat, q_code, codes, cell_mask, exclude_self)
+        ),
+        k,
     )
     partial = scan.mapInPandas(score, "query_id long, neighbor_id long, sim double")
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -1311,8 +1410,15 @@ def ivf_recall_curve(
     needed = np.array(
         [rank_of[pos_of_anchor[r["query_id"]], r["cell"]] + 1 for r in pairs]
     )
+    # recall_raw is the UNROUNDED sample recall — selection thresholds
+    # must compare against it (a true 0.89996 rounds to the displayed
+    # 0.9 and would otherwise satisfy a 0.9 target; ADVICE r12).
     return [
-        {"n_probe": p, "recall": round(float((needed <= p).mean()), 4)}
+        {
+            "n_probe": p,
+            "recall": round(float((needed <= p).mean()), 4),
+            "recall_raw": float((needed <= p).mean()),
+        }
         for p in range(1, n_cells + 1)
     ]
 
@@ -1346,7 +1452,10 @@ def select_n_probe(
         spark, path, anchors, centers=centers, id_col=id_col, vec_col=vec_col,
         pos_col=pos_col, k=k, max_broadcast_rows=max_broadcast_rows,
     )
-    chosen = next(pt for pt in curve if pt["recall"] >= target_recall)
+    # threshold against the UNROUNDED sample recall (ADVICE r12): the
+    # 4dp "recall" field is display-only — selecting on it would accept
+    # a point whose true recall is up to 5e-5 below the target
+    chosen = next(pt for pt in curve if pt["recall_raw"] >= target_recall)
     n_cells = len(centers)
     return {
         "n_probe": chosen["n_probe"],
@@ -1390,6 +1499,55 @@ def ivf_probe(
         .limit(k)
         .select("neighbor_id", "sim", "cell")
     )
+
+
+def mips_max_norm(df: DataFrame, vec_col: str = "embedding") -> float:
+    """Max L2 norm over a vector column — the single catalog constant the
+    MIPS→cosine reduction needs. One map-side-combined aggregate."""
+    base = _as_double(df.select(F.col(vec_col).alias("_v")), "_v")
+    row = base.agg(F.max(_norm(F.col("_v"))).alias("_m")).first()
+    return float(row["_m"] or 0.0)
+
+
+def mips_augment_items(
+    df: DataFrame,
+    max_norm: float,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Item-side MIPS→cosine reduction (Bachrach et al., RecSys 2014 —
+    public literature): append ``sqrt(M² − ‖x‖²)`` to each item vector,
+    where M = :func:`mips_max_norm` of the catalog. Every augmented item
+    then has EXACTLY norm M, so for a fixed query the cosine ordering of
+    augmented vectors equals the inner-product (dot) ordering of the
+    originals — the transform that lets the cosine IVF index serve
+    maximum-inner-product workloads (ALS recommend: score = u·i, NOT
+    cosine) without any index-side changes.
+
+    Pure projection (one array concat per row), no shuffle. ``max_norm``
+    is caller-supplied so one aggregate serves both the index build and
+    any later query batches; the clamp guards float dust when
+    ‖x‖ ≈ M."""
+    out = out_col or vec_col
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pad = F.sqrt(
+        F.greatest(
+            F.lit(float(max_norm) ** 2) - _dot(dv, dv), F.lit(0.0)
+        )
+    )
+    return df.withColumn(out, F.concat(dv, F.array(pad)))
+
+
+def mips_augment_queries(
+    df: DataFrame, vec_col: str = "embedding", out_col: str | None = None
+) -> DataFrame:
+    """Query-side half of the MIPS→cosine reduction: append a literal 0
+    — the appended coordinate contributes nothing to the dot product, so
+    ``cos(q', i') = (q·i) / (‖q‖·M)`` and the per-query ranking is the
+    inner-product ranking. Pure projection."""
+    out = out_col or vec_col
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn(out, F.concat(dv, F.array(F.lit(0.0))))
 
 
 def quantize_int8(

