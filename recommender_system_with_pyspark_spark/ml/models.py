@@ -307,6 +307,87 @@ def recommend_for_all_users(model, k: int = 10) -> DataFrame:
     )
 
 
+def build_als_ann_index(
+    model, path: str, n_cells: int = 64, seed: int = 1, max_iter: int = 5
+) -> list[list[float]]:
+    """Index an ALS model's ITEM factors for ANN serving — the fit-once
+    half of the scale path for M11 (`als.py:44` recommendForAllUsers):
+    the sf100 probe priced the exact users×items GEMM at ≈145.6 h, and
+    per-user cost there is linear in the 20M-item catalog. MIPS→cosine
+    reduction (operators.similarity.mips_augment_items) + the standard
+    partitioned IVF build; every probe then touches ~n_probe/n_cells of
+    the catalog. Returns the coarse centroids (pass to
+    :func:`recommend_topk_ann` to skip the sidecar read)."""
+    from ..operators import similarity as S
+
+    items = model.itemFactors
+    m_norm = S.mips_max_norm(items, "features")
+    items_aug = S.mips_augment_items(items, m_norm, "features")
+    return S.write_ivf_index(
+        items_aug, path, id_col="id", vec_col="features",
+        n_cells=n_cells, seed=seed, max_iter=max_iter,
+    )
+
+
+def recommend_topk_ann(
+    spark,
+    model,
+    path: str,
+    k: int = 10,
+    n_probe: int = 8,
+    users: DataFrame | None = None,
+    centers: "list[list[float]] | None" = None,
+    max_broadcast_rows: int = 2_000_000,
+) -> DataFrame:
+    """ANN twin of :func:`recommend_for_all_users` against an index built
+    by :func:`build_als_ann_index`: per-user top-k by INNER PRODUCT,
+    served as a partition-pruned GEMM probe instead of the full
+    users×items factor GEMM. Output shape matches the exact path:
+    (user_id-as-`id`, item id as ``neighbor_id``, ``score``, ``rank``),
+    where ``score`` recovers the dot product from the probe's cosine
+    (score = sim·‖u‖·M; M — the augmented items' shared norm — is read
+    off any one indexed vector, so no extra metadata sidecar). The 6dp
+    rounding of the probe sim bounds the score error at ~1e-6·‖u‖·M.
+
+    User batches beyond ``max_broadcast_rows`` raise (the anchor matrix
+    broadcasts): shard the user-factor frame and call per shard — each
+    shard probes only its own cells, so sharding composes with the
+    partition pruning. Recall is n_probe-bounded; measure it with the
+    ``als_recommend_ann`` registry entry's protocol before trusting a
+    setting (at n_probe = n_cells the output equals the exact top-k up
+    to 6dp score ties)."""
+    from pyspark.sql import functions as F
+
+    from ..operators import similarity as S
+    from ..operators.similarity import _norm
+
+    uf = users if users is not None else model.userFactors
+    q = S.mips_augment_queries(uf, "features")
+    res = S.hard_negatives_indexed(
+        spark, path, q, centers=centers, id_col="id", vec_col="features",
+        pos_col=None, k=k, n_probe=n_probe, exclude_self=False,
+        max_broadcast_rows=max_broadcast_rows,
+    )
+    # the index layout always stores the vector column as "embedding"
+    # (write_ivf_index normalizes the name); every augmented item has
+    # norm exactly M, so one row recovers the reduction constant
+    m_row = spark.read.parquet(path).select("embedding").first()
+    m_norm = float(sum(x * x for x in m_row["embedding"])) ** 0.5
+    unorm = uf.select(
+        F.col("id").alias("query_id"),
+        _norm(F.col("features").cast("array<double>")).alias("_un"),
+    )
+    return (
+        res.join(unorm, "query_id")
+        .select(
+            F.col("query_id").alias("id"),
+            "neighbor_id",
+            F.round(F.col("sim") * F.col("_un") * F.lit(m_norm), 4).alias("score"),
+            "rank",
+        )
+    )
+
+
 def metrics_report(results: dict[str, FitResult]) -> DataFrame:
     """PDF p.32 Table 7 shape: one row per model with its metrics."""
     import pandas as pd

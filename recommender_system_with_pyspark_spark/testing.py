@@ -84,9 +84,21 @@ def compare_to_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
 #     engines round half away from zero on doubles) so the printf never
 #     sits on a representable half-way tie (Java formats HALF_UP, C
 #     half-even; post-round the value is ≥ ~1e-10 away from any 6dp tie);
-#   - everything else -> the engine's plain string cast (timestamps,
-#     dates, decimals, booleans and integers render identically in
-#     Spark and DuckDB);
+#   - decimal -> the float path (cast to double first): DuckDB's fetchdf
+#     coerces DECIMAL (and HUGEINT) to float64, so the collect comparator
+#     already compares decimals at double precision — the canonical
+#     encoding mirrors that (caveat: decimal values beyond 2^53 would
+#     lose exactness; the engine's oracles keep decimal sums within
+#     double range). Found on cube_agg (Spark double vs DuckDB
+#     round(DECIMAL) staying DECIMAL) in the r13 agreement sweep;
+#   - timestamp/date -> string cast with a trailing " 00:00:00"
+#     stripped: a DATE and a midnight TIMESTAMP canonicalize the same.
+#     This mirrors the collect comparator's effective semantics (DuckDB's
+#     fetchdf coerces DATE to datetime64, so date_trunc('day', ts) — DATE
+#     in DuckDB, TIMESTAMP in Spark — already compares equal there; found
+#     on event_volume_anomalies in the r13 agreement sweep);
+#   - everything else -> the engine's plain string cast (decimals,
+#     booleans and integers render identically in Spark and DuckDB);
 #   - complex types (array/map/struct) are NOT supported — their string
 #     renderings differ across engines; callers fall back to the
 #     collect comparator (UnsupportedTypeError).
@@ -120,10 +132,16 @@ def spark_result_hash(df) -> tuple[int, int]:
                 f"column {field.name!r} is {t.simpleString()}; use the "
                 "collect comparator"
             )
-        if isinstance(t, (T.DoubleType, T.FloatType)):
+        if isinstance(t, (T.DoubleType, T.FloatType, T.DecimalType)):
+            d = col.cast("double")
             s = F.when(
-                col.isNull() | F.isnan(col), F.lit("NULL")
-            ).otherwise(F.format_string("%.6f", F.round(col.cast("double"), 6)))
+                d.isNull() | F.isnan(d), F.lit("NULL")
+            ).otherwise(F.format_string("%.6f", F.round(d, 6)))
+        elif isinstance(t, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            s = F.coalesce(
+                F.regexp_replace(col.cast("string"), " 00:00:00$", ""),
+                F.lit("NULL"),
+            )
         else:
             s = F.coalesce(col.cast("string"), F.lit("NULL"))
         cells.append(s)
@@ -160,10 +178,15 @@ def duckdb_result_hash(oracle_sql: str, sf_dir: str) -> tuple[int, int]:
                 f"column {name!r} is {dtype}; use the collect comparator"
             )
         q = '"' + name.replace('"', '""') + '"'
-        if up in ("DOUBLE", "FLOAT", "REAL"):
+        if up in ("DOUBLE", "FLOAT", "REAL") or up.startswith("DECIMAL"):
             cells.append(
-                f"CASE WHEN {q} IS NULL OR isnan({q}) THEN 'NULL' "
+                f"CASE WHEN {q} IS NULL OR isnan({q}::DOUBLE) THEN 'NULL' "
                 f"ELSE printf('%.6f', round({q}::DOUBLE, 6)) END"
+            )
+        elif up.startswith(("TIMESTAMP", "DATE", "DATETIME")):
+            cells.append(
+                f"coalesce(regexp_replace(CAST({q} AS VARCHAR), "
+                f"' 00:00:00$', ''), 'NULL')"
             )
         else:
             cells.append(f"coalesce(CAST({q} AS VARCHAR), 'NULL')")

@@ -216,7 +216,13 @@ def test_distributed_comparator_agrees(spark, sf_small):
     )
 
     qs, oracles = e.queries(), e.oracle_sql()
-    for name in ("pricing_summary", "having_count", "scd2_history"):
+    # cube_agg and event_volume_anomalies pin the two canonicalization
+    # splits the r13 agreement sweep found (DECIMAL-vs-DOUBLE rendering,
+    # DATE-vs-midnight-TIMESTAMP from date_trunc)
+    for name in (
+        "pricing_summary", "having_count", "scd2_history",
+        "cube_agg", "event_volume_anomalies",
+    ):
         compare_to_oracle_distributed(qs[name](spark, sf_small), oracles[name], sf_small)
 
 
@@ -320,3 +326,39 @@ def test_dense_id_compaction_releases_checkpoint(spark):
     time.sleep(0.5)  # async unpersist
     after = [i for i in jsc.getRDDStorageInfo() if i.id() not in before]
     assert len(after) < len(added) or not after
+
+
+def test_recommend_topk_ann_full_probe_matches_exact(spark, sf_tiny, tmp_path):
+    """ml.models ANN serving API: at n_probe = n_cells the served top-k
+    ids equal MLlib's own recommendForUserSubset, and the recovered dot
+    scores match the exact predictions to ~1e-3."""
+    from pyspark.sql import functions as F
+
+    from recommender_system_with_pyspark_spark.ml.models import (
+        build_als_ann_index,
+        recommend_topk_ann,
+    )
+    from recommender_system_with_pyspark_spark.queries_round13 import (
+        _fit_flagship_als,
+    )
+
+    model = _fit_flagship_als(spark, sf_tiny)
+    path = str(tmp_path / "als_idx")
+    centers = build_als_ann_index(model, path, n_cells=4, seed=1)
+    users = model.userFactors.orderBy("id").limit(16)
+    served = recommend_topk_ann(
+        spark, model, path, k=5, n_probe=4, users=users, centers=centers
+    )
+    exact = (
+        model.recommendForUserSubset(users.select(F.col("id").alias("user_id")), 5)
+        .select(
+            F.col("user_id").alias("id"),
+            F.posexplode("recommendations").alias("pos", "rec"),
+        )
+        .select("id", F.col("rec.item_id").alias("neighbor_id"),
+                F.col("rec.rating").alias("exact_score"))
+    )
+    j = served.join(exact, ["id", "neighbor_id"], "inner").collect()
+    assert len(j) == served.count() == exact.count()  # same (user, item) sets
+    for r in j:
+        assert abs(r["score"] - r["exact_score"]) < 1e-3, r
