@@ -187,7 +187,13 @@ def test_recall_curve_theory_matches_measurement(spark, tmp_path):
             ).collect()
         }
         assert round(len(truth & mined) / len(truth), 4) == pt["recall"]
-    sel = select_n_probe(spark, path, anchors, target_recall=recalls[1], k=4)
+    # target the UNROUNDED sample recall: since the r13 ADVICE fix the
+    # selection thresholds on recall_raw, and a 4dp-rounded display value
+    # can sit above the true recall (0.63749999 -> 0.6375), which would
+    # legitimately push the dial one probe higher
+    sel = select_n_probe(
+        spark, path, anchors, target_recall=curve[1]["recall_raw"], k=4
+    )
     assert sel["n_probe"] <= 2 and sel["recall"] >= recalls[1]
     # target 1.0 always selectable; coarse flag fires when the needed
     # probe fraction exceeds half the cells

@@ -44,15 +44,17 @@ def main() -> int:
         compare_to_oracle_distributed,
     )
 
-    # The comparator collects BOTH result sets to the driver to hash them
-    # (testing.compare_to_oracle) — fine for sf0.01 gate runs, but a
+    # The collect comparator pulls BOTH result sets to the driver to hash
+    # them (testing.compare_to_oracle) — fine for sf0.01 gate runs, but a
     # scale-tier check can cross the 1g default result ceiling (found at
-    # sf100: stream_cdc_upsert's result is >1.1 GiB serialized). Raise
-    # the ceiling for the CHECK session only; size the driver heap to
-    # match via SPARK_GRAFT_DRIVER_MEM when checking big tiers.
+    # sf100: stream_cdc_upsert's result is >1.1 GiB serialized), hence the
+    # maxResultSize bump. In --dist-only mode the ceiling is deliberately
+    # LEFT AT THE DEFAULT: the distributed comparator collects two scalars
+    # per side, and running scale tiers through it without any override is
+    # the proof the r12 harness wall is gone (VERDICT r12 #2).
+    extra = {} if dist_only else {"spark.driver.maxResultSize": "8g"}
     spark = get_spark(
-        app_name="check_oracle", shuffle_partitions=8,
-        extra_conf={"spark.driver.maxResultSize": "8g"},
+        app_name="check_oracle", shuffle_partitions=8, extra_conf=extra
     )
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
