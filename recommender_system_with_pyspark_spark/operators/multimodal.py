@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .partitioning import spread_small_input
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -360,7 +362,9 @@ def extract_image_features(df: DataFrame, round_to: int = 6) -> DataFrame:
                          "mean_r", "mean_g", "mean_b", "pixel_std"],
             )
 
-    return df.select("media_id", "media").mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
+    return spread_small_input(
+        df.select("media_id", "media"), "media_id"
+    ).mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
 
 
 AUDIO_FEATURE_SCHEMA = (
@@ -395,7 +399,9 @@ def extract_audio_features(df: DataFrame, round_to: int = 6) -> DataFrame:
                          "duration_ms", "rms"],
             )
 
-    return df.select("media_id", "media").mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
+    return spread_small_input(
+        df.select("media_id", "media"), "media_id"
+    ).mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
 
 
 def extract_byte_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
@@ -426,7 +432,9 @@ def extract_byte_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
                 out.append((mid, n, round(entropy, 6), counts.tolist()))
             yield pd.DataFrame(out, columns=["media_id", "n_bytes", "byte_entropy", "histogram"])
 
-    return df.select("media_id", "media").mapInPandas(batches, FEATURE_SCHEMA)
+    return spread_small_input(
+        df.select("media_id", "media"), "media_id"
+    ).mapInPandas(batches, FEATURE_SCHEMA)
 
 
 def text_to_bmp_media(
@@ -455,7 +463,9 @@ def text_to_bmp_media(
                 out.append((mid, encode_bmp(raster)))
             yield pd.DataFrame(out, columns=["media_id", "media"])
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    return spread_small_input(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).mapInPandas(
         batches, "media_id long, media binary"
     )
 
@@ -485,7 +495,9 @@ def text_to_png_media(
                 out.append((mid, encode_png(raster)))
             yield pd.DataFrame(out, columns=["media_id", "media"])
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    return spread_small_input(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).mapInPandas(
         batches, "media_id long, media binary"
     )
 
@@ -523,7 +535,9 @@ def text_to_jpeg_media(
                 out.append((mid, encode_jpeg_gray(raster)))
             yield pd.DataFrame(out, columns=["media_id", "media"])
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    return spread_small_input(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).mapInPandas(
         batches, "media_id long, media binary"
     )
 
@@ -561,7 +575,9 @@ def text_to_jpeg_progressive_media(
                 out.append((mid, encode_jpeg_progressive(raster)))
             yield pd.DataFrame(out, columns=["media_id", "media"])
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    return spread_small_input(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).mapInPandas(
         batches, "media_id long, media binary"
     )
 
@@ -602,7 +618,9 @@ def text_to_jpeg_color_media(
                 out.append((mid, encode_jpeg_color(rgb)))
             yield pd.DataFrame(out, columns=["media_id", "media"])
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    return spread_small_input(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).mapInPandas(
         batches, "media_id long, media binary"
     )
 
@@ -646,7 +664,9 @@ def text_to_jpeg420_media(
                 out.append((mid, encode_jpeg_420(rgb)))
             yield pd.DataFrame(out, columns=["media_id", "media"])
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    return spread_small_input(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).mapInPandas(
         batches, "media_id long, media binary"
     )
 
@@ -672,7 +692,9 @@ def text_to_wav_media(
                 out.append((mid, encode_wav(samples.astype("<i2"), sample_rate)))
             yield pd.DataFrame(out, columns=["media_id", "media"])
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    return spread_small_input(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).mapInPandas(
         batches, "media_id long, media binary"
     )
 
@@ -824,7 +846,9 @@ def mp3_header_audit(df: DataFrame, round_to: int = 6) -> DataFrame:
                 ],
             )
 
-    return df.select("media_id", "media").mapInPandas(batches, MP3_AUDIT_SCHEMA)
+    return spread_small_input(
+        df.select("media_id", "media"), "media_id"
+    ).mapInPandas(batches, MP3_AUDIT_SCHEMA)
 
 
 # --- MP3 round 11: MPEG-2/2.5 + VBR (Xing/VBRI) coverage ----------------------
@@ -1118,7 +1142,9 @@ def mp3_vbr_audit(df: DataFrame, round_to: int = 6) -> DataFrame:
                 ],
             )
 
-    return df.select("media_id", "media").mapInPandas(batches, MP3_VBR_AUDIT_SCHEMA)
+    return spread_small_input(
+        df.select("media_id", "media"), "media_id"
+    ).mapInPandas(batches, MP3_VBR_AUDIT_SCHEMA)
 
 
 def text_to_mp3_vbr_media(
@@ -1182,7 +1208,9 @@ def text_to_mp3_vbr_media(
                 )
             yield pd.DataFrame(out, columns=["media_id", "media"])
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    return spread_small_input(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).mapInPandas(
         batches, "media_id long, media binary"
     )
 
@@ -1212,6 +1240,8 @@ def text_to_mp3_media(
                 out.append((mid, encode_mp3_frames(specs)))
             yield pd.DataFrame(out, columns=["media_id", "media"])
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    return spread_small_input(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).mapInPandas(
         batches, "media_id long, media binary"
     )

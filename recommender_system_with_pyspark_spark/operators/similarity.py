@@ -1804,18 +1804,21 @@ def kmeans_lloyd(
     centers = [list(r["_c"]) for r in seed_rows]
 
     def assign(ctrs: list[list[float]]):
-        dists = F.array(*[
-            F.aggregate(
-                F.zip_with(
-                    F.col("_v"),
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
+        # ONE array<array<double>> Literal instead of k CreateArray trees
+        # of k·d scalar literals: same per-element IEEE ops in the same
+        # order (transform preserves center order), but the expression
+        # tree shrinks from ~k·d leaves to a constant size — measured
+        # ~0.3 s less Catalyst/codegen time PER ACTION at k=8, d=16
+        # (round 13; three actions carry this expression per call)
+        cl = F.lit([[float(x) for x in c] for c in ctrs])
+        dists = F.transform(
+            cl,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("_v"), c, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
-            )
-            for c in ctrs
-        ])
+            ),
+        )
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
     for _ in range(iters):

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .checkpointing import local_ckpt_auto, local_ckpt_ser
+from .partitioning import spread_small_input
 
 TOKEN_SPLIT_RE = r"\s+"
 PUNCT_RE = r"[^a-zA-Z0-9\s]"
@@ -986,7 +987,10 @@ def bpe_train(
     this function at ``batch_size=1``).
     """
     cur = docs.select(F.col(text_col).alias("_s")).filter(F.length("_s") > 1)
-    cur = local_ckpt_ser(cur)  # corpus-scale strings: serialized level
+    # single-split fixture scans leave the whole per-round posexplode
+    # pair-count AND every corpus rewrite on one core — spread once up
+    # front (no-op at deployment scale); the rewrites inherit the layout
+    cur = local_ckpt_ser(spread_small_input(cur))  # corpus-scale: serialized
     merges: list[tuple[int, str, int, str]] = []
     try:
         for step in range(n_merges):
@@ -1018,6 +1022,8 @@ def bpe_train(
             pair, cnt = best[0]["pair"], int(best[0]["c"])
             out = _fresh_symbol(step, pua_base)
             merges.append((step, pair, cnt, out))
+            if len(merges) >= n_merges:
+                break  # the rewritten corpus would never be re-counted
             nxt = local_ckpt_ser(cur.select(
                 F.replace(F.col("_s"), F.lit(pair), F.lit(out)).alias("_s")
             ))
@@ -1174,7 +1180,9 @@ def bpe_train_batched(
     if batch_size < 1:
         raise ValueError("batch_size must be >= 1")
     cur = docs.select(F.col(text_col).alias("_s")).filter(F.length("_s") > 1)
-    cur = local_ckpt_ser(cur)  # corpus-scale strings: serialized level
+    # spread once before the first checkpoint: every round's pair-count
+    # explode and rewrite projection inherit the layout (no-op at scale)
+    cur = local_ckpt_ser(spread_small_input(cur))  # corpus-scale: serialized
     merges: list[tuple[int, str, int, str]] = []
     try:
         while len(merges) < n_merges:
@@ -1226,6 +1234,8 @@ def bpe_train_batched(
                 out = _fresh_symbol(len(merges), pua_base)
                 merges.append((len(merges), pair, cnt, out))
                 rewritten = F.replace(rewritten, F.lit(pair), F.lit(out))
+            if len(merges) >= n_merges:
+                break  # the rewritten corpus would never be re-counted
             nxt = local_ckpt_ser(cur.select(rewritten.alias("_s")))
             cur.unpersist()
             cur = nxt

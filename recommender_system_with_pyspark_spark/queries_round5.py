@@ -22,6 +22,7 @@ from .operators import quality as Q
 from .operators import similarity as S
 from .operators import text as X
 from .operators.cleaning import robust_scale
+from .operators.partitioning import spread_small_input
 from .operators.relational import heavy_hitters
 from .operators.temporal import per_group_trend
 from .registry import query
@@ -330,7 +331,13 @@ def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-ordered node-iterator (per-node oriented out-degree bounded by
     O(√m) — no last-reducer hub blowup; operators/graph.triangle_stats);
     the oracle counts the same set with plain id-ordered 3-way joins."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # single-split fixture scan: without the spread the broadcast self-join's
+    # stream side (fact rows -> pair rows) runs as ONE task (round 13);
+    # no-op at deployment scale where the scan has >= core-count splits
+    li = spread_small_input(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+    )
     a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
     edges = (
@@ -759,7 +766,13 @@ def part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle walks the same edge set with a recursive reachability CTE."""
     from .operators.graph import connected_components_logstar
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # single-split fixture scan: without the spread the broadcast self-join's
+    # stream side (fact rows -> pair rows) runs as ONE task (round 13);
+    # no-op at deployment scale where the scan has >= core-count splits
+    li = spread_small_input(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+    )
     a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
     edges = (
@@ -944,7 +957,13 @@ def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     round only while a weak node remains."""
     from .operators.graph import k_core
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # single-split fixture scan: without the spread the broadcast self-join's
+    # stream side (fact rows -> pair rows) runs as ONE task (round 13);
+    # no-op at deployment scale where the scan has >= core-count splits
+    li = spread_small_input(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+    )
     a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
     edges = (
