@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .partitioning import spread_small_input
 from .text import add_fingerprint, hamming64, shingle_hashes, simhash_signatures, tokens, word_shingles
 
 
@@ -133,9 +134,13 @@ def minhash_near_dup(
     # flipped the result to ~30% faster than string shingles.
     sets = (shingle_hashes(text_col, shingle_n) if shingle_n > 1
             else F.array_distinct(F.transform(tokens(text_col), lambda t: F.xxhash64(t))))
-    base = df.select(F.col(id_col).alias("_id"), sets.alias("_sh")).filter(
-        F.size("_sh") > 0
-    )
+    # single-split fixture scans leave the shingle+signature projection
+    # (the compute-heavy half of MinHash) on one core — spread first
+    # (no-op at deployment scale); base is consumed by the signature pass
+    # AND both verify joins, all of which inherit the layout
+    base = spread_small_input(df, id_col).select(
+        F.col(id_col).alias("_id"), sets.alias("_sh")
+    ).filter(F.size("_sh") > 0)
     # explode→hash→min-aggregate: the shingle expression is evaluated ONCE
     # per row (a projection-collapse of per-permutation array_min folds
     # would re-derive the shingle array num_perm times); the min-aggregate
@@ -289,9 +294,11 @@ def simhash_near_dup(
         max_hamming = bands - 1
     if bits % bands:
         raise ValueError(f"bands={bands} must divide bits={bits}")
-    sigs = simhash_signatures(df, text_col, id_col, "simhash", bits, hash_expr).select(
-        F.col(id_col).alias("_id"), "simhash"
-    )
+    # spread before the per-token signature projection (single-split
+    # fixture scans would run it on one core; no-op at deployment scale)
+    sigs = simhash_signatures(
+        spread_small_input(df, id_col), text_col, id_col, "simhash", bits, hash_expr
+    ).select(F.col(id_col).alias("_id"), "simhash")
     width = bits // bands
     banded = sigs.select(
         "_id",

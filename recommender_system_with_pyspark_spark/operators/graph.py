@@ -57,6 +57,17 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    # Convergence via the exact label-sum invariant (round 13): each round
+    # sets label(n) = min(own, neighbors') — monotonically non-increasing
+    # per node over a CONSTANT node set, so the decimal-exact label sum
+    # strictly decreases iff ANY label changed. One map-side-combined
+    # aggregate over the just-checkpointed frame replaces the old
+    # join-the-previous-round + filter + count action (same answer, no
+    # join, no second read of the previous round's blocks).
+    _sum = lambda df: df.agg(  # noqa: E731 — exact: decimal, not double
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("_s")
+    ).first()["_s"]
+    prev_sum = _sum(labels)
     for i in range(max_iter):
         # candidate labels: my own + each neighbor's current label
         neighbor_labels = (
@@ -70,16 +81,11 @@ def connected_components(
         )
         if (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         # silent non-convergence returned PARTIALLY-propagated labels (a
         # 100-node path with max_iter=25 labeled node 99 with component 74)

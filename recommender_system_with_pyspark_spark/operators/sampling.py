@@ -297,8 +297,9 @@ def negative_sample(
     Oversample covers draws lost to positives/duplicates; users with very
     dense positive sets may honestly yield fewer than ``k`` negatives
     (raise ``oversample`` rather than silently re-rolling — determinism
-    is the contract). Shuffles are keyed by user/item only; nothing is
-    ever collected to the driver.
+    is the contract). Shuffles are keyed by user/item only; the only
+    driver traffic is the item-catalog COUNT (one scalar — the draw
+    modulus).
 
     The distinct positives frame is eagerly ``localCheckpoint``-ed (the
     ``funnel``/``triangle_stats`` policy): users, the item index, and the
@@ -338,12 +339,21 @@ def negative_sample(
     # tiers (deserialize per consumer), so the auto policy measures the
     # materialized bytes and promotes only provably small frames.
     pos = local_ckpt_auto(interactions.select(user_col, item_col).distinct())
+    # Materialize the distinct item set ONCE (round 13): two_stage_rank's
+    # eager quantile sketch, its counts/rows plan branches, and the draw
+    # modulus would otherwise each re-run the distinct over the positives
+    # checkpoint (~4 evaluations measured in the sf0.1 plan). Same policy
+    # as dense_id_compaction's ids checkpoint; the frame is bounded by the
+    # item-catalog cardinality.
+    ids = local_ckpt_auto(pos.select(item_col).distinct())
     items = (
-        two_stage_rank(
-            pos.select(item_col).distinct(), item_col, out_col="_r"
-        ).select(F.col(item_col).alias("_neg_item"), (F.col("_r") - 1).alias("_idx"))
+        two_stage_rank(ids, item_col, out_col="_r")
+        .select(F.col(item_col).alias("_neg_item"), (F.col("_r") - 1).alias("_idx"))
     )
-    n_items = items.agg(F.count(F.lit(1)).alias("_n"))
+    # |items| as a driver scalar (one count over the materialized ids —
+    # the rank is 1:1, so this EQUALS the old count over the ranked frame
+    # without evaluating the rank plan a second time)
+    n_items = ids.count()
     draws = (
         pos.select(user_col)
         .distinct()
@@ -353,7 +363,6 @@ def negative_sample(
                 "_j", "_jv"
             ),
         )
-        .crossJoin(F.broadcast(n_items))
         .select(
             user_col,
             "_j",
@@ -362,7 +371,7 @@ def negative_sample(
                     F.concat(F.col(user_col).cast("string"), F.lit(":"), F.col("_j")),
                     seed,
                 ),
-                F.col("_n"),
+                F.lit(n_items).cast("long"),
             ).alias("_idx"),
         )
     )

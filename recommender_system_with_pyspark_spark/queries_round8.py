@@ -638,10 +638,17 @@ def negative_sample_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(user:draw:seed) draw sequence, positive anti-join, earliest-draw
     dedup, per-user rank cut — so the hash pins that Spark's negatives
     are exactly the portable construction, not an RNG artifact."""
+    from .operators.partitioning import spread_small_input
     from .operators.sampling import negative_sample
 
     orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    # single-split fixture scan: lineitem is the STREAM side of the
+    # broadcast join feeding the positives distinct — spread it so the
+    # join + partial-distinct map side uses every core (no-op at scale)
+    lineitem = spread_small_input(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+    )
     inter = orders.join(
         lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
     ).select(
