@@ -450,6 +450,9 @@ def bigram_logprob(
     tables aggregate map-side; both join back BROADCAST (bigram vocab ≪
     corpus under Zipf; hash-partition the join if a corpus breaks that)."""
     toks = tokens(text_col)
+    # the bigram explode AND the vocab-size tokenization both scan df —
+    # spread the single-split fixture scan once (no-op at scale)
+    df = spread_small_input(df, id_col)
     pairs = df.select(
         F.col(id_col),
         F.explode(
@@ -552,6 +555,9 @@ def bm25_rank(
     oracle engine reproduces; the score is rounded to kill ulps.
     """
     terms = [t.lower() for t in query_terms]
+    # two tokenization passes (postings + doc lengths) — spread the
+    # single-split fixture scan first (no-op at deployment scale)
+    docs = spread_small_input(docs, id_col)
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term").isin(terms))

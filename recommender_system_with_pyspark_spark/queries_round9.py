@@ -241,7 +241,13 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from .operators.partitioning import spread_small_input
+
+    # every stage (quality tokenization, dedup fingerprints, shingle
+    # contamination, BPE apply) and all four funnel-count branches scan
+    # this frame — spread the single-split fixture scan once so the whole
+    # DAG inherits the layout (no-op at deployment scale)
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = tokens("text")
     quality = docs.filter(
         (F.size(toks) >= 20)
