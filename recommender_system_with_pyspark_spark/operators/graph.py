@@ -80,7 +80,11 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
         if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # LAZY checkpoint + the convergence aggregate as its
+            # materializer: one job per round does both (the eager form
+            # spent a second job materializing what the very next action
+            # re-read). Lineage is still truncated once materialized.
+            new_labels = new_labels.localCheckpoint(eager=False)
         new_sum = _sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:

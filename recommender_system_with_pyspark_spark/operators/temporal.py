@@ -487,8 +487,9 @@ def funnel(
     only carries users still alive in the funnel).
 
     EAGER BY DESIGN (ADVICE r6): this function runs k Spark jobs AT CALL
-    TIME — one eager stage materialization + ``count()`` per step (only
-    the k scalar counts cross to the driver) — and returns a driver-built
+    TIME — each step's ``count()`` doubles as the materializer of that
+    stage's lazy checkpoint (only the k scalar counts cross to the
+    driver) — and returns a driver-built
     k-row literal frame. Callers composing it lazily get the jobs at
     DataFrame-construction, not at action time.
 
@@ -514,7 +515,10 @@ def funnel(
             from pyspark import StorageLevel
 
             return df.persist(StorageLevel.DISK_ONLY)
-        return df.localCheckpoint(eager=True)
+        # LAZY: the count() each stage runs immediately after is the
+        # materializer, so every step costs ONE job instead of two
+        # (round 13 — same trick as connected_components' convergence sum)
+        return df.localCheckpoint(eager=False)
 
     persisted: list[DataFrame] = []
     stage = _cut(
