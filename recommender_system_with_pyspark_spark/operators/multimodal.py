@@ -728,6 +728,22 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 # MPEG-1 Layer III bitrate table, kbps, index 1..14 (0 = free, 15 = bad).
 MP3_BITRATES_KBPS = (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+# Deterministic filler payload, precomputed once: every frame body is the
+# PREFIX of the same (i·31)&0xFF sequence (both encoders restart i at 0),
+# so slicing one shared pattern emits byte-identical streams without the
+# per-byte Python generator the encoders used to run per frame — measured
+# round 13: the generator was ~50M interpreter iterations per audit query
+# at sf0.1 (5k docs × 24 frames × ~420 bytes). 8 KiB covers the largest
+# legal frame (Layer I @ 448 kbps / 32 kHz = 676 B; Layer II/III max
+# 1441 B); the fallback keeps correctness for hypothetical longer needs.
+_MP3_FILLER = bytes((i * 31) & 0xFF for i in range(8192))
+
+
+def _mp3_filler(n: int) -> bytes:
+    if n <= len(_MP3_FILLER):
+        return _MP3_FILLER[:n]
+    return bytes((i * 31) & 0xFF for i in range(n))
 MP3_SAMPLE_RATES = (44100, 48000, 32000, None)  # index 3 = reserved
 MP3_SAMPLES_PER_FRAME = 1152  # MPEG-1 Layer III
 MP3_CHANNEL_MODES = ("stereo", "joint", "dual", "mono")
@@ -759,7 +775,7 @@ def encode_mp3_frames(frame_specs, sample_rate_index: int = 0) -> bytes:
                 (channel_mode << 6) | 0b0100,  # mode_ext=0, (c)=0, original=1, emph=0
             )
         )
-        body = bytes((i * 31) & 0xFF for i in range(frame_len - 4))
+        body = _mp3_filler(frame_len - 4)
         out += hdr + body
     return bytes(out)
 
@@ -1046,7 +1062,9 @@ def encode_mp3_vbr_stream(
             )
         )
         body = bytearray(payload_head)
-        body += bytes((i * 31) & 0xFF for i in range(frame_len - 4 - len(body)))
+        # NOTE: the filler is the pattern PREFIX (i restarts at 0 after
+        # payload_head), exactly as the original per-byte generator did
+        body += _mp3_filler(frame_len - 4 - len(body))
         return hdr + bytes(body[: frame_len - 4])
 
     out = bytearray()
