@@ -134,18 +134,27 @@ def minhash_near_dup(
     # flipped the result to ~30% faster than string shingles.
     sets = (shingle_hashes(text_col, shingle_n) if shingle_n > 1
             else F.array_distinct(F.transform(tokens(text_col), lambda t: F.xxhash64(t))))
-    # single-split fixture scans leave the shingle+signature projection
-    # (the compute-heavy half of MinHash) on one core — spread first
-    # (no-op at deployment scale); base is consumed by the signature pass
-    # AND both verify joins, all of which inherit the layout
-    base = spread_small_input(df, id_col).select(
+    base = df.select(F.col(id_col).alias("_id"), sets.alias("_sh")).filter(
+        F.size("_sh") > 0
+    )
+    # Spread ONLY the signature branch, and only from near-single-split
+    # inputs (min_fraction=0.25): it is consumed once and carries the
+    # heavy per-row work (explode + num_perm hashes per shingle), so a
+    # single-split scan would run it on one core — but the verify joins
+    # below must NOT inherit a spread (`base` backs multiple plan
+    # branches with different column pruning, so a spread there
+    # re-executes its shuffle once per branch), and a JVM-codegen stage
+    # that already has a quarter of the session's parallelism loses more
+    # to the corpus-text shuffle than idle cores return (measured at
+    # sf1, 8-split scan on 32 cores: 2.13 → 2.87 s).
+    sig_base = spread_small_input(df, id_col, min_fraction=0.25).select(
         F.col(id_col).alias("_id"), sets.alias("_sh")
     ).filter(F.size("_sh") > 0)
     # explode→hash→min-aggregate: the shingle expression is evaluated ONCE
     # per row (a projection-collapse of per-permutation array_min folds
     # would re-derive the shingle array num_perm times); the min-aggregate
     # combines map-side, so the shuffle carries num_perm longs per doc.
-    exploded = base.select("_id", F.explode("_sh").alias("_s"))
+    exploded = sig_base.select("_id", F.explode("_sh").alias("_s"))
     sig = exploded.groupBy("_id").agg(
         *[F.min(F.xxhash64("_s", F.lit(i))).alias(f"_m{i}") for i in range(num_perm)]
     )  # _s is already a long — each permutation is one 8-byte hash
@@ -294,10 +303,11 @@ def simhash_near_dup(
         max_hamming = bands - 1
     if bits % bands:
         raise ValueError(f"bands={bands} must divide bits={bits}")
-    # spread before the per-token signature projection (single-split
-    # fixture scans would run it on one core; no-op at deployment scale)
+    # spread before the per-token signature projection — near-single-split
+    # inputs only (min_fraction=0.25, JVM-codegen work; see minhash note)
     sigs = simhash_signatures(
-        spread_small_input(df, id_col), text_col, id_col, "simhash", bits, hash_expr
+        spread_small_input(df, id_col, min_fraction=0.25),
+        text_col, id_col, "simhash", bits, hash_expr
     ).select(F.col(id_col).alias("_id"), "simhash")
     width = bits // bands
     banded = sigs.select(

@@ -451,8 +451,9 @@ def bigram_logprob(
     corpus under Zipf; hash-partition the join if a corpus breaks that)."""
     toks = tokens(text_col)
     # the bigram explode AND the vocab-size tokenization both scan df —
-    # spread the single-split fixture scan once (no-op at scale)
-    df = spread_small_input(df, id_col)
+    # spread a near-single-split scan once (min_fraction=0.25: JVM
+    # tokenization; see bm25_rank note / sf1 A/B r13)
+    df = spread_small_input(df, id_col, min_fraction=0.25)
     pairs = df.select(
         F.col(id_col),
         F.explode(
@@ -555,9 +556,11 @@ def bm25_rank(
     oracle engine reproduces; the score is rounded to kill ulps.
     """
     terms = [t.lower() for t in query_terms]
-    # two tokenization passes (postings + doc lengths) — spread the
-    # single-split fixture scan first (no-op at deployment scale)
-    docs = spread_small_input(docs, id_col)
+    # two tokenization passes (postings + doc lengths) — spread a
+    # near-single-split scan first (min_fraction=0.25: JVM tokenization
+    # amortizes at modest parallelism, and the corpus-text shuffle is
+    # pure cost past a quarter of the session's cores — sf1 A/B r13)
+    docs = spread_small_input(docs, id_col, min_fraction=0.25)
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term").isin(terms))
