@@ -450,10 +450,13 @@ def bigram_logprob(
     tables aggregate map-side; both join back BROADCAST (bigram vocab ≪
     corpus under Zipf; hash-partition the join if a corpus breaks that)."""
     toks = tokens(text_col)
-    # the bigram explode AND the vocab-size tokenization both scan df —
-    # spread a near-single-split scan once (min_fraction=0.25: JVM
-    # tokenization; see bm25_rank note / sf1 A/B r13)
-    df = spread_small_input(df, id_col, min_fraction=0.25)
+    # NO input spread here (round 14, VERDICT r13 #1): this is pure
+    # JVM-codegen tokenization — the r13 spread regressed the query 20%
+    # on both the driver bench and the clean artifacts (1.23→1.40 s),
+    # because the whole-corpus text shuffle costs more than the
+    # parallelism returns (the groupBy shuffle right below already
+    # distributes the heavy aggregate half). Verified r14: removing it
+    # recovers the r12 time at sf0.1 AND is parity-or-better at sf1.
     pairs = df.select(
         F.col(id_col),
         F.explode(
@@ -556,11 +559,13 @@ def bm25_rank(
     oracle engine reproduces; the score is rounded to kill ulps.
     """
     terms = [t.lower() for t in query_terms]
-    # two tokenization passes (postings + doc lengths) — spread a
-    # near-single-split scan first (min_fraction=0.25: JVM tokenization
-    # amortizes at modest parallelism, and the corpus-text shuffle is
-    # pure cost past a quarter of the session's cores — sf1 A/B r13)
-    docs = spread_small_input(docs, id_col, min_fraction=0.25)
+    # NO input spread here (round 14, VERDICT r13 #1): both tokenization
+    # passes are JVM codegen whose term filter prunes almost every row
+    # before the shuffle — the r13 spread shuffled the whole corpus text
+    # up front and regressed the query ~20% on driver and clean benches
+    # (0.55→0.62 s; hybrid_search_rrf inherited the loss). Removing it
+    # recovers the r12 time; at deployment scale the scan layout already
+    # supplies the parallelism.
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term").isin(terms))
