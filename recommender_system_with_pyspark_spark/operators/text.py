@@ -1003,8 +1003,15 @@ def bpe_train(
     cur = docs.select(F.col(text_col).alias("_s")).filter(F.length("_s") > 1)
     # single-split fixture scans leave the whole per-round posexplode
     # pair-count AND every corpus rewrite on one core — spread once up
-    # front (no-op at deployment scale); the rewrites inherit the layout
-    cur = local_ckpt_ser(spread_small_input(cur))  # corpus-scale: serialized
+    # front (no-op at deployment scale); the rewrites inherit the layout.
+    # LAZY checkpoint (round 14): each round's argmax collect is the
+    # materializer for the corpus state it counts, so a round costs ONE
+    # job (count+rewrite fused) instead of two (eager rewrite job + count
+    # job). The previous round's blocks are released only AFTER the next
+    # state is materialized — unpersisting earlier would strand the lazy
+    # checkpoint's truncated lineage.
+    cur = local_ckpt_ser(spread_small_input(cur), eager=False)
+    prev: DataFrame | None = None
     merges: list[tuple[int, str, int, str]] = []
     try:
         for step in range(n_merges):
@@ -1031,6 +1038,9 @@ def bpe_train(
                 .limit(1)
                 .collect()
             )
+            if prev is not None:  # cur is materialized now — release prev
+                prev.unpersist()
+                prev = None
             if not best or best[0]["c"] < 2:
                 break
             pair, cnt = best[0]["pair"], int(best[0]["c"])
@@ -1040,11 +1050,12 @@ def bpe_train(
                 break  # the rewritten corpus would never be re-counted
             nxt = local_ckpt_ser(cur.select(
                 F.replace(F.col("_s"), F.lit(pair), F.lit(out)).alias("_s")
-            ))
-            cur.unpersist()
-            cur = nxt
+            ), eager=False)
+            prev, cur = cur, nxt
     finally:
         cur.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 
@@ -1195,8 +1206,13 @@ def bpe_train_batched(
         raise ValueError("batch_size must be >= 1")
     cur = docs.select(F.col(text_col).alias("_s")).filter(F.length("_s") > 1)
     # spread once before the first checkpoint: every round's pair-count
-    # explode and rewrite projection inherit the layout (no-op at scale)
-    cur = local_ckpt_ser(spread_small_input(cur))  # corpus-scale: serialized
+    # explode and rewrite projection inherit the layout (no-op at scale).
+    # LAZY checkpoint (round 14): the round's candidate collect is the
+    # materializer for the corpus state it counts — one job per round
+    # (count+rewrite fused) instead of two; see bpe_train for the
+    # prev-release ordering contract.
+    cur = local_ckpt_ser(spread_small_input(cur), eager=False)
+    prev: DataFrame | None = None
     merges: list[tuple[int, str, int, str]] = []
     try:
         while len(merges) < n_merges:
@@ -1241,6 +1257,9 @@ def bpe_train_batched(
                 if len(accepted) == want or len(top) < batch_size * factor:
                     break
                 factor *= 2
+            if prev is not None:  # cur is materialized now — release prev
+                prev.unpersist()
+                prev = None
             if not accepted:
                 break
             rewritten = F.col("_s")
@@ -1250,11 +1269,12 @@ def bpe_train_batched(
                 rewritten = F.replace(rewritten, F.lit(pair), F.lit(out))
             if len(merges) >= n_merges:
                 break  # the rewritten corpus would never be re-counted
-            nxt = local_ckpt_ser(cur.select(rewritten.alias("_s")))
-            cur.unpersist()
-            cur = nxt
+            nxt = local_ckpt_ser(cur.select(rewritten.alias("_s")), eager=False)
+            prev, cur = cur, nxt
     finally:
         cur.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 
