@@ -138,6 +138,7 @@ def two_stage_rank(
     tiebreak: Sequence[str] = (),
     out_col: str = "rank",
     n_groups: int | None = None,
+    cut_points: Sequence[float] | None = None,
 ) -> DataFrame:
     """``row_number() OVER (PARTITION BY partition_by ORDER BY value_col
     ASC, *tiebreak)`` without a per-partition monolithic sort.
@@ -157,15 +158,26 @@ def two_stage_rank(
 
     Result is bit-identical to the monolithic window (ties never straddle a
     value-range boundary; ``tiebreak`` must make the order total). Nulls in
-    ``value_col`` rank first, matching Spark ASC windows."""
+    ``value_col`` rank first, matching Spark ASC windows.
+
+    ``cut_points``: optional precomputed cut values (round 14) — skips the
+    eager approx-quantile ACTION this function otherwise runs at call
+    time, for callers that already make a pass over ``df`` and can fold a
+    ``percentile_approx`` into it (sampling.negative_sample fuses it with
+    the draw-modulus count: one job instead of two). The rank is exact
+    for ANY cut set — cuts only steer load balance — so the sketch source
+    is a pure performance knob."""
     spark = df.sparkSession
     if n_groups is None:
         n_groups = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     pcols = list(partition_by)
     kdf = df.withColumn("_tsr_key", F.col(value_col).cast("double"))
-    cuts = sorted(set(kdf.stat.approxQuantile(
-        "_tsr_key", [i / n_groups for i in range(1, n_groups)],
-        1.0 / (4.0 * max(n_groups, 1)))))
+    if cut_points is None:
+        cuts = sorted(set(kdf.stat.approxQuantile(
+            "_tsr_key", [i / n_groups for i in range(1, n_groups)],
+            1.0 / (4.0 * max(n_groups, 1)))))
+    else:
+        cuts = sorted({float(c) for c in cut_points})
     # Subgroup assignment as ONE flat array fold, wrapped to be provably
     # NON-NULLABLE — both halves are load-bearing at scale (round-12 sf100
     # finding, SCALING.md):

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .checkpointing import local_ckpt_auto
+from .checkpointing import local_ckpt_ser
 
 _BUCKETS = 1 << 32
 
@@ -301,19 +301,22 @@ def negative_sample(
     driver traffic is the item-catalog COUNT (one scalar — the draw
     modulus).
 
-    The distinct positives frame is eagerly ``localCheckpoint``-ed (the
-    ``funnel``/``triangle_stats`` policy): users, the item index, and the
-    anti-join all derive from it, and WITHOUT materialization the
-    interactions join is re-planned once per consumer — the first sf10
-    run of this operator OOMed exactly there, when the column-pruned
-    item-index subtrees size-underestimated a 15M-row fact table into a
-    BuildLeft broadcast (three concurrent ~500 MB broadcast builds in one
-    shared heap). Checkpointing gives every consumer the one real frame
-    with real stats. The two joins that grow with the data are
-    additionally PINNED to shuffle strategies (hash on the uniform md5
-    item index, merge for the positives anti-join) — the item catalog is
-    not a broadcastable dim at real scale, and the hints keep per-task
-    memory bounded by partition size even if size estimates drift.
+    EAGER AT CALL TIME (like ``temporal.funnel``): constructing the frame
+    runs one Spark job — the fused count+quantile aggregate that yields
+    the draw modulus and the rank cut points, and whose execution
+    materializes the lazy positives/item-set checkpoints below it.
+    Without those checkpoints the interactions join is re-planned once
+    per consumer — the first sf10 run of this operator OOMed exactly
+    there, when the column-pruned item-index subtrees size-underestimated
+    a 15M-row fact table into a BuildLeft broadcast (three concurrent
+    ~500 MB broadcast builds in one shared heap); a LAZY checkpoint's
+    LogicalRDD carries no size stats at all, so Catalyst cannot
+    under-estimate it into a broadcast either. The two joins that grow
+    with the data are additionally PINNED to shuffle strategies (hash on
+    the uniform md5 item index, merge for the positives anti-join) — the
+    item catalog is not a broadcastable dim at real scale, and the hints
+    keep per-task memory bounded by partition size even if size
+    estimates drift.
 
     Lifetime note: the positives checkpoint lives until the session ends
     (localCheckpoint blocks are not auto-released; the returned frame's
@@ -331,29 +334,45 @@ def negative_sample(
 
     if k < 1 or oversample < 1:
         raise ValueError("k and oversample must be >= 1")
-    # SIZE-TIERED checkpoint (operators/checkpointing.py): the positives
-    # frame scales with the fact data — at sf100 (599M distinct pairs) the
-    # default deserialized level OOMed the heap when spilled blocks were
-    # promoted back as object graphs by 32 concurrent anti-join tasks, so
-    # large frames must stay SERIALIZED; but the same level taxed small
-    # tiers (deserialize per consumer), so the auto policy measures the
-    # materialized bytes and promotes only provably small frames.
-    pos = local_ckpt_auto(interactions.select(user_col, item_col).distinct())
-    # Materialize the distinct item set ONCE (round 13): two_stage_rank's
-    # eager quantile sketch, its counts/rows plan branches, and the draw
-    # modulus would otherwise each re-run the distinct over the positives
-    # checkpoint (~4 evaluations measured in the sf0.1 plan). Same policy
-    # as dense_id_compaction's ids checkpoint; the frame is bounded by the
-    # item-catalog cardinality.
-    ids = local_ckpt_auto(pos.select(item_col).distinct())
+    # LAZY serialized checkpoints with ONE fused stats job as their
+    # materializer (round 14): positives and the distinct item set used to
+    # take four eager materialization jobs (ser + small-frame promotion
+    # each) plus a count job (draw modulus) plus two_stage_rank's eager
+    # approx-quantile job — seven actions before the query's own plan ran.
+    # The single aggregate below (count + percentile_approx over the item
+    # ids) computes BOTH driver scalars in one pass and, being the first
+    # action over the lazy checkpoints, persists pos and ids as a side
+    # effect: 1 job total. SERIALIZED level throughout — the safe
+    # direction at fact scale (the sf100 OOM class); forgoing the
+    # small-frame deserialized promotion costs only per-reuse
+    # deserialization of catalog-sized blocks. Lazy checkpoints carry no
+    # size stats, so Catalyst cannot UNDER-estimate them into stray
+    # broadcasts (the sf10 failure eager checkpointing was added for);
+    # the two data-scale joins stay pinned to shuffle strategies below.
+    pos = local_ckpt_ser(interactions.select(user_col, item_col).distinct(),
+                         eager=False)
+    ids = local_ckpt_ser(pos.select(item_col).distinct(), eager=False)
+    n_groups = int(
+        interactions.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    stats = ids.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.percentile_approx(
+            F.col(item_col).cast("double"),
+            [i / n_groups for i in range(1, n_groups)],
+            4 * max(n_groups, 1),  # accuracy ≈ 1/relativeError of the old sketch
+        ).alias("_cuts"),
+    ).first()
+    n_items = int(stats["_n"])
+    # rank output is exact for ANY cut set (two_stage_rank contract) — the
+    # sketch swap from stat.approxQuantile to percentile_approx can only
+    # move load-balance boundaries, never a rank
+    cuts = sorted({float(c) for c in (stats["_cuts"] or [])})
     items = (
-        two_stage_rank(ids, item_col, out_col="_r")
+        two_stage_rank(ids, item_col, out_col="_r", n_groups=n_groups,
+                       cut_points=cuts)
         .select(F.col(item_col).alias("_neg_item"), (F.col("_r") - 1).alias("_idx"))
     )
-    # |items| as a driver scalar (one count over the materialized ids —
-    # the rank is 1:1, so this EQUALS the old count over the ranked frame
-    # without evaluating the rank plan a second time)
-    n_items = ids.count()
     draws = (
         pos.select(user_col)
         .distinct()
