@@ -1831,8 +1831,21 @@ def kmeans_lloyd(
         # order (transform preserves center order), but the expression
         # tree shrinks from ~k·d leaves to a constant size — measured
         # ~0.3 s less Catalyst/codegen time PER ACTION at k=8, d=16
-        # (round 13; three actions carry this expression per call)
-        cl = F.lit([[float(x) for x in c] for c in ctrs])
+        # (round 13; three actions carry this expression per call).
+        # Built via ONE parsed expression rather than F.lit(nested list)
+        # (round 14): PySpark's lit() walks the k·d elements through
+        # py4j — measured 90 ms per construction at 8×16 vs 0.9 ms for
+        # the parse, ×3 constructions per call. repr() round-trips every
+        # double exactly and Java's parser is correctly-rounded like
+        # Python's, so the Literal holds bit-identical values (verified
+        # down to subnormals; ConstantFolding collapses the parsed
+        # CreateArrays into the same single Literal).
+        cl = F.expr(
+            "array(" + ",".join(
+                "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+                for c in ctrs
+            ) + ")"
+        )
         dists = F.transform(
             cl,
             lambda c: F.aggregate(
