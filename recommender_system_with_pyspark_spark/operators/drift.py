@@ -150,9 +150,28 @@ def ks_statistic(
         .groupBy("_v")
         .agg(F.sum("_a").alias("_a"), F.sum("_b").alias("_b"))
     )
-    pts = pts.localCheckpoint(eager=True)  # feeds totals AND the cumsum
+    # LAZY checkpoint with the fused stats job as materializer (round 14):
+    # one aggregate computes the cumsum's quantile cut points while
+    # persisting pts, replacing the eager-checkpoint job + the separate
+    # approxQuantile action two_stage_cumsum would run (3 actions → 2 per
+    # call). Cumulative sums are exact for ANY cut set, so the sketch swap
+    # (percentile_approx vs stat.approxQuantile) only moves load-balance
+    # boundaries.
+    pts = pts.localCheckpoint(eager=False)  # feeds totals AND the cumsum
+    n_groups = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    sketch = pts.agg(
+        F.percentile_approx(
+            F.col("_v").cast("double"),
+            [i / n_groups for i in range(1, n_groups)],
+            4 * max(n_groups, 1),
+        ).alias("_cuts")
+    ).first()
+    cuts = sorted({float(c) for c in (sketch["_cuts"] or [])})
     totals = pts.agg(F.sum("_a").alias("na"), F.sum("_b").alias("nb"))
-    cum = two_stage_cumsum(pts, "_v", ["_a", "_b"])
+    cum = two_stage_cumsum(pts, "_v", ["_a", "_b"], n_groups=n_groups,
+                           cut_points=cuts)
     return (
         cum.crossJoin(F.broadcast(totals))
         .select(

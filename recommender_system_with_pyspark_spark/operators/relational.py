@@ -549,6 +549,7 @@ def two_stage_cumsum(
     sum_cols: Sequence[str],
     out_prefix: str = "cum_",
     n_groups: int | None = None,
+    cut_points: Sequence[float] | None = None,
 ) -> DataFrame:
     """``SUM(col) OVER (ORDER BY order_col ROWS UNBOUNDED PRECEDING)``
     — a GLOBAL running sum — without the single-partition window Spark
@@ -576,9 +577,19 @@ def two_stage_cumsum(
     if n_groups is None:
         n_groups = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     kdf = df.withColumn("_tsc_key", F.col(order_col).cast("double"))
-    cuts = sorted(set(kdf.stat.approxQuantile(
-        "_tsc_key", [i / n_groups for i in range(1, n_groups)],
-        1.0 / (4.0 * max(n_groups, 1)))))
+    # ``cut_points``: optional precomputed cuts (round 14) — skips the
+    # eager approx-quantile ACTION for callers that already pass over
+    # ``df`` and can fold a percentile_approx into it (drift.ks_statistic
+    # fuses it with its checkpoint materialization). Cumulative sums are
+    # exact for ANY cut set — cuts only steer load balance (rows tying on
+    # the order column still land in one subgroup because cuts are
+    # concrete values either way).
+    if cut_points is None:
+        cuts = sorted(set(kdf.stat.approxQuantile(
+            "_tsc_key", [i / n_groups for i in range(1, n_groups)],
+            1.0 / (4.0 * max(n_groups, 1)))))
+    else:
+        cuts = sorted({float(c) for c in cut_points})
     grp = F.lit(0)
     for c in cuts:
         grp = grp + (F.col("_tsc_key") > F.lit(c)).cast("int")
