@@ -747,6 +747,13 @@ _MP3_FILLER = bytes((i * 31) & 0xFF for i in range(8192))
 
 
 def _mp3_filler(n: int) -> bytes:
+    if n <= 0:
+        # ADVICE r13: a negative n must yield b"" like the old per-byte
+        # generator's empty range — a Python slice [:-n] would return the
+        # pattern MINUS n bytes instead. Unreachable for legal bitrate
+        # indexes (frame_len always exceeds 4 + payload_head), but the
+        # byte-stream contract should not depend on that.
+        return b""
     if n <= len(_MP3_FILLER):
         return _MP3_FILLER[:n]
     return bytes((i * 31) & 0xFF for i in range(n))

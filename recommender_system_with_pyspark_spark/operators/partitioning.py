@@ -42,6 +42,12 @@ from pyspark.sql import functions as F
 # session parallelism), so key the memo on (applicationId, semanticHash).
 # A (vanishingly unlikely) 32-bit hash collision can only mis-skip or
 # mis-add a spread — a performance decision, never a correctness one.
+# Staleness (ADVICE r13): the memo never invalidates WITHIN an
+# application, so a path whose file layout changes mid-app (fixtures
+# rewritten, table appended) keeps its old count until the app restarts —
+# again only a spread-or-not decision, never correctness. When full, one
+# arbitrary entry is evicted instead of clearing the whole memo (a clear
+# re-paid every probe in flight).
 _PROBE_CACHE: "dict[tuple[str, int], int]" = {}
 _PROBE_CACHE_MAX = 4096
 
@@ -63,7 +69,7 @@ def _num_partitions(df: DataFrame) -> int | None:
         return None
     if key is not None:
         if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
-            _PROBE_CACHE.clear()
+            _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))  # evict one, not all
         _PROBE_CACHE[key] = n
     return n
 
