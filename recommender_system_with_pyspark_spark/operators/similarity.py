@@ -1840,9 +1840,16 @@ def kmeans_lloyd(
         # Python's, so the Literal holds bit-identical values (verified
         # down to subnormals; ConstantFolding collapses the parsed
         # CreateArrays into the same single Literal).
+        def _dlit(v: float) -> str:
+            if v != v:  # NaN centroid (pathological data) — keep lit() behavior
+                return "CAST('NaN' AS DOUBLE)"
+            if v in (float("inf"), float("-inf")):
+                return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+            return f"{v!r}D"
+
         cl = F.expr(
             "array(" + ",".join(
-                "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+                "array(" + ",".join(_dlit(float(x)) for x in c) + ")"
                 for c in ctrs
             ) + ")"
         )
